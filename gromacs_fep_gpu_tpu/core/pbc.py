@@ -1,0 +1,70 @@
+"""Periodic-boundary-condition utilities (reference: src/gromacs/pbcutil/pbc.cpp).
+
+The box is a 3x3 lower-triangular matrix in the GROMACS convention:
+row 0 = a = (ax, 0, 0), row 1 = b = (bx, by, 0), row 2 = c = (cx, cy, cz),
+with the GROMACS box restrictions (|bx| <= ax/2 etc.), under which
+minimum-image vectors can be found by fractional-coordinate rounding plus
+(for very skewed boxes) a small set of extra trial shifts.
+
+All functions are pure, shape-static and jit-safe.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def is_rectangular(box: jnp.ndarray) -> jnp.ndarray:
+    off = box[1, 0] ** 2 + box[2, 0] ** 2 + box[2, 1] ** 2
+    return off == 0.0
+
+
+def pbc_dx(dx: jnp.ndarray, box: jnp.ndarray) -> jnp.ndarray:
+    """Minimum-image displacement for a (possibly triclinic) GROMACS box.
+
+    dx: (..., 3) raw displacement x_i - x_j.  Returns wrapped displacement.
+
+    Triclinic wrap follows pbc_dx_aiuc (pbc.cpp): subtract box rows in the
+    order c, b, a using rounded fractional coordinates.  For boxes obeying
+    the GROMACS restrictions this yields the minimum image for all
+    distances below half the smallest box extent, which is what the cutoff
+    machinery guarantees.
+    """
+    # Work in fractional space: box is lower triangular so solve back-to-front.
+    shift_z = jnp.round(dx[..., 2] / box[2, 2])
+    dx = dx - shift_z[..., None] * box[2]
+    shift_y = jnp.round(dx[..., 1] / box[1, 1])
+    dx = dx - shift_y[..., None] * box[1]
+    shift_x = jnp.round(dx[..., 0] / box[0, 0])
+    dx = dx - shift_x[..., None] * box[0]
+    return dx
+
+
+def pbc_dx_rect(dx: jnp.ndarray, box_diag: jnp.ndarray) -> jnp.ndarray:
+    """Rectangular-box fast path; box_diag: (3,)."""
+    return dx - jnp.round(dx / box_diag) * box_diag
+
+
+def wrap_into_box(x: jnp.ndarray, box: jnp.ndarray) -> jnp.ndarray:
+    """Put atoms into the primary triclinic cell [0, box)."""
+    s = jnp.floor(x[..., 2] / box[2, 2])
+    x = x - s[..., None] * box[2]
+    s = jnp.floor(x[..., 1] / box[1, 1])
+    x = x - s[..., None] * box[1]
+    s = jnp.floor(x[..., 0] / box[0, 0])
+    x = x - s[..., None] * box[0]
+    return x
+
+
+def box_volume(box: jnp.ndarray) -> jnp.ndarray:
+    return box[0, 0] * box[1, 1] * box[2, 2]
+
+
+def make_box(lx: float, ly: float, lz: float) -> jnp.ndarray:
+    return jnp.diag(jnp.array([lx, ly, lz], dtype=jnp.float32))
+
+
+def min_box_extent(box: jnp.ndarray) -> jnp.ndarray:
+    """Conservative half-min-image bound (diagonal elements dominate under
+    GROMACS box restrictions)."""
+    return jnp.min(jnp.diag(box))

@@ -1,0 +1,246 @@
+"""Host-side topology construction — the grompp-lite layer.
+
+Builds a flat, padded, device-ready System from molecule templates
+(reference: src/gromacs/gmxpreprocess/grompp.cpp compiles .top text into
+gmx_mtop_t; here molecule types are declared programmatically or parsed
+from .top subset by io/topio.py, then replicated and flattened).
+
+Exclusions are generated from the bond graph out to `nrexcl` bonds
+(reference: gmxpreprocess/gen_ad.cpp / topology exclusion blocks).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+import jax.numpy as jnp
+
+from .types import (Exclusions, InteractionList, LincsConstraints,
+                    SettleGroups, System)
+from .units import ONE_4PI_EPS0
+
+
+@dataclasses.dataclass
+class MoleculeType:
+    """One molecule template with optional B (perturbed) state."""
+    name: str
+    # per-atom
+    types_a: List[int]
+    charges_a: List[float]
+    masses_a: List[float]
+    types_b: Optional[List[int]] = None
+    charges_b: Optional[List[float]] = None
+    masses_b: Optional[List[float]] = None
+    # interactions: (atom indices, params_a, params_b); params_b=None => =A
+    bonds: List[Tuple] = dataclasses.field(default_factory=list)
+    angles: List[Tuple] = dataclasses.field(default_factory=list)
+    ub: List[Tuple] = dataclasses.field(default_factory=list)
+    pdihs: List[Tuple] = dataclasses.field(default_factory=list)
+    rbdihs: List[Tuple] = dataclasses.field(default_factory=list)
+    idihs: List[Tuple] = dataclasses.field(default_factory=list)
+    posres: List[Tuple] = dataclasses.field(default_factory=list)
+    pairs14: List[Tuple] = dataclasses.field(default_factory=list)
+    # constraints
+    settle: Optional[Tuple[int, int, int, float, float]] = None  # (O,H1,H2,dOH,dHH)
+    constraints: List[Tuple] = dataclasses.field(default_factory=list)  # (i,j,lenA[,lenB])
+    # explicit extra exclusions beyond bond graph
+    extra_exclusions: List[Tuple[int, int]] = dataclasses.field(default_factory=list)
+    nrexcl: int = 3
+
+    @property
+    def n_atoms(self) -> int:
+        return len(self.types_a)
+
+    def bond_graph_edges(self) -> List[Tuple[int, int]]:
+        edges = [(int(b[0][0]), int(b[0][1])) for b in self.bonds]
+        edges += [(int(c[0]), int(c[1])) for c in self.constraints]
+        if self.settle is not None:
+            o, h1, h2 = self.settle[:3]
+            edges += [(o, h1), (o, h2), (h1, h2)]
+        return edges
+
+    def generate_exclusions(self) -> List[set]:
+        """All atom pairs within nrexcl bonds, plus extras, plus settle."""
+        n = self.n_atoms
+        adj = [set() for _ in range(n)]
+        for i, j in self.bond_graph_edges():
+            adj[i].add(j)
+            adj[j].add(i)
+        excl = [set() for _ in range(n)]
+        for i in range(n):
+            frontier = {i}
+            seen = {i}
+            for _ in range(self.nrexcl):
+                frontier = set().union(*(adj[a] for a in frontier)) - seen
+                seen |= frontier
+            excl[i] = seen - {i}
+        for i, j in self.extra_exclusions:
+            excl[i].add(j)
+            excl[j].add(i)
+        return excl
+
+
+def lj_table_from_types(c6: Sequence[float], c12: Sequence[float],
+                        comb_rule: int = 1) -> np.ndarray:
+    """(T, T, 2) pairwise c6/c12 table from per-type values
+    (reference: gmxpreprocess/convparm.cpp; comb rule 1 = geometric c6/c12)."""
+    c6 = np.asarray(c6, np.float64)
+    c12 = np.asarray(c12, np.float64)
+    if comb_rule == 1:
+        t6 = np.sqrt(c6[:, None] * c6[None, :])
+        t12 = np.sqrt(c12[:, None] * c12[None, :])
+    else:
+        raise NotImplementedError("use sigma/eps helper for comb rule 2/3")
+    return np.stack([t6, t12], axis=-1).astype(np.float32)
+
+
+def lj_table_from_sigma_eps(sigma: Sequence[float], eps: Sequence[float],
+                            comb_rule: int = 2) -> np.ndarray:
+    sigma = np.asarray(sigma, np.float64)
+    eps = np.asarray(eps, np.float64)
+    if comb_rule == 2:   # Lorentz-Berthelot
+        sij = 0.5 * (sigma[:, None] + sigma[None, :])
+        eij = np.sqrt(eps[:, None] * eps[None, :])
+    elif comb_rule == 3:  # geometric on sigma and eps
+        sij = np.sqrt(sigma[:, None] * sigma[None, :])
+        eij = np.sqrt(eps[:, None] * eps[None, :])
+    else:
+        raise ValueError(comb_rule)
+    s6 = sij**6
+    c6 = 4.0 * eij * s6
+    c12 = 4.0 * eij * s6 * s6
+    return np.stack([c6, c12], axis=-1).astype(np.float32)
+
+
+def _pad_rows(rows: List[Tuple], k: int, p: int, pad_to: Optional[int] = None
+              ) -> InteractionList:
+    n = len(rows)
+    cap = n if pad_to is None else max(pad_to, n)
+    atoms = np.zeros((cap, k), np.int32)
+    pa = np.zeros((cap, p), np.float32)
+    pb = np.zeros((cap, p), np.float32)
+    mask = np.zeros((cap,), np.float32)
+    for r, row in enumerate(rows):
+        idx, par_a, par_b = row
+        atoms[r] = idx
+        pa[r] = par_a
+        pb[r] = par_a if par_b is None else par_b
+        mask[r] = 1.0
+    return InteractionList(atoms=jnp.asarray(atoms), params_a=jnp.asarray(pa),
+                           params_b=jnp.asarray(pb), mask=jnp.asarray(mask))
+
+
+_TERM_SHAPES = {
+    "bonds": (2, 2), "angles": (3, 2), "ub": (3, 4), "pdihs": (4, 3),
+    "rbdihs": (4, 6), "idihs": (4, 2), "posres": (1, 6),
+}
+
+
+def build_system(molecules: Sequence[Tuple[MoleculeType, int]],
+                 nbfp: np.ndarray,
+                 fudge_qq: float = 1.0,
+                 epsilon_r: float = 1.0) -> System:
+    """Flatten (molecule, count) blocks into one System."""
+    qa, qb, ta, tb, ma, mb = [], [], [], [], [], []
+    excl_sets: List[set] = []
+    term_rows: Dict[str, List[Tuple]] = {k: [] for k in _TERM_SHAPES}
+    pair14_rows: List[Tuple] = []
+    settle_rows: List[Tuple] = []
+    lincs_rows: List[Tuple] = []
+    offset = 0
+    epsfac = ONE_4PI_EPS0 / epsilon_r
+
+    for mol, count in molecules:
+        nm = mol.n_atoms
+        cb = mol.charges_b if mol.charges_b is not None else mol.charges_a
+        tbv = mol.types_b if mol.types_b is not None else mol.types_a
+        mbv = mol.masses_b if mol.masses_b is not None else mol.masses_a
+        mol_excl = mol.generate_exclusions()
+        for c in range(count):
+            qa += list(mol.charges_a); qb += list(cb)
+            ta += list(mol.types_a); tb += list(tbv)
+            ma += list(mol.masses_a); mb += list(mbv)
+            excl_sets += [{e + offset for e in s} for s in mol_excl]
+
+            def off(idx):
+                return tuple(int(a) + offset for a in idx)
+
+            for name in _TERM_SHAPES:
+                for row in getattr(mol, name):
+                    idx, par_a = row[0], row[1]
+                    par_b = row[2] if len(row) > 2 else None
+                    term_rows[name].append((off(idx), par_a, par_b))
+            for row in mol.pairs14:
+                idx, par_a = row[0], row[1]
+                par_b = row[2] if len(row) > 2 else None
+                # scale qq by epsfac*fudge once here
+                sa = (par_a[0] * epsfac * fudge_qq, par_a[1], par_a[2])
+                sb = None if par_b is None else (par_b[0] * epsfac * fudge_qq,
+                                                 par_b[1], par_b[2])
+                pair14_rows.append((off(idx), sa, sb))
+            if mol.settle is not None:
+                o, h1, h2, doh, dhh = mol.settle
+                settle_rows.append((off((o, h1, h2)), doh, dhh))
+            for con in mol.constraints:
+                i, j, la = con[0], con[1], con[2]
+                lb = con[3] if len(con) > 3 else la
+                lincs_rows.append((off((i, j)), la, lb))
+            offset += nm
+
+    n = offset
+    max_excl = max((len(s) for s in excl_sets), default=1)
+    max_excl = max(max_excl, 1)
+    excl_arr = np.full((n, max_excl), -1, np.int32)
+    for i, s in enumerate(excl_sets):
+        for k, e in enumerate(sorted(s)):
+            excl_arr[i, k] = e
+
+    bonded = {}
+    for name, (k, p) in _TERM_SHAPES.items():
+        if name == "posres":
+            continue
+        if term_rows[name]:
+            bonded[name] = _pad_rows(term_rows[name], k, p)
+    if term_rows["posres"]:
+        bonded["posres"] = _pad_rows(term_rows["posres"], 1, 6)
+
+    pairs14 = _pad_rows(pair14_rows, 2, 3) if pair14_rows else \
+        InteractionList.empty(2, 3)
+
+    if settle_rows:
+        settle = SettleGroups(
+            atoms=jnp.asarray(np.array([r[0] for r in settle_rows], np.int32)),
+            d_oh=jnp.asarray(np.array([r[1] for r in settle_rows], np.float32)),
+            d_hh=jnp.asarray(np.array([r[2] for r in settle_rows], np.float32)),
+            mask=jnp.ones((len(settle_rows),), jnp.float32))
+    else:
+        settle = SettleGroups.empty()
+
+    if lincs_rows:
+        lincs = LincsConstraints(
+            atoms=jnp.asarray(np.array([r[0] for r in lincs_rows], np.int32)),
+            length_a=jnp.asarray(np.array([r[1] for r in lincs_rows], np.float32)),
+            length_b=jnp.asarray(np.array([r[2] for r in lincs_rows], np.float32)),
+            mask=jnp.ones((len(lincs_rows),), jnp.float32))
+    else:
+        lincs = LincsConstraints.empty()
+
+    qa = np.asarray(qa, np.float32); qb = np.asarray(qb, np.float32)
+    ta_ = np.asarray(ta, np.int32); tb_ = np.asarray(tb, np.int32)
+    ma_ = np.asarray(ma, np.float32); mb_ = np.asarray(mb, np.float32)
+    perturbed = (qa != qb) | (ta_ != tb_) | (ma_ != mb_)
+
+    return System(
+        charge_a=jnp.asarray(qa), charge_b=jnp.asarray(qb),
+        type_a=jnp.asarray(ta_), type_b=jnp.asarray(tb_),
+        mass_a=jnp.asarray(ma_), mass_b=jnp.asarray(mb_),
+        perturbed=jnp.asarray(perturbed),
+        nbfp=jnp.asarray(nbfp),
+        exclusions=Exclusions(idx=jnp.asarray(excl_arr)),
+        bonded=bonded,
+        pairs14=pairs14,
+        settle=settle,
+        lincs=lincs,
+        n_atoms=n,
+    )

@@ -1,0 +1,391 @@
+"""Core data model: System (topology+parameters), State, MdParams.
+
+This is the TPU-native replacement for the reference's gmx_mtop_t /
+t_inputrec / t_state triple (reference: src/gromacs/topology/topology.h,
+api/legacy/include/gromacs/mdtypes/inputrec.h, mdtypes/state.h).  Instead
+of a molecule-block object graph we store flat, fixed-shape device arrays:
+every interaction class is a padded array of atom-index tuples plus A/B
+parameter rows, so the whole system is one pytree that jit/vmap/shard_map
+can move and shard.
+"""
+from __future__ import annotations
+
+import dataclasses
+import enum
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+Array = jax.Array
+
+
+class CoulombType(enum.Enum):
+    CUTOFF = "cutoff"
+    REACTION_FIELD = "reaction-field"
+    PME = "pme"
+
+
+class VdwModifier(enum.Enum):
+    NONE = "none"
+    POTENTIAL_SHIFT = "potential-shift"
+    POTENTIAL_SWITCH = "potential-switch"
+    FORCE_SWITCH = "force-switch"
+
+
+class SoftcoreType(enum.Enum):
+    BEUTLER = "beutler"
+    GAPSYS = "gapsys"
+
+
+class IntegratorType(enum.Enum):
+    MD = "md"            # leapfrog
+    MD_VV = "md-vv"      # velocity verlet
+    SD = "sd"            # Langevin (GROMACS sd)
+    BD = "bd"            # Brownian dynamics
+    STEEP = "steep"
+    CG = "cg"
+
+
+class TcouplType(enum.Enum):
+    NO = "no"
+    BERENDSEN = "berendsen"
+    V_RESCALE = "v-rescale"
+    NOSE_HOOVER = "nose-hoover"
+
+
+class PcouplType(enum.Enum):
+    NO = "no"
+    BERENDSEN = "berendsen"
+    C_RESCALE = "c-rescale"
+    PARRINELLO_RAHMAN = "parrinello-rahman"
+
+
+class FepCoupling(enum.IntEnum):
+    """Per-component lambda channels
+    (reference: mdtypes/md_enums.h:497-508 FreeEnergyPerturbationCouplingType)."""
+    FEP = 0
+    MASS = 1
+    COUL = 2
+    VDW = 3
+    BONDED = 4
+    RESTRAINT = 5
+    TEMPERATURE = 6
+    COUNT = 7
+
+
+# ---------------------------------------------------------------------------
+# Interaction lists
+# ---------------------------------------------------------------------------
+
+@struct.dataclass
+class InteractionList:
+    """Padded list of k-body interactions of one function type.
+
+    atoms:    (n, k) int32, padded rows repeat index 0 with mask=0
+    params_a: (n, p) float32 end-state-A parameters
+    params_b: (n, p) float32 end-state-B parameters
+    mask:     (n,)  float32 1.0 for real rows, 0.0 for padding
+    """
+    atoms: Array
+    params_a: Array
+    params_b: Array
+    mask: Array
+
+    @property
+    def n(self) -> int:
+        return self.atoms.shape[0]
+
+    @staticmethod
+    def empty(k: int, p: int) -> "InteractionList":
+        return InteractionList(
+            atoms=jnp.zeros((0, k), jnp.int32),
+            params_a=jnp.zeros((0, p), jnp.float32),
+            params_b=jnp.zeros((0, p), jnp.float32),
+            mask=jnp.zeros((0,), jnp.float32),
+        )
+
+
+@struct.dataclass
+class Exclusions:
+    """Per-atom padded exclusion lists (reference: topology/exclusionblocks).
+
+    idx: (N, max_excl) int32 excluded partner indices, padded with -1.
+    """
+    idx: Array
+
+    @property
+    def max_excl(self) -> int:
+        return self.idx.shape[1]
+
+
+@struct.dataclass
+class SettleGroups:
+    """Rigid 3-site water constraint groups (reference: mdlib/settle.cpp).
+
+    atoms: (n, 3) int32 (O, H1, H2); d_oh/d_hh: target distances; mask (n,).
+    """
+    atoms: Array
+    d_oh: Array
+    d_hh: Array
+    mask: Array
+
+    @staticmethod
+    def empty() -> "SettleGroups":
+        z = jnp.zeros((0,), jnp.float32)
+        return SettleGroups(atoms=jnp.zeros((0, 3), jnp.int32), d_oh=z, d_hh=z, mask=z)
+
+
+@struct.dataclass
+class LincsConstraints:
+    """Pairwise holonomic constraints solved with LINCS
+    (reference: mdlib/lincs.cpp).  length_a/b allow FEP-perturbed lengths.
+    """
+    atoms: Array      # (n, 2) int32
+    length_a: Array   # (n,)
+    length_b: Array   # (n,)
+    mask: Array       # (n,)
+
+    @staticmethod
+    def empty() -> "LincsConstraints":
+        z = jnp.zeros((0,), jnp.float32)
+        return LincsConstraints(atoms=jnp.zeros((0, 2), jnp.int32), length_a=z,
+                                length_b=z, mask=z)
+
+
+# ---------------------------------------------------------------------------
+# System
+# ---------------------------------------------------------------------------
+
+@struct.dataclass
+class System:
+    """Everything static about the simulated system (topology + parameters).
+
+    Nonbonded: atom types index into nbfp, an (T, T, 2) table of (c6, c12)
+    in kJ/mol nm^6 / nm^12 (reference: nbnxm/atomdata.h nbfp).  A/B columns
+    carry the FEP end states (reference fork: atomdata.h:204-216).
+    """
+    # per-atom
+    charge_a: Array        # (N,)
+    charge_b: Array        # (N,)
+    type_a: Array          # (N,) int32
+    type_b: Array          # (N,) int32
+    mass_a: Array          # (N,)
+    mass_b: Array          # (N,)
+    perturbed: Array       # (N,) bool — atom has A!=B in q/type/mass
+
+    # LJ parameter table
+    nbfp: Array            # (T, T, 2) c6, c12
+
+    exclusions: Exclusions
+
+    # bonded interactions, keyed by ftype name:
+    # 'bonds' k=2 p=2 (b0, kb); 'angles' k=3 p=2 (th0(deg), kth);
+    # 'ub' k=3 p=4; 'pdihs' k=4 p=3 (phi0, kphi, mult);
+    # 'rbdihs' k=4 p=6; 'idihs' k=4 p=2; 'pairs14' k=2 p=0 (uses fudge+types)
+    bonded: Dict[str, InteractionList]
+
+    # 1-4 pair interactions carry their own explicit parameters
+    # (qq = fudgeQQ*qi*qj precomputed, c6, c12 per state)
+    pairs14: InteractionList     # k=2, p=3: (qq, c6, c12)
+
+    settle: SettleGroups
+    lincs: LincsConstraints
+
+    # FEP perturbed-pair list metadata filled by the pairlist machinery is
+    # dynamic; but the set of perturbed atoms is static:
+    n_atoms: int = struct.field(pytree_node=False, default=0)
+
+    @property
+    def n_types(self) -> int:
+        return self.nbfp.shape[0]
+
+
+# ---------------------------------------------------------------------------
+# FEP / lambda configuration
+# ---------------------------------------------------------------------------
+
+@struct.dataclass
+class FepLambdas:
+    """all_lambda: (COUNT, n_lambda) per-component lambda schedules
+    (reference: mdtypes/inputrec.h t_lambda::all_lambda)."""
+    all_lambda: Array   # (7, n_lambda)
+
+    @property
+    def n_lambda(self) -> int:
+        return self.all_lambda.shape[1]
+
+
+@dataclasses.dataclass(frozen=True)
+class FepParams:
+    """Static FEP settings (reference: t_lambda, inputrec.h:114-166)."""
+    enabled: bool = False
+    init_lambda_state: int = 0
+    delta_lambda: float = 0.0          # slow growth d(lambda)/d(step)
+    sc_alpha: float = 0.0
+    sc_power: int = 1                  # 1 or 2
+    sc_sigma: float = 0.3
+    sc_sigma_min: float = 0.3
+    sc_coul: bool = False              # soft-core on coulomb
+    softcore: SoftcoreType = SoftcoreType.BEUTLER
+    nstdhdl: int = 100
+    calc_foreign: bool = True          # compute all foreign-lambda energies
+    # Gapsys parameters
+    sc_gapsys_scale_linpoint_lj: float = 0.85
+    sc_gapsys_scale_linpoint_q: float = 0.3
+    sc_gapsys_sigma_lj: float = 0.3
+
+
+@dataclasses.dataclass(frozen=True)
+class MdParams:
+    """Static run parameters — the t_inputrec analogue.  Hashable and held
+    out of the pytree so that jit specializes on it."""
+    dt: float = 0.002
+    nsteps: int = 0
+    integrator: IntegratorType = IntegratorType.MD
+
+    # cutoff scheme
+    rcoulomb: float = 1.0
+    rvdw: float = 1.0
+    rlist: float = 1.05
+    nstlist: int = 10
+    coulomb: CoulombType = CoulombType.REACTION_FIELD
+    vdw_modifier: VdwModifier = VdwModifier.POTENTIAL_SHIFT
+    epsilon_r: float = 1.0
+    epsilon_rf: float = 0.0            # 0 => infinity (conducting RF)
+    rvdw_switch: float = 0.9
+
+    # PME
+    ewald_rtol: float = 1e-5
+    fourier_spacing: float = 0.12
+    pme_order: int = 4
+    pme_grid: Optional[Tuple[int, int, int]] = None
+
+    # dispersion correction
+    dispcorr: bool = False
+
+    # temperature coupling
+    tcoupl: TcouplType = TcouplType.NO
+    ref_t: float = 300.0
+    tau_t: float = 1.0
+    nsttcouple: int = 10
+
+    # pressure coupling
+    pcoupl: PcouplType = PcouplType.NO
+    ref_p: float = 1.0
+    tau_p: float = 5.0
+    compressibility: float = 4.5e-5
+    nstpcouple: int = 10
+
+    # sd (Langevin) friction is per-atom gamma = m/tau_t
+    ld_seed: int = 1993
+
+    # constraints
+    lincs_order: int = 4
+    lincs_iter: int = 2
+
+    # COM motion removal
+    nstcomm: int = 100
+
+    fep: FepParams = FepParams()
+
+    def replace(self, **kw) -> "MdParams":
+        return dataclasses.replace(self, **kw)
+
+
+# ---------------------------------------------------------------------------
+# State
+# ---------------------------------------------------------------------------
+
+@struct.dataclass
+class CouplingState:
+    """Thermostat/barostat auxiliary variables (reference: t_state entries)."""
+    xi: Array            # Nose-Hoover xi (scalar for single group)
+    vxi: Array           # Nose-Hoover velocity
+    boxv: Array          # (3,3) Parrinello-Rahman box velocity
+    therm_integral: Array  # v-rescale accumulated energy
+
+
+@struct.dataclass
+class State:
+    """Dynamic simulation state — the t_state analogue
+    (reference: mdtypes/state.h:255-256 for lambda/fep_state)."""
+    x: Array             # (N, 3) positions, nm
+    v: Array             # (N, 3) velocities, nm/ps
+    box: Array           # (3, 3)
+    lam: Array           # (7,) current lambda per FepCoupling component
+    fep_state: Array     # () int32 current lambda window index
+    step: Array          # () int64
+    rng: Array           # jax PRNG key
+    coupling: CouplingState
+
+    @property
+    def n_atoms(self) -> int:
+        return self.x.shape[0]
+
+
+def initial_coupling_state() -> CouplingState:
+    return CouplingState(
+        xi=jnp.zeros(()),
+        vxi=jnp.zeros(()),
+        boxv=jnp.zeros((3, 3)),
+        therm_integral=jnp.zeros(()),
+    )
+
+
+def make_state(x, v, box, lam=None, fep_state=0, seed=0) -> State:
+    n = x.shape[0]
+    if lam is None:
+        lam = jnp.zeros((int(FepCoupling.COUNT),), jnp.float32)
+    return State(
+        x=jnp.asarray(x, jnp.float32),
+        v=jnp.asarray(v, jnp.float32) if v is not None else jnp.zeros((n, 3), jnp.float32),
+        box=jnp.asarray(box, jnp.float32),
+        lam=jnp.asarray(lam, jnp.float32),
+        fep_state=jnp.asarray(fep_state, jnp.int32),
+        step=jnp.asarray(0, jnp.int64),
+        rng=jax.random.PRNGKey(seed),
+        coupling=initial_coupling_state(),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Energy bookkeeping — gmx_enerdata_t analogue
+# ---------------------------------------------------------------------------
+
+@struct.dataclass
+class EnergyTerms:
+    """Potential-energy decomposition + dV/dlambda channels
+    (reference: mdtypes/enerdata.h; F_* enum ifunc.h)."""
+    lj: Array
+    coulomb: Array
+    lj_recip: Array
+    coul_recip: Array
+    bonds: Array
+    angles: Array
+    dihedrals: Array
+    impropers: Array
+    lj14: Array
+    coul14: Array
+    restraints: Array
+    dispcorr: Array
+    # dV/dlambda per FepCoupling channel (7,)
+    dvdl: Array
+
+    @property
+    def epot(self) -> Array:
+        return (self.lj + self.coulomb + self.lj_recip + self.coul_recip
+                + self.bonds + self.angles + self.dihedrals + self.impropers
+                + self.lj14 + self.coul14 + self.restraints + self.dispcorr)
+
+    @staticmethod
+    def zeros(dtype=jnp.float32) -> "EnergyTerms":
+        z = jnp.zeros((), dtype)
+        return EnergyTerms(lj=z, coulomb=z, lj_recip=z, coul_recip=z, bonds=z,
+                           angles=z, dihedrals=z, impropers=z, lj14=z,
+                           coul14=z, restraints=z, dispcorr=z,
+                           dvdl=jnp.zeros((int(FepCoupling.COUNT),), dtype))
+
+    def __add__(self, other: "EnergyTerms") -> "EnergyTerms":
+        return jax.tree_util.tree_map(lambda a, b: a + b, self, other)

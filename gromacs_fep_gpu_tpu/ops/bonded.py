@@ -1,0 +1,166 @@
+"""Bonded (listed) interaction energies with FEP A/B interpolation.
+
+TPU-native counterpart of the reference's listed-forces kernels
+(reference: src/gromacs/listed_forces/bonded.cpp and the fork's fused GPU
+kernel listed_forces_gpu_internal.cu:779-1365 *_fep_gpu variants).
+
+Each term is an energy-only function of (x, box, lambda_bonded); parameters
+are interpolated k = (1-l) kA + l kB so that jax.grad w.r.t. lambda yields
+exactly the reference's dvdl = 0.5 (kB-kA) dx^2 + (x0A-x0B) k dx form
+(reference: bonded.cpp harmonic()).
+
+All lists are padded; `mask` zeroes padding rows.  Geometry uses
+minimum-image displacements so bonded terms are correct across PBC.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..core import pbc as pbc_mod
+from ..core.types import InteractionList
+from ..core.units import DEG2RAD
+
+
+def _interp(pa, pb, lam):
+    return (1.0 - lam) * pa + lam * pb
+
+
+def _bond_vec(x, box, i, j):
+    return pbc_mod.pbc_dx(x[i] - x[j], box)
+
+
+def bond_energy(x, box, il: InteractionList, lam) -> jnp.ndarray:
+    """Harmonic bonds: V = 1/2 k (r - b0)^2 (reference: bonded.cpp bonds())."""
+    if il.n == 0:
+        return jnp.zeros((), x.dtype)
+    ai, aj = il.atoms[:, 0], il.atoms[:, 1]
+    p = _interp(il.params_a, il.params_b, lam)
+    b0, kb = p[:, 0], p[:, 1]
+    dx = _bond_vec(x, box, ai, aj)
+    r = jnp.sqrt(jnp.sum(dx * dx, -1) + 1e-32)
+    dr = r - b0
+    return jnp.sum(il.mask * 0.5 * kb * dr * dr)
+
+
+def angle_energy(x, box, il: InteractionList, lam) -> jnp.ndarray:
+    """Harmonic angles: V = 1/2 k (th - th0)^2, th0 stored in degrees
+    (reference: bonded.cpp angles())."""
+    if il.n == 0:
+        return jnp.zeros((), x.dtype)
+    ai, aj, ak = il.atoms[:, 0], il.atoms[:, 1], il.atoms[:, 2]
+    p = _interp(il.params_a, il.params_b, lam)
+    th0, kth = p[:, 0] * DEG2RAD, p[:, 1]
+    rij = _bond_vec(x, box, ai, aj)
+    rkj = _bond_vec(x, box, ak, aj)
+    cos_th = jnp.sum(rij * rkj, -1) * jax.lax.rsqrt(
+        jnp.sum(rij * rij, -1) * jnp.sum(rkj * rkj, -1) + 1e-32)
+    th = jnp.arccos(jnp.clip(cos_th, -1.0 + 1e-7, 1.0 - 1e-7))
+    d = th - th0
+    return jnp.sum(il.mask * 0.5 * kth * d * d)
+
+
+def ub_energy(x, box, il: InteractionList, lam) -> jnp.ndarray:
+    """Urey-Bradley: harmonic angle + harmonic 1-3 distance
+    (params: th0(deg), kth, r13, kub) (reference: bonded.cpp urey_bradley())."""
+    if il.n == 0:
+        return jnp.zeros((), x.dtype)
+    e_ang = angle_energy(x, box, il, lam)
+    ai, ak = il.atoms[:, 0], il.atoms[:, 2]
+    p = _interp(il.params_a, il.params_b, lam)
+    r13, kub = p[:, 2], p[:, 3]
+    dx = _bond_vec(x, box, ai, ak)
+    r = jnp.sqrt(jnp.sum(dx * dx, -1) + 1e-32)
+    dr = r - r13
+    return e_ang + jnp.sum(il.mask * 0.5 * kub * dr * dr)
+
+
+def dihedral_angle(x, box, atoms):
+    """Signed dihedral phi for (n,4) index rows
+    (reference: bonded.cpp dih_angle())."""
+    ai, aj, ak, al = atoms[:, 0], atoms[:, 1], atoms[:, 2], atoms[:, 3]
+    rij = _bond_vec(x, box, ai, aj)
+    rkj = _bond_vec(x, box, ak, aj)
+    rkl = _bond_vec(x, box, ak, al)
+    m = jnp.cross(rij, rkj)
+    n = jnp.cross(rkj, rkl)
+    w = jnp.cross(m, n)
+    wlen = jnp.sqrt(jnp.sum(w * w, -1) + 1e-32)
+    s = jnp.sum(m * n, -1)
+    phi = jnp.arctan2(wlen, s)
+    ipr = jnp.sum(rij * n, -1)
+    sign = jnp.where(ipr < 0.0, -1.0, 1.0)
+    return sign * phi
+
+
+def pdih_energy(x, box, il: InteractionList, lam) -> jnp.ndarray:
+    """Proper dihedrals: V = k (1 + cos(mult*phi - phi0)), phi0 in degrees
+    (reference: bonded.cpp pdihs()).  Multiplicity is not interpolated."""
+    if il.n == 0:
+        return jnp.zeros((), x.dtype)
+    phi = dihedral_angle(x, box, il.atoms)
+    phi0 = _interp(il.params_a[:, 0], il.params_b[:, 0], lam) * DEG2RAD
+    kphi = _interp(il.params_a[:, 1], il.params_b[:, 1], lam)
+    mult = il.params_a[:, 2]
+    return jnp.sum(il.mask * kphi * (1.0 + jnp.cos(mult * phi - phi0)))
+
+
+def rbdih_energy(x, box, il: InteractionList, lam) -> jnp.ndarray:
+    """Ryckaert-Bellemans: V = sum_n C_n cos^n(psi), psi = phi - 180deg
+    (reference: bonded.cpp rbdihs())."""
+    if il.n == 0:
+        return jnp.zeros((), x.dtype)
+    phi = dihedral_angle(x, box, il.atoms)
+    cos_psi = -jnp.cos(phi)  # cos(phi - pi)
+    c = _interp(il.params_a, il.params_b, lam)  # (n, 6)
+    pw = jnp.stack([cos_psi**k for k in range(c.shape[1])], axis=-1)
+    return jnp.sum(il.mask * jnp.sum(c * pw, -1))
+
+
+def idih_energy(x, box, il: InteractionList, lam) -> jnp.ndarray:
+    """Harmonic (improper) dihedrals: V = 1/2 k dphi^2 with dphi wrapped to
+    (-pi, pi] (reference: bonded.cpp idihs())."""
+    if il.n == 0:
+        return jnp.zeros((), x.dtype)
+    phi = dihedral_angle(x, box, il.atoms)
+    phi0 = _interp(il.params_a[:, 0], il.params_b[:, 0], lam) * DEG2RAD
+    kphi = _interp(il.params_a[:, 1], il.params_b[:, 1], lam)
+    dphi = phi - phi0
+    dphi = dphi - 2.0 * jnp.pi * jnp.round(dphi / (2.0 * jnp.pi))
+    return jnp.sum(il.mask * 0.5 * kphi * dphi * dphi)
+
+
+def posres_energy(x, box, il: InteractionList, lam) -> jnp.ndarray:
+    """Position restraints: V = 1/2 sum_d k_d (x_d - x0_d)^2.
+    params: (x0, y0, z0, kx, ky, kz) per state (reference:
+    listed_forces/position_restraints.cpp)."""
+    if il.n == 0:
+        return jnp.zeros((), x.dtype)
+    ai = il.atoms[:, 0]
+    p = _interp(il.params_a, il.params_b, lam)
+    x0, k = p[:, 0:3], p[:, 3:6]
+    dx = pbc_mod.pbc_dx(x[ai] - x0, box)
+    return jnp.sum(il.mask * 0.5 * jnp.sum(k * dx * dx, -1))
+
+
+# term registry: name -> (arity k, n params p, energy fn)
+TERMS = {
+    "bonds": (2, 2, bond_energy),
+    "angles": (3, 2, angle_energy),
+    "ub": (3, 4, ub_energy),
+    "pdihs": (4, 3, pdih_energy),
+    "rbdihs": (4, 6, rbdih_energy),
+    "idihs": (4, 2, idih_energy),
+    "posres": (1, 6, posres_energy),
+}
+
+# energy-term channel each name accumulates into (EnergyTerms field)
+TERM_CHANNEL = {
+    "bonds": "bonds",
+    "angles": "angles",
+    "ub": "angles",
+    "pdihs": "dihedrals",
+    "rbdihs": "dihedrals",
+    "idihs": "impropers",
+    "posres": "restraints",
+}

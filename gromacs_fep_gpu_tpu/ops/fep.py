@@ -1,0 +1,165 @@
+"""Soft-core FEP pair interactions (Beutler; Gapsys planned).
+
+This reproduces the physics of the fork's FEP kernels
+(reference: src/gromacs/nbnxm/cuda/nbnxm_fep_cuda_kernel.cuh:88-628 and
+the CPU twin gmxlib/nonbonded/nb_free_energy.cpp:274, soft-core math in
+gmxlib/nonbonded/nb_softcore.h) as a *differentiable energy function*:
+
+    V(r^2, lambda_c, lambda_v) summed over both end states k in {A, B}
+
+so that jax.grad w.r.t. (x, lambda) yields forces and dV/dlambda with the
+exact soft-core chain-rule term
+(reference: nb_free_energy.cpp:1005-1013 dvdl assembly) by construction,
+and jax.vmap over a lambda axis yields the foreign-lambda energies that
+the fork computes with a dedicated sequential CUDA kernel
+(nbnxm_foreign_fep_cuda_kernel.cuh) — on TPU the vmap batches them.
+
+Conventions matched to the reference:
+ - soft-core power over r is 6 (rp = r^6), lambdaPower p in {1, 2}
+ - sigma6 = c12/c6 when both > 0 (raw, unscaled c6/c12), clamped to
+   sigma6_min; else sc_sigma^6  (nb_free_energy.cpp:845-870 preload)
+ - soft-core disabled per pair when both end states have c12 > 0
+   (nb_free_energy.cpp:876-893)
+ - r^2 clamped to 1e-12, r^-6 clamped to 1e15 (nb_free_energy.cpp:99,107)
+ - Ewald: plain (soft-cored) 1/r minus erf(beta r)/r compensation applied
+   to included pairs within cutoff AND excluded pairs at any distance,
+   with a 1/2 factor for the i==j self pair (nb_free_energy.cpp:1057-1100)
+ - RF: constant correction terms also hit excluded pairs
+   (nb_free_energy.cpp:1023-1055)
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core.types import CoulombType, FepParams, MdParams, SoftcoreType, VdwModifier
+from .nonbonded_ref import rf_constants, _potential_switch
+
+MIN_DIST_SQ = 1.0e-12
+MAX_RINV_SIX = 1.0e15
+
+
+class FepPairData(NamedTuple):
+    """Per-pair A/B parameters; every field broadcastable to the pair shape."""
+    qq_a: jnp.ndarray     # epsfac * qi_A * qj_A
+    qq_b: jnp.ndarray
+    c6_a: jnp.ndarray
+    c12_a: jnp.ndarray
+    c6_b: jnp.ndarray
+    c12_b: jnp.ndarray
+
+
+def _sixth_root(x):
+    # x^(1/6) for x > 0 via cbrt(sqrt(x)); rInv = (rpinv)^(1/6)
+    return jnp.cbrt(jnp.sqrt(x))
+
+
+def softcore_pair_energies(
+    r2: jnp.ndarray,
+    pair: FepPairData,
+    lam_coul: jnp.ndarray,
+    lam_vdw: jnp.ndarray,
+    included: jnp.ndarray,
+    excluded: jnp.ndarray,
+    is_self: jnp.ndarray,
+    fep: FepParams,
+    params: MdParams,
+    beta: float | None = None,
+):
+    """Per-pair (v_coul, v_vdw) for perturbed pairs.
+
+    included: 1.0 for real non-excluded pairs; excluded: 1.0 for pairs on
+    the exclusion list (which still receive RF/Ewald corrections); padding
+    rows must have both zero.  is_self: the artificial i==i pair used for
+    the Ewald self-correction (counted with factor 1/2).
+    """
+    dtype = r2.dtype
+    r2 = jnp.maximum(r2, MIN_DIST_SQ)
+    rinv = jax.lax.rsqrt(r2)
+    r = r2 * rinv
+    rp = r2 * r2 * r2  # r^6
+
+    p = fep.sc_power
+    # state axis leads; reshape to (2, 1, 1, ...) to broadcast over pairs
+    bshape = (2,) + (1,) * r2.ndim
+    lfac_c = jnp.stack([1.0 - lam_coul, lam_coul]).reshape(bshape)
+    lfac_v = jnp.stack([1.0 - lam_vdw, lam_vdw]).reshape(bshape)
+    # soft-core lambda factor of the opposite state: (1 - LF)^p
+    sc_lf_c = (1.0 - lfac_c) ** p
+    sc_lf_v = (1.0 - lfac_v) ** p
+
+    qq = jnp.stack([pair.qq_a, pair.qq_b])
+    c6 = jnp.stack([pair.c6_a, pair.c6_b])
+    c12 = jnp.stack([pair.c12_a, pair.c12_b])
+
+    # sigma^6 per state
+    sigma6_def = fep.sc_sigma ** 6
+    sigma6_min = fep.sc_sigma_min ** 6
+    have_lj = (c6 > 0) & (c12 > 0)
+    sigma6 = jnp.where(have_lj,
+                       jnp.maximum(c12 / jnp.where(c6 > 0, c6, 1.0), sigma6_min),
+                       sigma6_def)
+
+    # soft-core active only if either end state is vanishing (c12 == 0)
+    sc_on = jnp.logical_not((pair.c12_a > 0) & (pair.c12_b > 0)).astype(dtype)
+    alpha_v = fep.sc_alpha * sc_on
+    alpha_c = (fep.sc_alpha if fep.sc_coul else 0.0) * sc_on
+
+    use_softcore = (fep.softcore == SoftcoreType.BEUTLER and fep.sc_alpha != 0.0)
+    if use_softcore:
+        rpinv_c = 1.0 / (alpha_c * sc_lf_c * sigma6 + rp)
+        rinv_c = _sixth_root(rpinv_c)
+        rpinv_v = 1.0 / (alpha_v * sc_lf_v * sigma6 + rp)
+        rinv_v = _sixth_root(rpinv_v)
+    else:
+        rpinv_c = rpinv_v = (rinv * rinv) ** 3 * jnp.ones_like(sigma6)
+        rinv_c = rinv_v = rinv * jnp.ones_like(sigma6)
+    r_c = 1.0 / rinv_c
+    r_v = 1.0 / rinv_v
+
+    inc = included
+    # ---- Coulomb per state ----
+    if params.coulomb == CoulombType.PME:
+        assert beta is not None
+        sh_ewald = jax.lax.erfc(jnp.asarray(beta * params.rcoulomb, dtype)) / params.rcoulomb
+        mask_c = (r < params.rcoulomb).astype(dtype) * (qq != 0) * inc
+        v_c = qq * (rinv_c - sh_ewald) * mask_c
+    elif params.coulomb == CoulombType.REACTION_FIELD:
+        krf, crf = rf_constants(params)
+        mask_c = (r_c < params.rcoulomb).astype(dtype) * (qq != 0) * inc
+        v_c = qq * (rinv_c + krf * r_c * r_c - crf) * mask_c
+    else:  # plain cutoff, treated as RF with krf=0, crf=1/rc
+        mask_c = (r_c < params.rcoulomb).astype(dtype) * (qq != 0) * inc
+        v_c = qq * (rinv_c - 1.0 / params.rcoulomb) * mask_c
+
+    # ---- VdW per state ----
+    rinv6 = jnp.minimum(rpinv_v, MAX_RINV_SIX)
+    mask_v = (r_v < params.rvdw).astype(dtype) * ((c6 != 0) | (c12 != 0)) * inc
+    v_v = c12 * rinv6 * rinv6 - c6 * rinv6
+    if params.vdw_modifier == VdwModifier.POTENTIAL_SHIFT:
+        rcinv6 = 1.0 / params.rvdw ** 6
+        v_v = v_v - (c12 * rcinv6 * rcinv6 - c6 * rcinv6)
+    elif params.vdw_modifier == VdwModifier.POTENTIAL_SWITCH:
+        v_v = v_v * _potential_switch(r_v, params.rvdw_switch, params.rvdw)
+    v_v = v_v * mask_v
+
+    # lambda-weighted sums over states
+    v_coul = jnp.sum(lfac_c * v_c, axis=0)
+    v_vdw = jnp.sum(lfac_v * v_v, axis=0)
+
+    # ---- exclusion / long-range corrections ----
+    self_fac = jnp.where(is_self > 0, 0.5, 1.0)
+    if params.coulomb == CoulombType.REACTION_FIELD:
+        krf, crf = rf_constants(params)
+        in_rc = (r2 < params.rcoulomb ** 2).astype(dtype)
+        vv = (krf * r2 - crf) * self_fac * excluded * in_rc
+        v_coul = v_coul + jnp.sum(lfac_c * qq, axis=0) * vv
+    elif params.coulomb == CoulombType.PME:
+        in_rc = (r2 < params.rcoulomb ** 2).astype(dtype)
+        corr_mask = jnp.maximum(excluded, inc * in_rc)
+        v_lr = jax.lax.erf(beta * r) * rinv * self_fac * corr_mask
+        v_coul = v_coul - jnp.sum(lfac_c * qq, axis=0) * v_lr
+
+    return v_coul, v_vdw

@@ -1,0 +1,20 @@
+"""Test configuration: run on CPU with 8 virtual devices so multi-chip
+sharding paths are exercised without TPU hardware (the TPU analogue of the
+reference's thread-MPI in-process rank testing, testutils/mpitest.h).
+
+Note: this environment pre-sets JAX_PLATFORMS=axon (remote TPU tunnel);
+tests must force the local CPU platform or every op/compile RPCs through
+the tunnel.
+"""
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_default_matmul_precision", "highest")
