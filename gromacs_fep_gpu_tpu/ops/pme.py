@@ -1,0 +1,237 @@
+"""Smooth Particle-Mesh Ewald reciprocal space, TPU-native.
+
+Replaces the reference's PME stack (reference: src/gromacs/ewald/pme.cpp:1120
+gmx_pme_do, pme_spread.cpp, pme_solve.cpp, pme_gather.cpp, GPU kernels
+pme_spread.cu/pme_solve.cu/pme_gather.cu) with one differentiable JAX
+pipeline:
+
+    fractional coords -> B-spline weights (Essmann recursion)
+    -> scatter-add charge grid -> jnp.fft.rfftn -> influence function
+    -> reciprocal energy
+
+Forces come from jax.grad through the whole pipeline (the gather pass is
+the transpose of the spread scatter, which is exactly what the reference's
+pme_gather computes by hand).  FEP uses two charge sets with
+(1-lambda)/lambda energy mixing (reference: pme.cpp:1152-1228 grid loop,
+pme_gpu_internal.cpp:1222 ngrids=2), which AD converts into the correct
+dvdl and per-state forces.
+
+Under jit everything fuses; the FFT is XLA's native one and shards over a
+mesh via jax.sharding when the grid is distributed (parallel/spatial.py).
+"""
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import pbc as pbc_mod
+from ..core.types import FepCoupling, MdParams, System
+from ..core.units import ONE_4PI_EPS0
+from .nonbonded_ref import ewald_beta
+
+
+def good_fft_size(n: int) -> int:
+    """Smallest size >= n with only factors 2,3,5,7 (XLA-friendly)."""
+    def ok(m):
+        for p in (2, 3, 5, 7):
+            while m % p == 0:
+                m //= p
+        return m == 1
+    while not ok(n):
+        n += 1
+    return n
+
+
+def pme_grid_size(box_diag, spacing: float) -> Tuple[int, int, int]:
+    return tuple(good_fft_size(max(int(math.ceil(L / spacing)), 4))
+                 for L in box_diag)
+
+
+def bspline_weights(w: jnp.ndarray, order: int) -> jnp.ndarray:
+    """Cardinal B-spline weights M_order(w + j), j = 0..order-1.
+
+    w: (...,) fractional offsets in [0, 1).  Returns (..., order).
+    Essmann et al. 1995 recursion (reference: ewald/pme_spline_work /
+    pme_spread.cpp calc_interpolation_idx + bsplines).
+    """
+    m = jnp.stack([w, 1.0 - w], axis=-1)  # M_2(w+j), j=0,1
+    for n in range(3, order + 1):
+        j = jnp.arange(n, dtype=w.dtype)
+        u = w[..., None] + j
+        prev = jnp.pad(m, [(0, 0)] * (m.ndim - 1) + [(0, 1)])
+        prev_shift = jnp.pad(m, [(0, 0)] * (m.ndim - 1) + [(1, 0)])
+        m = (u * prev + (n - u) * prev_shift) / (n - 1)
+    return m
+
+
+def _bspline_moduli(K: int, order: int) -> np.ndarray:
+    """|b(m)|^-2 factors for the influence function (Essmann eq. 4.4;
+    reference: ewald/pme_bsplines / pme_solve influence setup).
+
+    b(m) = exp(2 pi i (order-1) m / K) / sum_{k=0}^{order-2}
+           M_order(k+1) exp(2 pi i m k / K)
+    """
+    # M_order at integer nodes: bspline_weights(0)[j] = M_order(j); M(0)=0,
+    # so the spline values at nodes 1..order-1 are entries 1..order-1.
+    mnode = np.asarray(bspline_weights(jnp.zeros(()), order))  # (order,)
+    mlist = np.arange(K)
+    denom = np.zeros(K, dtype=np.complex128)
+    for k in range(order - 1):
+        denom += mnode[k + 1] * np.exp(2j * np.pi * mlist * k / K)
+    mag2 = np.abs(denom) ** 2
+    b2 = 1.0 / np.maximum(mag2, 1e-10)
+    # patch singular modes (odd order at Nyquist) by neighbour averaging,
+    # as the reference does
+    bad = mag2 < 1e-10
+    if bad.any():
+        b2[bad] = 0.5 * (np.roll(b2, 1)[bad] + np.roll(b2, -1)[bad])
+    return b2.astype(np.float32)
+
+
+def spread_charges(x, box, charges, grid_shape, order: int = 4):
+    """Scatter charges onto the (K1,K2,K3) mesh with B-spline weights."""
+    K = jnp.array(grid_shape)
+    # fractional coordinates in [0,1): s = x @ box^-1 (box lower-triangular)
+    binv = jnp.linalg.inv(box)
+    s = x @ binv
+    s = s - jnp.floor(s)
+    u = s * K.astype(x.dtype)
+    gi = jnp.floor(u).astype(jnp.int32)
+    w = u - gi.astype(x.dtype)
+
+    # weights per dimension: (N, order); cell index gi - j mod K
+    n = x.shape[0]
+    ws = [bspline_weights(w[:, d], order) for d in range(3)]
+    j = jnp.arange(order)
+    idx = [(gi[:, d:d + 1] - j[None, :]) % grid_shape[d] for d in range(3)]
+
+    # outer product of weights -> (N, order, order, order)
+    wq = (charges[:, None, None, None]
+          * ws[0][:, :, None, None]
+          * ws[1][:, None, :, None]
+          * ws[2][:, None, None, :])
+    i0 = jnp.broadcast_to(idx[0][:, :, None, None], wq.shape)
+    i1 = jnp.broadcast_to(idx[1][:, None, :, None], wq.shape)
+    i2 = jnp.broadcast_to(idx[2][:, None, None, :], wq.shape)
+    grid = jnp.zeros(grid_shape, x.dtype)
+    grid = grid.at[i0.reshape(-1), i1.reshape(-1), i2.reshape(-1)].add(
+        wq.reshape(-1))
+    return grid
+
+
+def make_influence_function(grid_shape, order: int):
+    """Static per-wavevector factors split from the box-dependent part."""
+    b2 = [_bspline_moduli(K, order) for K in grid_shape]
+    K1, K2, K3 = grid_shape
+    m1 = np.fft.fftfreq(K1) * K1
+    m2 = np.fft.fftfreq(K2) * K2
+    m3 = np.fft.rfftfreq(K3) * K3
+    bb = (b2[0][np.abs(np.rint(m1)).astype(int) % K1][:, None, None]
+          * b2[1][np.abs(np.rint(m2)).astype(int) % K2][None, :, None]
+          * b2[2][np.abs(np.rint(m3)).astype(int) % K3][None, None, :])
+    return (jnp.asarray(m1, jnp.float32), jnp.asarray(m2, jnp.float32),
+            jnp.asarray(m3, jnp.float32), jnp.asarray(bb, jnp.float32))
+
+
+def reciprocal_energy(x, box, charges, grid_shape, beta, order: int = 4,
+                      influence=None):
+    """SPME reciprocal energy (no self/net-charge terms)."""
+    if influence is None:
+        influence = make_influence_function(grid_shape, order)
+    m1, m2, m3, bb = influence
+    grid = spread_charges(x, box, charges, grid_shape, order)
+    q_hat = jnp.fft.rfftn(grid)
+
+    # reciprocal lattice vectors a*_j = columns of box^-1 (no 2pi);
+    # |m_vec|^2 = m^T G m with metric G = binv^T binv
+    binv = jnp.linalg.inv(box)
+    gT = binv.T @ binv
+    mm = (m1[:, None, None] ** 2 * gT[0, 0]
+          + m2[None, :, None] ** 2 * gT[1, 1]
+          + m3[None, None, :] ** 2 * gT[2, 2]
+          + 2.0 * m1[:, None, None] * m2[None, :, None] * gT[0, 1]
+          + 2.0 * m1[:, None, None] * m3[None, None, :] * gT[0, 2]
+          + 2.0 * m2[None, :, None] * m3[None, None, :] * gT[1, 2])
+    vol = pbc_mod.box_volume(box)
+    pref = jnp.where(mm > 1e-10,
+                     jnp.exp(-(jnp.pi ** 2) * mm / (beta ** 2))
+                     / jnp.where(mm > 1e-10, mm, 1.0),
+                     0.0)
+    # rfft halves the last axis; double-count interior planes
+    K3 = grid_shape[2]
+    nfreq = m3.shape[0]
+    dup = jnp.ones((nfreq,), x.dtype) * 2.0
+    dup = dup.at[0].set(1.0)
+    if K3 % 2 == 0:
+        dup = dup.at[-1].set(1.0)
+    e = jnp.sum(pref * bb * (q_hat.real ** 2 + q_hat.imag ** 2)
+                * dup[None, None, :])
+    return ONE_4PI_EPS0 * e / (2.0 * jnp.pi * vol)
+
+
+def self_energy(charges, beta):
+    """Ewald self-interaction (reference: ewald/long_range_correction.cpp)."""
+    return -ONE_4PI_EPS0 * beta / jnp.sqrt(jnp.pi) * jnp.sum(charges ** 2)
+
+
+def net_charge_energy(charges, beta, volume):
+    """Neutralizing-background term for non-neutral systems."""
+    q = jnp.sum(charges)
+    return -ONE_4PI_EPS0 * jnp.pi / (2.0 * beta ** 2 * volume) * q * q
+
+
+def make_pme_recip_fn(system: System, params: MdParams,
+                      grid_shape: Optional[Tuple[int, int, int]] = None):
+    """Returns recip_fn(x, box, lam_c) -> energy with FEP dual-state mixing
+    (reference: pme.cpp:1152-1228).  Includes self/net-charge terms so the
+    total Coulomb = short-range (pair) + exclusion corrections + this."""
+    beta = ewald_beta(params.rcoulomb, params.ewald_rtol)
+    if grid_shape is None:
+        if params.pme_grid is not None:
+            grid_shape = params.pme_grid
+        else:
+            raise ValueError("grid shape required (box not known statically); "
+                             "set params.pme_grid or pass grid_shape")
+    order = params.pme_order
+    influence = make_influence_function(grid_shape, order)
+    qa, qb = system.charge_a, system.charge_b
+    fep_q = bool(np.asarray(jnp.any(qa != qb)))
+
+    def recip_fn(x, box, lam_c):
+        vol = pbc_mod.box_volume(box)
+        e_a = (reciprocal_energy(x, box, qa, grid_shape, beta, order, influence)
+               + self_energy(qa, beta) + net_charge_energy(qa, beta, vol))
+        if not fep_q:
+            return e_a
+        e_b = (reciprocal_energy(x, box, qb, grid_shape, beta, order, influence)
+               + self_energy(qb, beta) + net_charge_energy(qb, beta, vol))
+        return (1.0 - lam_c) * e_a + lam_c * e_b
+
+    return recip_fn
+
+
+# -- plain Ewald (small systems / oracle) -----------------------------------
+
+def ewald_reciprocal_exact(x, box, charges, beta, kmax: int = 12):
+    """Direct k-space sum — oracle for PME tests
+    (reference: ewald/ewald.cpp do_ewald)."""
+    binv = jnp.linalg.inv(box)
+    ks = jnp.arange(-kmax, kmax + 1)
+    k1, k2, k3 = jnp.meshgrid(ks, ks, ks, indexing="ij")
+    kvec_frac = jnp.stack([k1, k2, k3], -1).reshape(-1, 3).astype(x.dtype)
+    kvec = kvec_frac @ binv.T  # rows: m_vec = sum_j k_j a*_j
+    m2 = jnp.sum(kvec * kvec, -1)
+    mask = m2 > 1e-10
+    s = x @ binv  # fractional
+    phase = 2.0 * jnp.pi * (kvec_frac @ s.T)  # (nk, N)
+    sr = jnp.sum(charges[None, :] * jnp.cos(phase), -1)
+    si = jnp.sum(charges[None, :] * jnp.sin(phase), -1)
+    m2_safe = jnp.where(mask, m2, 1.0)
+    pref = jnp.where(mask, jnp.exp(-(jnp.pi ** 2) * m2_safe / beta ** 2) / m2_safe, 0.0)
+    vol = pbc_mod.box_volume(box)
+    return ONE_4PI_EPS0 / (2.0 * jnp.pi * vol) * jnp.sum(pref * (sr**2 + si**2))
