@@ -37,7 +37,11 @@ import jax.numpy as jnp
 from ..core.types import CoulombType, FepParams, MdParams, SoftcoreType, VdwModifier
 from .nonbonded_ref import rf_constants, _potential_switch
 
-MIN_DIST_SQ = 1.0e-12
+# The reference floors r^2 at 1e-12 (nb_free_energy.cpp:99); we floor at
+# 1e-6 so that reverse-mode intermediates like rpinv^2 = r^-12 stay within
+# fp32 range (1e36 < 3.4e38).  Physically indistinguishable: both floors
+# are far below any real pair distance and the r^-6 clamp below dominates.
+MIN_DIST_SQ = 1.0e-6
 MAX_RINV_SIX = 1.0e15
 
 
@@ -76,7 +80,11 @@ def softcore_pair_energies(
     the Ewald self-correction (counted with factor 1/2).
     """
     dtype = r2.dtype
-    r2 = jnp.maximum(r2, MIN_DIST_SQ)
+    # Park masked-out lanes at r = 1 so neither the forward values nor the
+    # reverse-mode cotangents can overflow before the mask zeroes them
+    # (0 * inf = NaN in AD otherwise).
+    active = (included + excluded) > 0
+    r2 = jnp.where(active, jnp.maximum(r2, MIN_DIST_SQ), 1.0)
     rinv = jax.lax.rsqrt(r2)
     r = r2 * rinv
     rp = r2 * r2 * r2  # r^6

@@ -126,8 +126,9 @@ def dense_nonbonded_energy(
     dx = x[:, None, :] - x[None, :, :]
     dx = pbc_mod.pbc_dx(dx, box)
     r2 = jnp.sum(dx * dx, axis=-1)
-    # avoid 0/0 on the diagonal
-    r2_safe = jnp.where(r2 > 1e-12, r2, 1.0)
+    # floor r^2 (diagonal is exactly 0; masked lanes must stay finite so
+    # 0*inf=NaN cannot leak through the pair masks, fwd or reverse-mode)
+    r2_safe = jnp.maximum(r2, 1e-6)
     rinv = jax.lax.rsqrt(r2_safe)
     r = r2_safe * rinv
     rinv2 = rinv * rinv
