@@ -1,0 +1,265 @@
+"""Cluster-pair nonbonded kernel (XLA) + full force assembly.
+
+The production force path: the analogue of the reference's nbnxm cluster
+kernels (reference: nbnxm/cuda/nbnxm_cuda_kernel.cuh:141-713 and the SIMD
+CPU kernels).  TPU design decisions vs. the CUDA kernel:
+
+ - FULL pair list (i,j)+(j,i): forces accumulate only into i-atoms, so
+   there is no scatter/atomics in the hot loop (the CUDA kernel's
+   staggered atomic adds do not map to TPU); energies take a 0.5 factor.
+ - exclusions are applied by scaling, not skipping, inside the kernel
+   (same convention as nbnxm_cuda_kernel.cuh:487-529), so RF/Ewald
+   excluded-pair corrections come out of the same pass.
+ - perturbed pairs are masked out entirely and handled by the flat FEP
+   pair list (ops/pairlist.build_fep_pairlist) through the soft-core
+   module — mirroring the fork's separate FEP kernel
+   (nbnxm_fep_cuda_kernel.cuh) but with dvdl/foreign-lambda obtained by
+   AD/vmap instead of hand-written derivative code.
+ - processed in fixed-size cluster blocks under lax.map so the working
+   set stays in VMEM; the Pallas twin (ops/pallas_nb.py) streams the same
+   layout explicitly.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core import pbc as pbc_mod
+from ..core.types import (CoulombType, EnergyTerms, FepCoupling, MdParams,
+                          System, VdwModifier)
+from ..core.units import ONE_4PI_EPS0
+from . import bonded as bonded_mod
+from .fep import FepPairData, softcore_pair_energies
+from .forces import pairs14_energy
+from .nonbonded_ref import rf_constants
+from .pairlist import CLUSTER, ClusterPairlist, FepPairlist
+
+R2_FLOOR = 1e-6
+TWO_OVER_SQRT_PI = 1.1283791670955126
+
+
+def cluster_nb_kernel(x, box, nlist: ClusterPairlist, nbfp, params: MdParams,
+                      beta: Optional[float], block: int = 64):
+    """Analytic forces + energies over the cluster pair list.
+
+    Returns (f_sorted (n_pad,3), e_coul, e_lj)."""
+    C = nlist.n_clusters
+    nnbr = nlist.nbr.shape[1]
+    n_pad = nlist.n_pad
+    n = nlist.inv_perm.shape[0]
+    T = nbfp.shape[0]
+    nbfp_flat = nbfp.reshape(T * T, 2)
+
+    block = max(1, min(block, C))
+    Cb = (C + block - 1) // block
+    Cp = Cb * block
+    # i-side rows padded to Cp clusters plus one trailing dummy cluster so
+    # the padded neighbour id C always gathers valid (far-away) rows
+    total = Cp * CLUSTER + CLUSTER
+    extra = total - n_pad
+
+    xs = jnp.where((nlist.perm < n)[:, None], x[jnp.minimum(nlist.perm, n - 1)],
+                   1e4 + jnp.arange(n_pad, dtype=x.dtype)[:, None])
+    dummy = (2e4 + jnp.arange(extra, dtype=x.dtype)[:, None]
+             * jnp.ones(3, x.dtype))
+    xs_pad = jnp.concatenate([xs, dummy])                       # (total, 3)
+    zpad = jnp.zeros(extra, x.dtype)
+    qs_pad = jnp.concatenate([nlist.q_a, zpad])
+    ts_pad = jnp.concatenate([nlist.t_a, jnp.zeros(extra, jnp.int32)])
+    pert_pad = jnp.concatenate([nlist.pert, zpad])
+    valid_pad = jnp.concatenate([(nlist.perm < n).astype(x.dtype), zpad])
+    excl_pad = jnp.concatenate(
+        [nlist.excl, jnp.full((extra, nlist.excl.shape[1]), -1, jnp.int32)])
+
+    epsfac = ONE_4PI_EPS0 / params.epsilon_r
+    rc2 = params.rcoulomb**2
+    rv2 = params.rvdw**2
+    if params.coulomb == CoulombType.REACTION_FIELD:
+        krf, crf = rf_constants(params)
+    rcinv6 = 1.0 / params.rvdw**6
+
+    nbr_p = jnp.pad(nlist.nbr, ((0, Cp - C), (0, 0)), constant_values=C)
+    nbrm_p = jnp.pad(nlist.nbr_mask, ((0, Cp - C), (0, 0)))
+
+    ids = jnp.arange(total, dtype=jnp.int32)
+
+    def one_block(cb):
+        c0 = cb * block
+        # i data: (block*8,)
+        i_slice = jax.lax.dynamic_slice(xs_pad, (c0 * CLUSTER, 0),
+                                        (block * CLUSTER, 3))
+        i_ids = jax.lax.dynamic_slice(ids, (c0 * CLUSTER,), (block * CLUSTER,))
+        qi = jax.lax.dynamic_slice(qs_pad, (c0 * CLUSTER,), (block * CLUSTER,))
+        ti = jax.lax.dynamic_slice(ts_pad, (c0 * CLUSTER,), (block * CLUSTER,))
+        pi = jax.lax.dynamic_slice(pert_pad, (c0 * CLUSTER,), (block * CLUSTER,))
+        vi = jax.lax.dynamic_slice(valid_pad, (c0 * CLUSTER,), (block * CLUSTER,))
+        ei = jax.lax.dynamic_slice(
+            excl_pad, (c0 * CLUSTER, 0),
+            (block * CLUSTER, excl_pad.shape[1]))           # sorted ids, -1 pad
+
+        nbr_b = jax.lax.dynamic_slice(nbr_p, (c0, 0), (block, nnbr))
+        nbrm_b = jax.lax.dynamic_slice(nbrm_p, (c0, 0), (block, nnbr))
+
+        # j atom sorted ids: (block, nnbr*8)
+        j_ids = (nbr_b[:, :, None] * CLUSTER
+                 + jnp.arange(CLUSTER, dtype=jnp.int32)[None, None, :]
+                 ).reshape(block, nnbr * CLUSTER)
+        xj = xs_pad[j_ids]                                   # (block, J, 3)
+        qj = qs_pad[j_ids]
+        tj = ts_pad[j_ids]
+        pj = pert_pad[j_ids]
+        vj = valid_pad[j_ids] * jnp.repeat(nbrm_b, CLUSTER, axis=1)
+
+        # reshape i to (block, 8, ...)
+        xi = i_slice.reshape(block, CLUSTER, 3)
+        qi = qi.reshape(block, CLUSTER)
+        ti = ti.reshape(block, CLUSTER)
+        pi = pi.reshape(block, CLUSTER)
+        vi = vi.reshape(block, CLUSTER)
+        iid = i_ids.reshape(block, CLUSTER)
+        ei = ei.reshape(block, CLUSTER, -1)
+
+        dx = pbc_mod.pbc_dx(xi[:, :, None, :] - xj[:, None, :, :], box)
+        r2 = jnp.sum(dx * dx, -1)                            # (block, 8, J)
+        r2 = jnp.maximum(r2, R2_FLOOR)
+        rinv = jax.lax.rsqrt(r2)
+        rinv2 = rinv * rinv
+
+        # masks
+        pairm = (vi[:, :, None] * vj[:, None, :]
+                 * (iid[:, :, None] != j_ids[:, None, :])
+                 * (1.0 - jnp.maximum(pi[:, :, None], pj[:, None, :])))
+        # exclusion: any of i's exclusion partners == j id
+        exm = jnp.any(ei[:, :, None, :] == j_ids[:, None, :, None],
+                      axis=-1).astype(x.dtype)               # (block, 8, J)
+        incl = (1.0 - exm)
+        in_c = (r2 < rc2).astype(x.dtype) * pairm
+        in_v = (r2 < rv2).astype(x.dtype) * pairm * incl
+
+        # ---- LJ ----
+        tpair = ti[:, :, None] * T + tj[:, None, :]
+        c6 = nbfp_flat[tpair, 0]
+        c12 = nbfp_flat[tpair, 1]
+        rinv6 = jnp.minimum(rinv2 * rinv2 * rinv2, 1e15)
+        rinv12 = rinv6 * rinv6
+        e_lj_pair = c12 * rinv12 - c6 * rinv6
+        f_lj = (12.0 * c12 * rinv12 - 6.0 * c6 * rinv6) * rinv2
+        if params.vdw_modifier == VdwModifier.POTENTIAL_SHIFT:
+            e_lj_pair = e_lj_pair - (c12 * rcinv6 * rcinv6 - c6 * rcinv6)
+        elif params.vdw_modifier == VdwModifier.POTENTIAL_SWITCH:
+            r = r2 * rinv
+            r1, rcv = params.rvdw_switch, params.rvdw
+            d = rcv - r1
+            t = jnp.clip((r - r1) / d, 0.0, 1.0)
+            sw = 1.0 + t**3 * (-10.0 + t * (15.0 - 6.0 * t))
+            dsw = (t**2 * (-30.0 + t * (60.0 - 30.0 * t))) / d
+            f_lj = f_lj * sw - e_lj_pair * dsw * rinv
+            e_lj_pair = e_lj_pair * sw
+        e_lj_pair = e_lj_pair * in_v
+        f_lj = f_lj * in_v
+
+        # ---- Coulomb ----
+        qq = epsfac * qi[:, :, None] * qj[:, None, :]
+        if params.coulomb == CoulombType.REACTION_FIELD:
+            e_c = qq * (incl * rinv + krf * r2 - crf) * in_c
+            f_c = qq * (incl * rinv2 * rinv - 2.0 * krf) * in_c
+        elif params.coulomb == CoulombType.PME:
+            br = beta * (r2 * rinv)
+            erfc_t = jax.lax.erfc(br)
+            gauss = jnp.exp(-br * br)
+            e_c = qq * rinv * (erfc_t - (1.0 - incl)) * in_c
+            f_c = (qq * rinv2
+                   * ((incl - (1.0 - erfc_t)) * rinv
+                      + beta * TWO_OVER_SQRT_PI * gauss) * in_c)
+        else:  # plain cutoff
+            e_c = qq * incl * (rinv - 1.0 / params.rcoulomb) * in_c
+            f_c = qq * incl * rinv2 * rinv * in_c
+
+        fscal = f_lj + f_c
+        f_i = jnp.sum(fscal[..., None] * dx, axis=2)          # (block, 8, 3)
+        e_lj = jnp.sum(e_lj_pair)
+        e_c_tot = jnp.sum(e_c)
+        return f_i.reshape(block * CLUSTER, 3), e_c_tot, e_lj
+
+    f_blocks, e_c, e_lj = jax.lax.map(one_block, jnp.arange(Cb))
+    f_sorted = f_blocks.reshape(Cp * CLUSTER, 3)[:n_pad]
+    return f_sorted, 0.5 * jnp.sum(e_c), 0.5 * jnp.sum(e_lj)
+
+
+def fep_pair_energy(x, box, lam_c, lam_v, feplist: FepPairlist,
+                    system: System, params: MdParams,
+                    beta: Optional[float]):
+    """Soft-core energies over the flat FEP pair list (differentiable)."""
+    epsfac = ONE_4PI_EPS0 / params.epsilon_r
+    ii, jj = feplist.iidx, feplist.jidx
+    dx = pbc_mod.pbc_dx(x[ii] - x[jj], box)
+    r2 = jnp.sum(dx * dx, -1)
+    ta_i, ta_j = system.type_a[ii], system.type_a[jj]
+    tb_i, tb_j = system.type_b[ii], system.type_b[jj]
+    pair = FepPairData(
+        qq_a=epsfac * system.charge_a[ii] * system.charge_a[jj],
+        qq_b=epsfac * system.charge_b[ii] * system.charge_b[jj],
+        c6_a=system.nbfp[ta_i, ta_j, 0], c12_a=system.nbfp[ta_i, ta_j, 1],
+        c6_b=system.nbfp[tb_i, tb_j, 0], c12_b=system.nbfp[tb_i, tb_j, 1])
+    v_c, v_v = softcore_pair_energies(
+        r2, pair, lam_c, lam_v, feplist.included, feplist.excluded,
+        is_self=jnp.zeros_like(r2), fep=params.fep, params=params, beta=beta)
+    return jnp.sum(v_c), jnp.sum(v_v)
+
+
+def make_cluster_force_fn(system: System, params: MdParams,
+                          pme_recip_fn: Optional[Callable] = None,
+                          has_fep: Optional[bool] = None,
+                          block: int = 64):
+    """Production force function: force_fn(x, box, lam, nlist, feplist)
+    -> (f, EnergyTerms)."""
+    from .forces import get_beta
+    beta = get_beta(params)
+    if has_fep is None:
+        import numpy as _np
+        has_fep = bool(_np.asarray(system.perturbed).any())
+
+    def other_energy(x, lam, box, feplist):
+        """Everything except the plain cluster kernel, as one scalar for
+        AD: FEP pairs, bonded, 1-4, PME reciprocal."""
+        lam_c, lam_v = lam[FepCoupling.COUL], lam[FepCoupling.VDW]
+        lam_b, lam_r = lam[FepCoupling.BONDED], lam[FepCoupling.RESTRAINT]
+        terms = EnergyTerms.zeros(x.dtype)
+        if has_fep and feplist is not None:
+            e_c_fep, e_v_fep = fep_pair_energy(x, box, lam_c, lam_v, feplist,
+                                               system, params, beta)
+            terms = terms.replace(coulomb=e_c_fep, lj=e_v_fep)
+        for name, il in system.bonded.items():
+            if il.n == 0:
+                continue
+            _, _, fn = bonded_mod.TERMS[name]
+            lam_term = lam_r if name == "posres" else lam_b
+            e = fn(x, box, il, lam_term)
+            ch = bonded_mod.TERM_CHANNEL[name]
+            terms = terms.replace(**{ch: getattr(terms, ch) + e})
+        if system.pairs14.n > 0:
+            e14c, e14l = pairs14_energy(x, box, system, lam_c, lam_v, params)
+            terms = terms.replace(coul14=e14c, lj14=e14l)
+        if pme_recip_fn is not None:
+            terms = terms.replace(coul_recip=pme_recip_fn(x, box, lam_c))
+        return terms.epot, terms
+
+    grad_other = jax.value_and_grad(other_energy, argnums=(0, 1), has_aux=True)
+
+    def force_fn(x, box, lam, nlist: ClusterPairlist,
+                 feplist: Optional[FepPairlist] = None):
+        f_sorted, e_coul, e_lj = cluster_nb_kernel(
+            x, box, nlist, system.nbfp, params, beta, block)
+        f_cluster = f_sorted[nlist.inv_perm]                  # gather, no scatter
+
+        (_, terms), (gx, glam) = grad_other(x, lam, box, feplist)
+        f = f_cluster - gx
+        terms = terms.replace(coulomb=terms.coulomb + e_coul,
+                              lj=terms.lj + e_lj,
+                              dvdl=glam)
+        return f, terms
+
+    return force_fn

@@ -1,0 +1,233 @@
+"""Cluster pair-list construction — the nbnxm pair-search analogue.
+
+Replaces the reference's grid/cluster search
+(reference: src/gromacs/nbnxm/grid.cpp, pairlist.cpp:997/3128,
+pairsearch.cpp) with a TPU-shaped design:
+
+ - atoms are Morton-sorted by spatial cell and grouped into clusters of
+   CLUSTER=8 (one VPU sublane row per i-atom; j runs along lanes),
+ - each i-cluster gets a fixed-capacity list of j-cluster indices within
+   rlist (computed from cluster bounding spheres, conservative),
+ - the list is FULL (both (i,j) and (j,i) present) so the force kernel
+   accumulates only into its own i-atoms — no scatter in the hot path,
+   which replaces the reference GPU kernel's atomics
+   (nbnxm_cuda_kernel_utils.cuh staggeredAtomicAddForce),
+ - perturbed atoms get a separate flat FEP pair list, the analogue of the
+   fork's gpu_feplist (reference: nbnxm/pairlist.cpp:1544 make_fep_list,
+   gpu_types_common.h:343-356), which also carries the excluded perturbed
+   pairs needed for Ewald/RF corrections.
+
+Everything is fixed-shape and jit-safe; capacity overflow is reported via
+flags so the host can rebuild with a larger capacity (the reference
+resizes its lists dynamically on the host too).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from ..core import pbc as pbc_mod
+from ..core.types import System
+
+CLUSTER = 8
+
+
+@struct.dataclass
+class ClusterPairlist:
+    perm: jnp.ndarray        # (n_pad,) sorted-order -> original atom id (n = dummy)
+    inv_perm: jnp.ndarray    # (n,) original -> sorted position
+    nbr: jnp.ndarray         # (C, NNBR) j-cluster ids (C = dummy/pad)
+    nbr_mask: jnp.ndarray    # (C, NNBR) 1.0 valid
+    n_overflow: jnp.ndarray  # () int32: clusters whose neighbours exceeded NNBR
+    # sorted static atom data (rebuilt when the sort changes)
+    q_a: jnp.ndarray         # (n_pad,)
+    q_b: jnp.ndarray
+    t_a: jnp.ndarray         # (n_pad,) int32
+    t_b: jnp.ndarray
+    pert: jnp.ndarray        # (n_pad,) float 1.0 if atom perturbed
+    excl: jnp.ndarray        # (n_pad, K) exclusion partners in SORTED ids (-1 pad)
+
+    @property
+    def n_clusters(self) -> int:
+        return self.nbr.shape[0]
+
+    @property
+    def n_pad(self) -> int:
+        return self.perm.shape[0]
+
+
+@struct.dataclass
+class FepPairlist:
+    """Flat half list of perturbed atom pairs (original atom ids)."""
+    iidx: jnp.ndarray       # (P,)
+    jidx: jnp.ndarray       # (P,)
+    included: jnp.ndarray   # (P,) 1.0 = interacting (non-excluded) pair
+    excluded: jnp.ndarray   # (P,) 1.0 = excluded pair (corrections only)
+    n_overflow: jnp.ndarray
+
+
+def _morton3(ix, iy, iz, bits=8):
+    key = jnp.zeros_like(ix)
+    for b in range(bits):
+        key = (key
+               | (((ix >> b) & 1) << (3 * b + 2))
+               | (((iy >> b) & 1) << (3 * b + 1))
+               | (((iz >> b) & 1) << (3 * b)))
+    return key
+
+
+def sort_atoms_by_cell(x, box, cell_size: float):
+    """Morton ordering of atoms (reference: nbnxm/grid.cpp cell sorting)."""
+    n = x.shape[0]
+    xw = pbc_mod.wrap_into_box(x, box)
+    diag = jnp.diag(box)
+    ncell = jnp.clip((diag / cell_size).astype(jnp.int32), 1, 255)
+    frac = xw @ jnp.linalg.inv(box)
+    ic = jnp.clip((frac * ncell).astype(jnp.int32), 0, ncell - 1)
+    key = _morton3(ic[:, 0], ic[:, 1], ic[:, 2])
+    perm = jnp.argsort(key)
+    return perm
+
+
+@partial(jax.jit, static_argnames=("nnbr", "block"))
+def _cluster_neighbors(centers, radii, box, rlist2, nnbr: int,
+                       block: int = 256):
+    """For each cluster, the nnbr nearest clusters whose bounding spheres
+    may overlap within rlist.  centers: (C,3), radii: (C,)."""
+    C = centers.shape[0]
+    Cp = ((C + block - 1) // block) * block
+    pad = Cp - C
+    centers_p = jnp.pad(centers, ((0, pad), (0, 0)), constant_values=1e6)
+    radii_p = jnp.pad(radii, (0, pad))
+
+    def one_block(cb):
+        cen = jax.lax.dynamic_slice(centers_p, (cb * block, 0), (block, 3))
+        rad = jax.lax.dynamic_slice(radii_p, (cb * block,), (block,))
+        dc = pbc_mod.pbc_dx(cen[:, None, :] - centers[None, :, :], box)
+        d = jnp.sqrt(jnp.sum(dc * dc, -1))
+        lb = jnp.maximum(d - rad[:, None] - radii[None, :], 0.0)
+        cand = lb * lb < rlist2
+        count = jnp.sum(cand, axis=1)
+        score = jnp.where(cand, -lb, -jnp.inf)
+        k = min(nnbr, C)
+        top_scores, top_idx = jax.lax.top_k(score, k)
+        mask = jnp.isfinite(top_scores)
+        idx = jnp.where(mask, top_idx, C)
+        if k < nnbr:
+            idx = jnp.pad(idx, ((0, 0), (0, nnbr - k)), constant_values=C)
+            mask = jnp.pad(mask, ((0, 0), (0, nnbr - k)))
+        return idx.astype(jnp.int32), mask.astype(jnp.float32), count
+
+    nblocks = Cp // block
+    idx, mask, count = jax.lax.map(one_block, jnp.arange(nblocks))
+    idx = idx.reshape(Cp, nnbr)[:C]
+    mask = mask.reshape(Cp, nnbr)[:C]
+    count = count.reshape(Cp)[:C]
+    n_overflow = jnp.sum(count > nnbr)
+    return idx, mask, n_overflow
+
+
+def build_cluster_pairlist(x, box, system: System, rlist: float,
+                           nnbr: int = 64,
+                           cell_size: Optional[float] = None) -> ClusterPairlist:
+    """Rebuild the cluster pair list (NS step analogue)."""
+    n = system.n_atoms
+    C = (n + CLUSTER - 1) // CLUSTER
+    n_pad = C * CLUSTER
+    if cell_size is None:
+        cell_size = max(rlist / 2.0, 0.2)
+
+    perm = sort_atoms_by_cell(x, box, cell_size)
+    perm = jnp.concatenate([perm, jnp.full((n_pad - n,), n, jnp.int32)])
+    inv_perm = jnp.zeros((n,), jnp.int32).at[perm[:n]].set(
+        jnp.arange(n, dtype=jnp.int32))
+
+    # padded sorted coordinates; dummies parked far away and spread out
+    dummy = 1e4 + jnp.arange(n_pad - n, dtype=x.dtype)[:, None] * jnp.ones(3)
+    xs = jnp.concatenate([pbc_mod.wrap_into_box(x, box)[perm[:n]], dummy])
+    xc = xs.reshape(C, CLUSTER, 3)
+    centers = jnp.mean(xc, axis=1)
+    radii = jnp.sqrt(jnp.max(jnp.sum((xc - centers[:, None, :]) ** 2, -1), 1))
+
+    nbr, nbr_mask, n_overflow = _cluster_neighbors(
+        centers, radii, box, jnp.asarray(rlist**2, x.dtype), nnbr)
+
+    # sorted static atom data
+    def gather_pad(a, fill):
+        return jnp.concatenate(
+            [a[perm[:n]], jnp.full((n_pad - n,), fill, a.dtype)])
+
+    q_a = gather_pad(system.charge_a, 0.0)
+    q_b = gather_pad(system.charge_b, 0.0)
+    t_a = gather_pad(system.type_a, 0)
+    t_b = gather_pad(system.type_b, 0)
+    pert = gather_pad(system.perturbed.astype(x.dtype), 0.0)
+
+    # remap exclusion partners to sorted ids; invalid -> -1
+    K = system.exclusions.idx.shape[1]
+    ex = system.exclusions.idx  # (n, K), original ids
+    valid = ex >= 0
+    ex_sorted_partner = jnp.where(valid, inv_perm[jnp.where(valid, ex, 0)], -1)
+    excl = jnp.concatenate(
+        [ex_sorted_partner[perm[:n]], jnp.full((n_pad - n, K), -1, jnp.int32)])
+
+    return ClusterPairlist(perm=perm, inv_perm=inv_perm, nbr=nbr,
+                           nbr_mask=nbr_mask, n_overflow=n_overflow,
+                           q_a=q_a, q_b=q_b, t_a=t_a, t_b=t_b, pert=pert,
+                           excl=excl)
+
+
+def build_fep_pairlist(x, box, system: System, rlist: float,
+                       pert_idx: np.ndarray, max_nbr: int = 512
+                       ) -> FepPairlist:
+    """Pairs involving perturbed atoms (reference: make_fep_list,
+    pairlist.cpp:1544).  pert_idx: static array of perturbed atom indices.
+
+    Emits, per perturbed atom, up to max_nbr partners within rlist plus
+    ALL its excluded partners (needed for reciprocal-space corrections at
+    any distance).  Pert-pert pairs are deduplicated by keeping i<j.
+    """
+    n = system.n_atoms
+    npert = pert_idx.shape[0]
+    pert_idx = jnp.asarray(pert_idx, jnp.int32)
+    is_pert = jnp.zeros((n,), bool).at[pert_idx].set(True)
+
+    xp = x[pert_idx]
+    dx = pbc_mod.pbc_dx(xp[:, None, :] - x[None, :, :], box)
+    r2 = jnp.sum(dx * dx, -1)
+
+    ids = jnp.arange(n, dtype=jnp.int32)
+    excl_mat_rows = system.exclusions.idx[pert_idx]             # (npert, K)
+    is_excl = jnp.zeros((npert, n), bool)
+    rowk = jnp.broadcast_to(jnp.arange(npert)[:, None], excl_mat_rows.shape)
+    vmask = excl_mat_rows >= 0
+    is_excl = is_excl.at[rowk, jnp.where(vmask, excl_mat_rows, 0)].max(vmask)
+
+    within = r2 < rlist * rlist
+    notself = ids[None, :] != pert_idx[:, None]
+    # dedupe pert-pert: keep only j>i for pairs of two perturbed atoms
+    dup = is_pert[None, :] & (ids[None, :] < pert_idx[:, None])
+    cand = (within | is_excl) & notself & (~dup)
+
+    # select up to max_nbr per perturbed atom
+    max_nbr = min(max_nbr, n)
+    score = jnp.where(cand, -r2, -jnp.inf)
+    top_s, top_j = jax.lax.top_k(score, max_nbr)
+    sel_mask = jnp.isfinite(top_s)
+    count = jnp.sum(cand, 1)
+    n_overflow = jnp.sum(count > max_nbr)
+
+    ii = jnp.broadcast_to(pert_idx[:, None], top_j.shape)
+    row = jnp.broadcast_to(jnp.arange(npert)[:, None], top_j.shape)
+    exc = is_excl[row, top_j] & sel_mask
+    inc = sel_mask & (~exc)
+    return FepPairlist(
+        iidx=ii.reshape(-1), jidx=top_j.reshape(-1).astype(jnp.int32),
+        included=inc.reshape(-1).astype(x.dtype),
+        excluded=exc.reshape(-1).astype(x.dtype),
+        n_overflow=n_overflow)

@@ -1,0 +1,98 @@
+"""Cluster-pair path vs dense oracle (the reference's GPU-kernel-vs-CPU
+validation pattern, e.g. mdrun/tests/freeenergy.cpp GPU==CPU acceptance)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gromacs_fep_gpu_tpu.core.types import (CoulombType, FepCoupling,
+                                            FepParams, MdParams, VdwModifier)
+from gromacs_fep_gpu_tpu.models.argon import argon_box
+from gromacs_fep_gpu_tpu.models.water import water_box
+from gromacs_fep_gpu_tpu.ops.cluster_nb import make_cluster_force_fn
+from gromacs_fep_gpu_tpu.ops.forces import make_dense_force_fn
+from gromacs_fep_gpu_tpu.ops.pairlist import (build_cluster_pairlist,
+                                              build_fep_pairlist)
+
+from test_fep import perturbed_dimer_system
+
+
+def compare(system, x, box, params, recip_fn=None, rtol=2e-4, atol=2e-3):
+    dense_fn = make_dense_force_fn(system, params, recip_fn)
+    f_d, t_d = jax.jit(dense_fn)(x, box, jnp.zeros(7))
+
+    nlist = build_cluster_pairlist(x, box, system, params.rlist, nnbr=96)
+    assert int(nlist.n_overflow) == 0
+    has_fep = bool(np.asarray(system.perturbed).any())
+    feplist = None
+    if has_fep:
+        pert_idx = np.where(np.asarray(system.perturbed))[0]
+        feplist = build_fep_pairlist(x, box, system, params.rlist, pert_idx)
+        assert int(feplist.n_overflow) == 0
+    cl_fn = make_cluster_force_fn(system, params, recip_fn, has_fep=has_fep)
+    f_c, t_c = jax.jit(cl_fn)(x, box, jnp.zeros(7), nlist, feplist)
+
+    fscale = float(jnp.abs(f_d).max())
+    np.testing.assert_allclose(float(t_c.lj), float(t_d.lj),
+                               rtol=rtol, atol=1e-2)
+    np.testing.assert_allclose(float(t_c.coulomb), float(t_d.coulomb),
+                               rtol=rtol, atol=1e-2)
+    np.testing.assert_allclose(np.asarray(f_c), np.asarray(f_d),
+                               atol=max(atol * fscale, 1e-3))
+    np.testing.assert_allclose(np.asarray(t_c.dvdl), np.asarray(t_d.dvdl),
+                               rtol=1e-3, atol=1e-2)
+    return t_d
+
+
+def test_cluster_matches_dense_argon():
+    params = MdParams(rcoulomb=0.8, rvdw=0.8, rlist=0.85,
+                      coulomb=CoulombType.CUTOFF)
+    system, state = argon_box(4, spacing=0.39, seed=7)
+    compare(system, state.x, state.box, params)
+
+
+def test_cluster_matches_dense_water_rf():
+    params = MdParams(rcoulomb=0.55, rvdw=0.55, rlist=0.6,
+                      coulomb=CoulombType.REACTION_FIELD)
+    system, state = water_box(3, spacing=0.4, seed=8)
+    t = compare(system, state.x, state.box, params)
+    assert abs(float(t.coulomb)) > 1.0  # nontrivial system
+
+
+def test_cluster_matches_dense_water_pme():
+    from gromacs_fep_gpu_tpu.ops.pme import make_pme_recip_fn
+    params = MdParams(rcoulomb=0.55, rvdw=0.55, rlist=0.6,
+                      coulomb=CoulombType.PME, pme_grid=(16, 16, 16))
+    system, state = water_box(3, spacing=0.4, seed=9)
+    recip_fn = make_pme_recip_fn(system, params)
+    compare(system, state.x, state.box, params, recip_fn)
+
+
+def test_cluster_matches_dense_fep():
+    params = MdParams(rcoulomb=0.9, rvdw=0.9, rlist=0.95,
+                      coulomb=CoulombType.REACTION_FIELD,
+                      fep=FepParams(enabled=True, sc_alpha=0.5, sc_coul=True,
+                                    sc_sigma=0.3))
+    system, x, box = perturbed_dimer_system()
+    compare(system, x, box, params)
+
+
+def test_cluster_matches_dense_fep_lambda_mid():
+    params = MdParams(rcoulomb=0.9, rvdw=0.9, rlist=0.95,
+                      coulomb=CoulombType.REACTION_FIELD,
+                      fep=FepParams(enabled=True, sc_alpha=0.5, sc_coul=True))
+    system, x, box = perturbed_dimer_system()
+    lam = jnp.zeros(7).at[FepCoupling.COUL].set(0.5).at[FepCoupling.VDW].set(0.5)
+
+    dense_fn = make_dense_force_fn(system, params)
+    f_d, t_d = dense_fn(x, box, lam)
+    nlist = build_cluster_pairlist(x, box, system, params.rlist, nnbr=96)
+    pert_idx = np.where(np.asarray(system.perturbed))[0]
+    feplist = build_fep_pairlist(x, box, system, params.rlist, pert_idx)
+    cl_fn = make_cluster_force_fn(system, params, has_fep=True)
+    f_c, t_c = cl_fn(x, box, lam, nlist, feplist)
+    np.testing.assert_allclose(float(t_c.epot), float(t_d.epot),
+                               rtol=2e-4, atol=1e-2)
+    np.testing.assert_allclose(np.asarray(t_c.dvdl), np.asarray(t_d.dvdl),
+                               rtol=1e-3, atol=1e-2)
+    np.testing.assert_allclose(np.asarray(f_c), np.asarray(f_d),
+                               atol=2e-3 * float(jnp.abs(f_d).max()))
