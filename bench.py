@@ -1,0 +1,73 @@
+"""Flagship benchmark: solvation-FEP MD throughput (ns/day).
+
+System: methane-like ligand being decoupled (soft-core FEP, lambda=0.5)
+in a TIP3P water box — BASELINE.json config #3, the reference fork's
+headline workload (GPU-offloaded FEP, nbnxm_fep_cuda_kernel.cuh).
+
+Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
+vs_baseline divides by 100 ns/day — a representative GROMACS-2023-CUDA
+figure for a ~20k-atom solvated FEP system on a mid-range GPU (the fork
+publishes no numbers; see BASELINE.md).
+"""
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+try:
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+except Exception:
+    pass
+
+from gromacs_fep_gpu_tpu.core.types import (CoulombType, FepParams, MdParams,
+                                            TcouplType)
+from gromacs_fep_gpu_tpu.md.runner import MdRunner, RunnerConfig
+from gromacs_fep_gpu_tpu.models.solvation import solvation_system
+from gromacs_fep_gpu_tpu.ops.pme import pme_grid_size
+
+
+def main():
+    n_side = int(os.environ.get("BENCH_NSIDE", "16"))
+    nsteps = int(os.environ.get("BENCH_NSTEPS", "400"))
+    use_pme = os.environ.get("BENCH_PME", "1") == "1"
+
+    system, state = solvation_system(n_side=n_side, spacing=0.31, seed=0,
+                                     temperature=300.0)
+    box_l = n_side * 0.31
+    coulomb = CoulombType.PME if use_pme else CoulombType.REACTION_FIELD
+    grid = pme_grid_size((box_l,) * 3, 0.12) if use_pme else None
+    params = MdParams(
+        dt=0.002, nstlist=20, coulomb=coulomb,
+        rcoulomb=0.9, rvdw=0.9, rlist=1.0,
+        pme_grid=grid,
+        tcoupl=TcouplType.V_RESCALE, ref_t=300.0, nsttcouple=10,
+        nstcomm=100,
+        fep=FepParams(enabled=True, sc_alpha=0.5, sc_coul=True, sc_sigma=0.3))
+    state = state.replace(lam=state.lam.at[2].set(0.5).at[3].set(0.5))
+
+    runner = MdRunner(system, params, RunnerConfig(nnbr=192, kernel_block=32))
+
+    # warmup (compile + first segments)
+    state, _ = runner.run(state, 2 * params.nstlist)
+
+    t0 = time.perf_counter()
+    state, logs = runner.run(state, nsteps)
+    jax.block_until_ready(state.x)
+    wall = time.perf_counter() - t0
+
+    ns_day = nsteps * params.dt / 1000.0 / wall * 86400.0
+    result = {
+        "metric": f"solvation-FEP ns/day ({system.n_atoms} atoms, "
+                  f"{'PME' if use_pme else 'RF'}, dt=2fs, softcore lam=0.5)",
+        "value": round(ns_day, 2),
+        "unit": "ns/day",
+        "vs_baseline": round(ns_day / 100.0, 3),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -38,10 +38,14 @@ class MdRunner:
     """Owns compiled step segments and the pair-list lifecycle."""
 
     def __init__(self, system: System, params: MdParams,
-                 config: Optional[RunnerConfig] = None):
+                 config: Optional[RunnerConfig] = None,
+                 all_lambda=None):
+        """all_lambda: optional (L, 7) lambda ladder; when given, the step
+        loop records Delta H to every window each fep.nstdhdl steps."""
         self.system = system
         self.params = params
         self.config = config or RunnerConfig()
+        self.all_lambda = all_lambda
         self.wallcycle = Wallcycle()
 
         self.pert_idx = np.where(np.asarray(system.perturbed))[0]
@@ -109,13 +113,41 @@ class MdRunner:
                 return terms.epot
             return epot
 
+        foreign_factory = None
+        n_foreign = 0
+        if self.all_lambda is not None:
+            n_foreign = int(self.all_lambda.shape[0])
+            if self.config.use_dense:
+                from ..ops.forces import dense_energy, get_beta
+                beta = get_beta(self.params)
+                all_lam = self.all_lambda
+
+                def foreign_factory(feplist):
+                    def delta(x, box, lam):
+                        def e_at(l):
+                            return dense_energy(x, box, l, self.system,
+                                                self.params, beta,
+                                                self.recip_fn).epot
+                        return jax.vmap(e_at)(all_lam) - e_at(lam)
+                    return delta
+            else:
+                from ..ops.foreign import make_foreign_delta_fn
+                delta_core = make_foreign_delta_fn(
+                    self.system, self.params, self.all_lambda, self.recip_fn)
+
+                def foreign_factory(feplist):
+                    return lambda x, box, lam: delta_core(x, box, lam, feplist)
+
         def segment(state, nlist, feplist):
             bound_force = lambda x, box, lam: seg_force(x, box, lam, nlist,
                                                         feplist)
             step_fn = make_step_fn(
                 self.system, self.params, bound_force,
                 energy_epot_fn=epot_fn_factory(nlist, feplist),
-                compute_pressure=self.params.pcoupl.value != "no")
+                compute_pressure=self.params.pcoupl.value != "no",
+                foreign_delta_fn=(foreign_factory(feplist)
+                                  if foreign_factory else None),
+                n_foreign=n_foreign)
             return jax.lax.scan(step_fn, state, length=nsteps_seg)
 
         return jax.jit(segment)

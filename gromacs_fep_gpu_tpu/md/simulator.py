@@ -37,6 +37,7 @@ class StepLog:
     dvdl: jnp.ndarray           # (7,)
     terms: EnergyTerms
     constr_rmsd: jnp.ndarray
+    delta_h: jnp.ndarray        # (L,) foreign-lambda U(l)-U(cur); (0,) if off
 
 
 def degrees_of_freedom(system: System, params: MdParams) -> float:
@@ -86,8 +87,12 @@ def make_pressure_fn(energy_epot_fn: Callable):
 
 def make_step_fn(system: System, params: MdParams, force_fn: Callable,
                  energy_epot_fn: Optional[Callable] = None,
-                 compute_pressure: bool = False):
-    """force_fn(x, box, lam) -> (f, EnergyTerms)."""
+                 compute_pressure: bool = False,
+                 foreign_delta_fn: Optional[Callable] = None,
+                 n_foreign: int = 0):
+    """force_fn(x, box, lam) -> (f, EnergyTerms).
+    foreign_delta_fn(x, box, lam) -> (n_foreign,) Delta-H vector, evaluated
+    every fep.nstdhdl steps (reference: mdebin_bar.cpp Delta-H collection)."""
     ndf = degrees_of_freedom(system, params)
     dt = params.dt
     has_constraints = constr_mod.n_constraints(system) > 0
@@ -193,12 +198,22 @@ def make_step_fn(system: System, params: MdParams, force_fn: Callable,
         else:
             pres = jnp.zeros((), state.x.dtype)
 
+        # --- foreign-lambda Delta H (every nstdhdl steps) ---
+        if foreign_delta_fn is not None and n_foreign > 0:
+            do_dhdl = (state.step % params.fep.nstdhdl) == 0
+            delta_h = jax.lax.cond(
+                do_dhdl,
+                lambda: foreign_delta_fn(x_new, box_new, lam),
+                lambda: jnp.full((n_foreign,), jnp.nan, state.x.dtype))
+        else:
+            delta_h = jnp.zeros((0,), state.x.dtype)
+
         new_state = state.replace(
             x=x_new, v=v_new, box=box_new, lam=lam, step=state.step + 1,
             coupling=coupl)
         log = StepLog(epot=terms.epot, ekin=ekin, temp=temp, pres=pres,
                       lam=lam, dvdl=terms.dvdl, terms=terms,
-                      constr_rmsd=constr_rmsd)
+                      constr_rmsd=constr_rmsd, delta_h=delta_h)
         return new_state, log
 
     return step

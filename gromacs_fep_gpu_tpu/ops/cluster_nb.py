@@ -42,10 +42,15 @@ TWO_OVER_SQRT_PI = 1.1283791670955126
 
 
 def cluster_nb_kernel(x, box, nlist: ClusterPairlist, nbfp, params: MdParams,
-                      beta: Optional[float], block: int = 64):
+                      beta: Optional[float], block: int = 64,
+                      block_offset=None, n_blocks: Optional[int] = None,
+                      total_blocks: Optional[int] = None):
     """Analytic forces + energies over the cluster pair list.
 
-    Returns (f_sorted (n_pad,3), e_coul, e_lj)."""
+    Returns (f_sorted (n_pad,3), e_coul, e_lj).  When block_offset /
+    n_blocks are given, only cluster blocks [offset, offset+n_blocks) are
+    computed and f covers just those rows — the hook spatial sharding uses
+    to give each device its block range (parallel/spatial.py)."""
     C = nlist.n_clusters
     nnbr = nlist.nbr.shape[1]
     n_pad = nlist.n_pad
@@ -55,6 +60,8 @@ def cluster_nb_kernel(x, box, nlist: ClusterPairlist, nbfp, params: MdParams,
 
     block = max(1, min(block, C))
     Cb = (C + block - 1) // block
+    if n_blocks is not None and total_blocks is not None:
+        Cb = max(Cb, total_blocks)
     Cp = Cb * block
     # i-side rows padded to Cp clusters plus one trailing dummy cluster so
     # the padded neighbour id C always gathers valid (far-away) rows
@@ -184,9 +191,16 @@ def cluster_nb_kernel(x, box, nlist: ClusterPairlist, nbfp, params: MdParams,
         e_c_tot = jnp.sum(e_c)
         return f_i.reshape(block * CLUSTER, 3), e_c_tot, e_lj
 
-    f_blocks, e_c, e_lj = jax.lax.map(one_block, jnp.arange(Cb))
-    f_sorted = f_blocks.reshape(Cp * CLUSTER, 3)[:n_pad]
-    return f_sorted, 0.5 * jnp.sum(e_c), 0.5 * jnp.sum(e_lj)
+    if n_blocks is None:
+        blocks = jnp.arange(Cb)
+        f_blocks, e_c, e_lj = jax.lax.map(one_block, blocks)
+        f_sorted = f_blocks.reshape(Cp * CLUSTER, 3)[:n_pad]
+        return f_sorted, 0.5 * jnp.sum(e_c), 0.5 * jnp.sum(e_lj)
+    off = jnp.asarray(0 if block_offset is None else block_offset, jnp.int32)
+    blocks = off + jnp.arange(n_blocks)
+    f_blocks, e_c, e_lj = jax.lax.map(one_block, blocks)
+    f_rows = f_blocks.reshape(n_blocks * block * CLUSTER, 3)
+    return f_rows, 0.5 * jnp.sum(e_c), 0.5 * jnp.sum(e_lj)
 
 
 def fep_pair_energy(x, box, lam_c, lam_v, feplist: FepPairlist,
