@@ -30,6 +30,31 @@ from ..core import pbc as pbc_mod
 from ..core.types import LincsConstraints, SettleGroups
 
 
+def _solve3x3(a, b):
+    """Batched closed-form 3x3 solve via the adjugate — avoids the batched
+    LU path of jnp.linalg.solve, which lowers poorly on TPU for tiny
+    systems.  a: (..., 3, 3), b: (..., 3)."""
+    a00, a01, a02 = a[..., 0, 0], a[..., 0, 1], a[..., 0, 2]
+    a10, a11, a12 = a[..., 1, 0], a[..., 1, 1], a[..., 1, 2]
+    a20, a21, a22 = a[..., 2, 0], a[..., 2, 1], a[..., 2, 2]
+    c00 = a11 * a22 - a12 * a21
+    c01 = a12 * a20 - a10 * a22
+    c02 = a10 * a21 - a11 * a20
+    det = a00 * c00 + a01 * c01 + a02 * c02
+    inv_det = 1.0 / jnp.where(jnp.abs(det) > 1e-30, det, 1.0)
+    c10 = a02 * a21 - a01 * a22
+    c11 = a00 * a22 - a02 * a20
+    c12 = a01 * a20 - a00 * a21
+    c20 = a01 * a12 - a02 * a11
+    c21 = a02 * a10 - a00 * a12
+    c22 = a00 * a11 - a01 * a10
+    b0, b1, b2 = b[..., 0], b[..., 1], b[..., 2]
+    x0 = (c00 * b0 + c10 * b1 + c20 * b2) * inv_det
+    x1 = (c01 * b0 + c11 * b1 + c21 * b2) * inv_det
+    x2 = (c02 * b0 + c12 * b1 + c22 * b2) * inv_det
+    return jnp.stack([x0, x1, x2], axis=-1)
+
+
 # ---------------------------------------------------------------------------
 # Rigid water (SETTLE-class) via batched Newton
 # ---------------------------------------------------------------------------
@@ -104,7 +129,10 @@ def _cluster_shake(x0, x1, box, pi, pj, d2, invmass, mask, n_iter):
         eye = jnp.eye(k, dtype=x1.dtype)
         jac = jnp.where(mask[:, None, None] > 0, jac, eye)
         c = c * mask[:, None]
-        dl = jnp.linalg.solve(jac, -c[..., None])[..., 0]
+        if k == 3:
+            dl = _solve3x3(jac, -c)
+        else:
+            dl = jnp.linalg.solve(jac, -c[..., None])[..., 0]
         return lam + dl * mask[:, None]
 
     lam = jax.lax.fori_loop(0, n_iter, body, lam)

@@ -1,10 +1,18 @@
-"""High-level run driver: neighbor-search segments + simulation loop.
+"""High-level run driver: fused (pair-search + nstlist-step scan) chunks.
 
-The mdrunner analogue (reference: src/gromacs/mdrun/runner.cpp:858): wires
-system + params into force/step functions, drives nstlist-step jitted
-segments with pair-list rebuilds between them, handles list-capacity
-overflow by growing and recompiling (the reference reallocates its lists
-on the host side too), and collects per-step logs.
+The mdrunner analogue (reference: src/gromacs/mdrun/runner.cpp:858).  One
+jitted `chunk(state) -> (state, logs, overflow_flags)` performs the
+neighbor-search rebuild AND the nstlist-step scan as a single XLA
+program, so the host dispatches one call per nstlist steps and never
+blocks on intermediate results — the TPU analogue of the reference's
+whole-step CUDA-graph capture (mdlib/mdgraph_gpu_impl.cu) extended to
+cover the NS step as well.
+
+List-capacity overflow is reported in the chunk outputs; the host checks
+the flags on the first chunk synchronously and every `check_every` chunks
+asynchronously (reads lag behind dispatch, keeping the pipeline full).
+On overflow the run resumes from the last verified state with grown
+capacities (the reference reallocates its lists on the host too).
 """
 from __future__ import annotations
 
@@ -19,7 +27,7 @@ from ..core.types import CoulombType, MdParams, State, System
 from ..ops.cluster_nb import make_cluster_force_fn
 from ..ops.forces import make_dense_force_fn
 from ..ops.pairlist import build_cluster_pairlist, build_fep_pairlist
-from ..ops.pme import make_pme_recip_fn, pme_grid_size
+from ..ops.pme import make_pme_recip_fn
 from ..utils.timing import Wallcycle
 from .simulator import StepLog, make_step_fn
 from .verletbuf import effective_rlist
@@ -29,13 +37,13 @@ from .verletbuf import effective_rlist
 class RunnerConfig:
     nnbr: int = 64
     fep_max_nbr: int = 256
-    kernel_block: int = 64
+    kernel_block: int = 32
     use_dense: bool = False     # small systems / debugging
-    log_every: int = 1
+    check_every: int = 8        # chunks between overflow-flag reads
 
 
 class MdRunner:
-    """Owns compiled step segments and the pair-list lifecycle."""
+    """Owns the compiled chunk function and the pair-list lifecycle."""
 
     def __init__(self, system: System, params: MdParams,
                  config: Optional[RunnerConfig] = None,
@@ -57,120 +65,137 @@ class MdRunner:
                 raise ValueError("set params.pme_grid (use pme.pme_grid_size)")
             self.recip_fn = make_pme_recip_fn(system, params)
 
+        self._force_fn = None
         if self.config.use_dense:
-            force = make_dense_force_fn(system, params, self.recip_fn)
-            self._force_fn = lambda x, box, lam, nl, fl: force(x, box, lam)
+            dense = make_dense_force_fn(system, params, self.recip_fn)
+            self._force_fn = lambda x, box, lam, nl, fl: dense(x, box, lam)
         else:
             self._force_fn = make_cluster_force_fn(
                 system, params, self.recip_fn, has_fep=self.has_fep,
                 block=self.config.kernel_block)
 
-        def epot_only(x, box, lam):
-            # for pressure: differentiable total energy on the dense path is
-            # expensive; reuse force_fn terms via closure at segment level.
-            f, terms = self._force_fn(x, box, lam, self._nlist, self._feplist)
-            return terms.epot
-
-        self._nlist = None
-        self._feplist = None
-        self._segment = None
+        self._chunk = None
         self._compiled_for = None
 
-    # ---- pair-list management ----
-    def _rebuild_lists(self, state: State):
+    # ------------------------------------------------------------------
+    def _foreign_factory(self):
+        if self.all_lambda is None:
+            return None, 0
+        n_foreign = int(self.all_lambda.shape[0])
         if self.config.use_dense:
-            return
-        with self.wallcycle.region("ns"):
-            rl = effective_rlist(self.params)
-            while True:
-                nlist = build_cluster_pairlist(
-                    state.x, state.box, self.system, rl, nnbr=self.config.nnbr)
-                if int(nlist.n_overflow) == 0:
-                    break
-                self.config.nnbr = int(self.config.nnbr * 1.5)
-                self._segment = None  # force recompile with new shapes
-            self._nlist = nlist
-            if self.has_fep:
-                while True:
-                    fl = build_fep_pairlist(state.x, state.box, self.system,
-                                            rl, self.pert_idx,
-                                            max_nbr=self.config.fep_max_nbr)
-                    if int(fl.n_overflow) == 0:
-                        break
-                    self.config.fep_max_nbr = int(self.config.fep_max_nbr * 1.5)
-                    self._segment = None
-                self._feplist = fl
+            from ..ops.forces import dense_energy, get_beta
+            beta = get_beta(self.params)
+            all_lam = self.all_lambda
 
-    def _build_segment(self, nsteps_seg: int):
+            def factory(feplist):
+                def delta(x, box, lam):
+                    def e_at(l):
+                        return dense_energy(x, box, l, self.system,
+                                            self.params, beta,
+                                            self.recip_fn).epot
+                    return jax.vmap(e_at)(all_lam) - e_at(lam)
+                return delta
+        else:
+            from ..ops.foreign import make_foreign_delta_fn
+            delta_core = make_foreign_delta_fn(
+                self.system, self.params, self.all_lambda, self.recip_fn)
+
+            def factory(feplist):
+                return lambda x, box, lam: delta_core(x, box, lam, feplist)
+        return factory, n_foreign
+
+    def _build_chunk(self, seg_len: int):
+        cfg = self.config
+        rl = effective_rlist(self.params)
+        foreign_factory, n_foreign = self._foreign_factory()
         force_fn = self._force_fn
+        compute_pressure = self.params.pcoupl.value != "no"
 
-        def seg_force(x, box, lam, nlist, feplist):
-            return force_fn(x, box, lam, nlist, feplist)
+        def chunk(state: State):
+            if cfg.use_dense:
+                nlist = feplist = None
+                flags = jnp.zeros((2,), jnp.int32)
+            else:
+                nlist = build_cluster_pairlist(
+                    state.x, state.box, self.system, rl, nnbr=cfg.nnbr)
+                feplist = None
+                fep_ovf = jnp.zeros((), jnp.int32)
+                if self.has_fep:
+                    feplist = build_fep_pairlist(
+                        state.x, state.box, self.system, rl, self.pert_idx,
+                        max_nbr=cfg.fep_max_nbr)
+                    fep_ovf = feplist.n_overflow.astype(jnp.int32)
+                flags = jnp.stack([nlist.n_overflow.astype(jnp.int32),
+                                   fep_ovf])
 
-        def epot_fn_factory(nlist, feplist):
-            def epot(x, box, lam):
+            bound_force = lambda x, box, lam: force_fn(x, box, lam, nlist,
+                                                       feplist)
+
+            def epot_fn(x, box, lam):
                 _, terms = force_fn(x, box, lam, nlist, feplist)
                 return terms.epot
-            return epot
 
-        foreign_factory = None
-        n_foreign = 0
-        if self.all_lambda is not None:
-            n_foreign = int(self.all_lambda.shape[0])
-            if self.config.use_dense:
-                from ..ops.forces import dense_energy, get_beta
-                beta = get_beta(self.params)
-                all_lam = self.all_lambda
-
-                def foreign_factory(feplist):
-                    def delta(x, box, lam):
-                        def e_at(l):
-                            return dense_energy(x, box, l, self.system,
-                                                self.params, beta,
-                                                self.recip_fn).epot
-                        return jax.vmap(e_at)(all_lam) - e_at(lam)
-                    return delta
-            else:
-                from ..ops.foreign import make_foreign_delta_fn
-                delta_core = make_foreign_delta_fn(
-                    self.system, self.params, self.all_lambda, self.recip_fn)
-
-                def foreign_factory(feplist):
-                    return lambda x, box, lam: delta_core(x, box, lam, feplist)
-
-        def segment(state, nlist, feplist):
-            bound_force = lambda x, box, lam: seg_force(x, box, lam, nlist,
-                                                        feplist)
             step_fn = make_step_fn(
                 self.system, self.params, bound_force,
-                energy_epot_fn=epot_fn_factory(nlist, feplist),
-                compute_pressure=self.params.pcoupl.value != "no",
+                energy_epot_fn=epot_fn,
+                compute_pressure=compute_pressure,
                 foreign_delta_fn=(foreign_factory(feplist)
                                   if foreign_factory else None),
                 n_foreign=n_foreign)
-            return jax.lax.scan(step_fn, state, length=nsteps_seg)
+            state_out, log = jax.lax.scan(step_fn, state, length=seg_len)
+            return state_out, log, flags
 
-        return jax.jit(segment)
+        return jax.jit(chunk)
+
+    def _grow(self, flags: np.ndarray):
+        if flags[0] > 0:
+            self.config.nnbr = int(self.config.nnbr * 1.5 + 8)
+        if flags[1] > 0:
+            self.config.fep_max_nbr = int(self.config.fep_max_nbr * 1.5 + 8)
+        self._chunk = None
 
     def run(self, state: State, nsteps: int,
             callback: Optional[Callable] = None) -> Tuple[State, list]:
-        """Run nsteps; returns (final_state, list of per-segment StepLog)."""
+        """Run nsteps; returns (final_state, list of per-chunk StepLog)."""
         nst = self.params.nstlist if not self.config.use_dense else nsteps
         nst = max(1, min(nst, nsteps))
+
         logs = []
         done = 0
+        verified_state, verified_done, verified_nlogs = state, 0, 0
+        pending = []   # (flags_device, done_after, nlogs_after)
+        first_chunk = True
         while done < nsteps:
             seg_len = min(nst, nsteps - done)
-            self._rebuild_lists(state)
             key = (seg_len, self.config.nnbr, self.config.fep_max_nbr)
-            if self._segment is None or self._compiled_for != key:
-                self._segment = self._build_segment(seg_len)
+            if self._chunk is None or self._compiled_for != key:
+                self._chunk = self._build_chunk(seg_len)
                 self._compiled_for = key
-            with self.wallcycle.region("step"):
-                state, log = self._segment(state, self._nlist, self._feplist)
-                jax.block_until_ready(state.x)
+            with self.wallcycle.region("chunk"):
+                state, log, flags = self._chunk(state)
             logs.append(log)
             done += seg_len
+            pending.append((flags, state, done, len(logs)))
+
+            check = (first_chunk or len(pending) >= self.config.check_every
+                     or done >= nsteps)
+            first_chunk = False
+            if check:
+                with self.wallcycle.region("overflow_check"):
+                    fl = np.asarray(
+                        jax.device_get(jnp.stack([p[0] for p in pending])))
+                if fl.sum() > 0:
+                    # roll back to last verified point with grown capacity
+                    self._grow(fl.sum(axis=0))
+                    state = verified_state
+                    done = verified_done
+                    logs = logs[:verified_nlogs]
+                    pending = []
+                    continue
+                verified_state, verified_done, verified_nlogs = (
+                    pending[-1][1], pending[-1][2], pending[-1][3])
+                pending = []
+
             if callback is not None:
                 callback(state, log, done)
         return state, logs

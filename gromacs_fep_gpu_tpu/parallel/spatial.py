@@ -34,7 +34,10 @@ def make_spatial_cluster_force(system: System, params: MdParams, mesh: Mesh,
                                beta, block: int = 16):
     """Returns f(x, box, nlist) -> (f_sorted, e_coul, e_lj) with the cluster
     block range sharded over the 'spatial' mesh axis."""
+    import numpy as _np
+    from ..ops.cluster_nb import lj_table_mode
     nsh = mesh.shape[SPATIAL_AXIS]
+    lj_mode = lj_table_mode(_np.asarray(system.nbfp))
 
     def sharded(x, box, nlist: ClusterPairlist):
         C = nlist.n_clusters
@@ -52,7 +55,7 @@ def make_spatial_cluster_force(system: System, params: MdParams, mesh: Mesh,
             f_rows, e_c, e_lj = cluster_nb_kernel(
                 xx, bb, nl, system.nbfp, params, beta, blk,
                 block_offset=shard_id * per_shard, n_blocks=per_shard,
-                total_blocks=total_blocks)
+                total_blocks=total_blocks, lj_mode=lj_mode)
             e_c = jax.lax.psum(e_c, SPATIAL_AXIS)
             e_lj = jax.lax.psum(e_lj, SPATIAL_AXIS)
             return f_rows, e_c, e_lj
