@@ -61,25 +61,104 @@ def _solve3x3(a, b):
 
 def settle_positions(x0: jnp.ndarray, x1: jnp.ndarray, box: jnp.ndarray,
                      settle: SettleGroups, invmass: jnp.ndarray,
-                     n_iter: int = 6) -> jnp.ndarray:
+                     n_iter: int = 5) -> jnp.ndarray:
     """Constrain updated positions x1 so each water keeps its geometry.
 
     x0: positions before the update (assumed on the constraint manifold);
     x1: unconstrained updated positions.  Returns corrected x1.
 
-    Solves, per molecule, for Lagrange multipliers l of the 3 constraints
-    c_k = |r_ik - r_jk|^2 - d_k^2 with the SHAKE parametrization
-    x' = x1 - sum_k l_k invm * grad c_k(x0); Newton on l with the exact
-    3x3 Jacobian (batched solve).
+    Newton on the three Lagrange multipliers of c_k = |r'_k|^2 - d_k^2
+    with the SHAKE parametrization x' = x1 - sum_k l_k invm grad c_k(x0).
+    Fully scalarized per component so the molecule batch rides the VPU
+    lanes (the (m,3,3) einsum formulation wasted 125/128 lanes); the 3x3
+    Newton system is solved in closed form.  Converges to ~1e-7 relative
+    in 5 iterations — far below the reference's shake-tol (settle.cpp is
+    the analytic equivalent).
     """
     if settle.atoms.shape[0] == 0:
         return x1
     o, h1, h2 = settle.atoms[:, 0], settle.atoms[:, 1], settle.atoms[:, 2]
-    # constraint pairs: (O,H1), (O,H2), (H1,H2)
-    pi = jnp.stack([o, o, h1], 1)       # (m, 3)
-    pj = jnp.stack([h1, h2, h2], 1)
-    d2 = jnp.stack([settle.d_oh**2, settle.d_oh**2, settle.d_hh**2], 1)
-    return _cluster_shake(x0, x1, box, pi, pj, d2, invmass, settle.mask, n_iter)
+    mask = settle.mask
+    w_o = invmass[o] * mask
+    w_h = invmass[h1] * mask
+
+    def comps(v):
+        return v[..., 0], v[..., 1], v[..., 2]
+
+    # reference gradients (at x0) and unconstrained bond vectors (at x1)
+    a1 = pbc_mod.pbc_dx(x0[o] - x0[h1], box)
+    a2 = pbc_mod.pbc_dx(x0[o] - x0[h2], box)
+    a3 = pbc_mod.pbc_dx(x0[h1] - x0[h2], box)
+    u1 = pbc_mod.pbc_dx(x1[o] - x1[h1], box)
+    u2 = pbc_mod.pbc_dx(x1[o] - x1[h2], box)
+    u3 = pbc_mod.pbc_dx(x1[h1] - x1[h2], box)
+    a1x, a1y, a1z = comps(a1)
+    a2x, a2y, a2z = comps(a2)
+    a3x, a3y, a3z = comps(a3)
+    u1x, u1y, u1z = comps(u1)
+    u2x, u2y, u2z = comps(u2)
+    u3x, u3y, u3z = comps(u3)
+
+    d_oh2 = settle.d_oh ** 2
+    d_hh2 = settle.d_hh ** 2
+    woh = w_o + w_h
+
+    def bond_vectors(l1, l2, l3):
+        r1x = u1x - 2 * l1 * woh * a1x - 2 * l2 * w_o * a2x + 2 * l3 * w_h * a3x
+        r1y = u1y - 2 * l1 * woh * a1y - 2 * l2 * w_o * a2y + 2 * l3 * w_h * a3y
+        r1z = u1z - 2 * l1 * woh * a1z - 2 * l2 * w_o * a2z + 2 * l3 * w_h * a3z
+        r2x = u2x - 2 * l1 * w_o * a1x - 2 * l2 * woh * a2x - 2 * l3 * w_h * a3x
+        r2y = u2y - 2 * l1 * w_o * a1y - 2 * l2 * woh * a2y - 2 * l3 * w_h * a3y
+        r2z = u2z - 2 * l1 * w_o * a1z - 2 * l2 * woh * a2z - 2 * l3 * w_h * a3z
+        r3x = u3x + 2 * l1 * w_h * a1x - 2 * l2 * w_h * a2x - 4 * l3 * w_h * a3x
+        r3y = u3y + 2 * l1 * w_h * a1y - 2 * l2 * w_h * a2y - 4 * l3 * w_h * a3y
+        r3z = u3z + 2 * l1 * w_h * a1z - 2 * l2 * w_h * a2z - 4 * l3 * w_h * a3z
+        return (r1x, r1y, r1z), (r2x, r2y, r2z), (r3x, r3y, r3z)
+
+    def body(_, lam):
+        l1, l2, l3 = lam
+        r1, r2, r3 = bond_vectors(l1, l2, l3)
+
+        def dot(a, bx, by, bz):
+            return a[0] * bx + a[1] * by + a[2] * bz
+
+        c1 = (r1[0]**2 + r1[1]**2 + r1[2]**2 - d_oh2) * mask
+        c2 = (r2[0]**2 + r2[1]**2 + r2[2]**2 - d_oh2) * mask
+        c3 = (r3[0]**2 + r3[1]**2 + r3[2]**2 - d_hh2) * mask
+        j11 = -4 * woh * dot(r1, a1x, a1y, a1z) - (1.0 - mask)
+        j12 = -4 * w_o * dot(r1, a2x, a2y, a2z)
+        j13 = 4 * w_h * dot(r1, a3x, a3y, a3z)
+        j21 = -4 * w_o * dot(r2, a1x, a1y, a1z)
+        j22 = -4 * woh * dot(r2, a2x, a2y, a2z) - (1.0 - mask)
+        j23 = -4 * w_h * dot(r2, a3x, a3y, a3z)
+        j31 = 4 * w_h * dot(r3, a1x, a1y, a1z)
+        j32 = -4 * w_h * dot(r3, a2x, a2y, a2z)
+        j33 = -8 * w_h * dot(r3, a3x, a3y, a3z) - (1.0 - mask)
+        jac = jnp.stack([jnp.stack([j11, j12, j13], -1),
+                         jnp.stack([j21, j22, j23], -1),
+                         jnp.stack([j31, j32, j33], -1)], -2)
+        dl = _solve3x3(jac, -jnp.stack([c1, c2, c3], -1))
+        return (l1 + dl[..., 0] * mask, l2 + dl[..., 1] * mask,
+                l3 + dl[..., 2] * mask)
+
+    z = jnp.zeros_like(w_o)
+    l1, l2, l3 = jax.lax.fori_loop(0, n_iter, body, (z, z, z))
+
+    # apply displacements
+    dox = -2 * w_o * (l1 * a1x + l2 * a2x)
+    doy = -2 * w_o * (l1 * a1y + l2 * a2y)
+    doz = -2 * w_o * (l1 * a1z + l2 * a2z)
+    dh1x = 2 * w_h * (l1 * a1x - l3 * a3x)
+    dh1y = 2 * w_h * (l1 * a1y - l3 * a3y)
+    dh1z = 2 * w_h * (l1 * a1z - l3 * a3z)
+    dh2x = 2 * w_h * (l2 * a2x + l3 * a3x)
+    dh2y = 2 * w_h * (l2 * a2y + l3 * a3y)
+    dh2z = 2 * w_h * (l2 * a2z + l3 * a3z)
+    upd = jnp.zeros_like(x1)
+    upd = upd.at[o].add(jnp.stack([dox, doy, doz], -1))
+    upd = upd.at[h1].add(jnp.stack([dh1x, dh1y, dh1z], -1))
+    upd = upd.at[h2].add(jnp.stack([dh2x, dh2y, dh2z], -1))
+    return x1 + upd
 
 
 def _cluster_shake(x0, x1, box, pi, pj, d2, invmass, mask, n_iter):

@@ -40,6 +40,7 @@ class RunnerConfig:
     kernel_block: int = 32
     use_dense: bool = False     # small systems / debugging
     check_every: int = 8        # chunks between overflow-flag reads
+    cell_size: Optional[float] = None  # sort-cell edge; default ~ cluster size
 
 
 class MdRunner:
@@ -114,10 +115,11 @@ class MdRunner:
         def chunk(state: State):
             if cfg.use_dense:
                 nlist = feplist = None
-                flags = jnp.zeros((2,), jnp.int32)
+                flags = jnp.zeros((3,), jnp.int32)
             else:
                 nlist = build_cluster_pairlist(
-                    state.x, state.box, self.system, rl, nnbr=cfg.nnbr)
+                    state.x, state.box, self.system, rl, nnbr=cfg.nnbr,
+                    cell_size=cfg.cell_size)
                 feplist = None
                 fep_ovf = jnp.zeros((), jnp.int32)
                 if self.has_fep:
@@ -126,7 +128,8 @@ class MdRunner:
                         max_nbr=cfg.fep_max_nbr)
                     fep_ovf = feplist.n_overflow.astype(jnp.int32)
                 flags = jnp.stack([nlist.n_overflow.astype(jnp.int32),
-                                   fep_ovf])
+                                   fep_ovf,
+                                   nlist.max_count.astype(jnp.int32)])
 
             bound_force = lambda x, box, lam: force_fn(x, box, lam, nlist,
                                                        feplist)
@@ -149,7 +152,9 @@ class MdRunner:
 
     def _grow(self, flags: np.ndarray):
         if flags[0] > 0:
-            self.config.nnbr = int(self.config.nnbr * 1.5 + 8)
+            # size to the observed maximum + 15% headroom, 8-aligned
+            need = int(max(flags[2], self.config.nnbr) * 1.15 + 8)
+            self.config.nnbr = (need + 7) // 8 * 8
         if flags[1] > 0:
             self.config.fep_max_nbr = int(self.config.fep_max_nbr * 1.5 + 8)
         self._chunk = None
@@ -159,6 +164,10 @@ class MdRunner:
         """Run nsteps; returns (final_state, list of per-chunk StepLog)."""
         nst = self.params.nstlist if not self.config.use_dense else nsteps
         nst = max(1, min(nst, nsteps))
+        if self.config.cell_size is None and not self.config.use_dense:
+            vol = float(np.prod(np.diag(np.asarray(state.box))))
+            n = max(self.system.n_atoms, 1)
+            self.config.cell_size = max((8.0 * vol / n) ** (1.0 / 3.0), 0.15)
 
         logs = []
         done = 0
@@ -184,9 +193,10 @@ class MdRunner:
                 with self.wallcycle.region("overflow_check"):
                     fl = np.asarray(
                         jax.device_get(jnp.stack([p[0] for p in pending])))
-                if fl.sum() > 0:
+                if fl[:, :2].sum() > 0:
                     # roll back to last verified point with grown capacity
-                    self._grow(fl.sum(axis=0))
+                    self._grow(np.array([fl[:, 0].sum(), fl[:, 1].sum(),
+                                         fl[:, 2].max()]))
                     state = verified_state
                     done = verified_done
                     logs = logs[:verified_nlogs]

@@ -44,6 +44,7 @@ class ClusterPairlist:
     nbr: jnp.ndarray         # (C, NNBR) j-cluster ids (C = dummy/pad)
     nbr_mask: jnp.ndarray    # (C, NNBR) 1.0 valid
     n_overflow: jnp.ndarray  # () int32: clusters whose neighbours exceeded NNBR
+    max_count: jnp.ndarray   # () int32: max neighbours any cluster needed
     # sorted static atom data (rebuilt when the sort changes)
     q_a: jnp.ndarray         # (n_pad,)
     q_b: jnp.ndarray
@@ -95,25 +96,33 @@ def sort_atoms_by_cell(x, box, cell_size: float):
 
 
 @partial(jax.jit, static_argnames=("nnbr", "block"))
-def _cluster_neighbors(centers, radii, box, rlist2, nnbr: int,
+def _cluster_neighbors(bb_lo, bb_hi, box, rlist2, nnbr: int,
                        block: int = 256):
-    """For each cluster, the nnbr nearest clusters whose bounding spheres
-    may overlap within rlist.  centers: (C,3), radii: (C,)."""
-    C = centers.shape[0]
+    """For each cluster, up to nnbr clusters whose axis-aligned bounding
+    boxes come within rlist (exact bbox-bbox lower bound, much tighter
+    than bounding spheres for ragged clusters; same role as the
+    reference's SIMD-packed cluster bounds, nbnxm/boundingboxes.h).
+    bb_lo/bb_hi: (C, 3)."""
+    C = bb_lo.shape[0]
     Cp = ((C + block - 1) // block) * block
     pad = Cp - C
-    centers_p = jnp.pad(centers, ((0, pad), (0, 0)), constant_values=1e6)
-    radii_p = jnp.pad(radii, (0, pad))
+    lo_p = jnp.pad(bb_lo, ((0, pad), (0, 0)), constant_values=1e6)
+    hi_p = jnp.pad(bb_hi, ((0, pad), (0, 0)), constant_values=1e6)
+    centers = 0.5 * (bb_lo + bb_hi)
+    half = 0.5 * (bb_hi - bb_lo)
 
     def one_block(cb):
-        cen = jax.lax.dynamic_slice(centers_p, (cb * block, 0), (block, 3))
-        rad = jax.lax.dynamic_slice(radii_p, (cb * block,), (block,))
-        dc = pbc_mod.pbc_dx(cen[:, None, :] - centers[None, :, :], box)
-        d = jnp.sqrt(jnp.sum(dc * dc, -1))
-        lb = jnp.maximum(d - rad[:, None] - radii[None, :], 0.0)
-        cand = lb * lb < rlist2
+        lo = jax.lax.dynamic_slice(lo_p, (cb * block, 0), (block, 3))
+        hi = jax.lax.dynamic_slice(hi_p, (cb * block, 0), (block, 3))
+        cen_i = 0.5 * (lo + hi)
+        half_i = 0.5 * (hi - lo)
+        dc = pbc_mod.pbc_dx(cen_i[:, None, :] - centers[None, :, :], box)
+        gap = jnp.abs(dc) - (half_i[:, None, :] + half[None, :, :])
+        gap = jnp.maximum(gap, 0.0)
+        lb2 = jnp.sum(gap * gap, -1)
+        cand = lb2 < rlist2
         count = jnp.sum(cand, axis=1)
-        score = jnp.where(cand, -lb, -jnp.inf)
+        score = jnp.where(cand, -lb2, -jnp.inf)
         k = min(nnbr, C)
         top_scores, top_idx = jax.lax.top_k(score, k)
         mask = jnp.isfinite(top_scores)
@@ -129,7 +138,8 @@ def _cluster_neighbors(centers, radii, box, rlist2, nnbr: int,
     mask = mask.reshape(Cp, nnbr)[:C]
     count = count.reshape(Cp)[:C]
     n_overflow = jnp.sum(count > nnbr)
-    return idx, mask, n_overflow
+    max_count = jnp.max(count)
+    return idx, mask, n_overflow, max_count
 
 
 def build_cluster_pairlist(x, box, system: System, rlist: float,
@@ -140,7 +150,12 @@ def build_cluster_pairlist(x, box, system: System, rlist: float,
     C = (n + CLUSTER - 1) // CLUSTER
     n_pad = C * CLUSTER
     if cell_size is None:
-        cell_size = max(rlist / 2.0, 0.2)
+        # aim for ~one cluster per sort cell (tight clusters; reference
+        # grid.cpp sizes cells to the cluster size the same way).  Needs a
+        # concrete box — under jit pass cell_size explicitly.
+        import numpy as _np
+        vol = float(_np.prod(_np.diagonal(_np.asarray(box))))
+        cell_size = max((CLUSTER * vol / max(n, 1)) ** (1.0 / 3.0), 0.15)
 
     perm = sort_atoms_by_cell(x, box, cell_size)
     perm = jnp.concatenate([perm, jnp.full((n_pad - n,), n, jnp.int32)])
@@ -151,11 +166,11 @@ def build_cluster_pairlist(x, box, system: System, rlist: float,
     dummy = 1e4 + jnp.arange(n_pad - n, dtype=x.dtype)[:, None] * jnp.ones(3)
     xs = jnp.concatenate([pbc_mod.wrap_into_box(x, box)[perm[:n]], dummy])
     xc = xs.reshape(C, CLUSTER, 3)
-    centers = jnp.mean(xc, axis=1)
-    radii = jnp.sqrt(jnp.max(jnp.sum((xc - centers[:, None, :]) ** 2, -1), 1))
+    bb_lo = jnp.min(xc, axis=1)
+    bb_hi = jnp.max(xc, axis=1)
 
-    nbr, nbr_mask, n_overflow = _cluster_neighbors(
-        centers, radii, box, jnp.asarray(rlist**2, x.dtype), nnbr)
+    nbr, nbr_mask, n_overflow, max_count = _cluster_neighbors(
+        bb_lo, bb_hi, box, jnp.asarray(rlist**2, x.dtype), nnbr)
 
     # sorted static atom data
     def gather_pad(a, fill):
@@ -178,6 +193,7 @@ def build_cluster_pairlist(x, box, system: System, rlist: float,
 
     return ClusterPairlist(perm=perm, inv_perm=inv_perm, nbr=nbr,
                            nbr_mask=nbr_mask, n_overflow=n_overflow,
+                           max_count=max_count,
                            q_a=q_a, q_b=q_b, t_a=t_a, t_b=t_b, pert=pert,
                            excl=excl)
 
