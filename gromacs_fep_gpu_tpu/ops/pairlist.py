@@ -82,15 +82,60 @@ def _morton3(ix, iy, iz, bits=8):
     return key
 
 
+def _hilbert3(ix, iy, iz, bits=8):
+    """3D Hilbert index (Skilling's transpose algorithm, vectorized).
+
+    Unlike the Morton/Z curve, the Hilbert curve has no discontinuities,
+    so consecutive atoms along it — and hence the 8-atom clusters cut from
+    the sorted order — stay spatially compact, which directly bounds the
+    cluster bounding boxes the pair search prunes with.
+    """
+    X = [ix.astype(jnp.int32), iy.astype(jnp.int32), iz.astype(jnp.int32)]
+    M = 1 << (bits - 1)
+    Q = M
+    while Q > 1:
+        P = Q - 1
+        for i in range(3):
+            cond = (X[i] & Q) != 0
+            x0_if = X[0] ^ P
+            t = (X[0] ^ X[i]) & P
+            x0_else = X[0] ^ t
+            xi_else = X[i] ^ t
+            X0_new = jnp.where(cond, x0_if, x0_else)
+            Xi_new = jnp.where(cond, X[i], xi_else)
+            X[0] = X0_new
+            if i != 0:
+                X[i] = Xi_new
+        Q >>= 1
+    X[1] = X[1] ^ X[0]
+    X[2] = X[2] ^ X[1]
+    t = jnp.zeros_like(X[0])
+    Q = M
+    while Q > 1:
+        t = jnp.where((X[2] & Q) != 0, t ^ (Q - 1), t)
+        Q >>= 1
+    X = [xi ^ t for xi in X]
+    # interleave transpose-form bits, MSB first, dim 0 highest
+    key = jnp.zeros_like(X[0])
+    for b in range(bits - 1, -1, -1):
+        for i in range(3):
+            key = (key << 1) | ((X[i] >> b) & 1)
+    return key
+
+
 def sort_atoms_by_cell(x, box, cell_size: float):
     """Morton ordering of atoms (reference: nbnxm/grid.cpp cell sorting)."""
     n = x.shape[0]
     xw = pbc_mod.wrap_into_box(x, box)
     diag = jnp.diag(box)
-    ncell = jnp.clip((diag / cell_size).astype(jnp.int32), 1, 255)
+    # snap the per-dim cell count UP to a power of two: the Hilbert curve
+    # is built on a 2^b cube and non-power-of-2 grids measurably degrade
+    # cluster compactness (and thus pair-list tightness)
+    raw = jnp.clip(diag / cell_size, 1.0, 255.0)
+    ncell = jnp.exp2(jnp.ceil(jnp.log2(raw))).astype(jnp.int32)
     frac = xw @ jnp.linalg.inv(box)
     ic = jnp.clip((frac * ncell).astype(jnp.int32), 0, ncell - 1)
-    key = _morton3(ic[:, 0], ic[:, 1], ic[:, 2])
+    key = _hilbert3(ic[:, 0], ic[:, 1], ic[:, 2])
     perm = jnp.argsort(key)
     return perm
 
@@ -166,8 +211,17 @@ def build_cluster_pairlist(x, box, system: System, rlist: float,
     dummy = 1e4 + jnp.arange(n_pad - n, dtype=x.dtype)[:, None] * jnp.ones(3)
     xs = jnp.concatenate([pbc_mod.wrap_into_box(x, box)[perm[:n]], dummy])
     xc = xs.reshape(C, CLUSTER, 3)
-    bb_lo = jnp.min(xc, axis=1)
-    bb_hi = jnp.max(xc, axis=1)
+    # Bounding boxes in a per-cluster local frame: clusters straddling the
+    # periodic boundary would otherwise span the whole box and match every
+    # other cluster.  Wrap each atom's offset to the cluster's first atom.
+    xref = xc[:, 0:1, :]
+    dloc = pbc_mod.pbc_dx(xc - xref, box)
+    # padding atoms must not inflate the bbox (sorted order puts real atoms
+    # first, so atom 0 of a partially-filled cluster is always real)
+    valid_lane = (perm < n).reshape(C, CLUSTER, 1)
+    dloc = jnp.where(valid_lane, dloc, 0.0)
+    bb_lo = xref[:, 0] + jnp.min(dloc, axis=1)
+    bb_hi = xref[:, 0] + jnp.max(dloc, axis=1)
 
     nbr, nbr_mask, n_overflow, max_count = _cluster_neighbors(
         bb_lo, bb_hi, box, jnp.asarray(rlist**2, x.dtype), nnbr)
