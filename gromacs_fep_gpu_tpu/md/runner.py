@@ -106,31 +106,36 @@ class MdRunner:
         return factory, n_foreign
 
     def _build_chunk(self, seg_len: int):
+        """Two jitted programs per chunk: pair-search rebuild and the
+        nstlist-step scan.  Keeping them separate lets XLA pick clean
+        input layouts for the scan (fusing the rebuild into the same
+        program measured 3.5x slower per step); both dispatches are async
+        so the host still never blocks."""
         cfg = self.config
         rl = effective_rlist(self.params)
         foreign_factory, n_foreign = self._foreign_factory()
         force_fn = self._force_fn
         compute_pressure = self.params.pcoupl.value != "no"
 
-        def chunk(state: State):
+        def rebuild(state: State):
             if cfg.use_dense:
-                nlist = feplist = None
-                flags = jnp.zeros((3,), jnp.int32)
-            else:
-                nlist = build_cluster_pairlist(
-                    state.x, state.box, self.system, rl, nnbr=cfg.nnbr,
-                    cell_size=cfg.cell_size)
-                feplist = None
-                fep_ovf = jnp.zeros((), jnp.int32)
-                if self.has_fep:
-                    feplist = build_fep_pairlist(
-                        state.x, state.box, self.system, rl, self.pert_idx,
-                        max_nbr=cfg.fep_max_nbr)
-                    fep_ovf = feplist.n_overflow.astype(jnp.int32)
-                flags = jnp.stack([nlist.n_overflow.astype(jnp.int32),
-                                   fep_ovf,
-                                   nlist.max_count.astype(jnp.int32)])
+                return None, None, jnp.zeros((3,), jnp.int32)
+            nlist = build_cluster_pairlist(
+                state.x, state.box, self.system, rl, nnbr=cfg.nnbr,
+                cell_size=cfg.cell_size)
+            feplist = None
+            fep_ovf = jnp.zeros((), jnp.int32)
+            if self.has_fep:
+                feplist = build_fep_pairlist(
+                    state.x, state.box, self.system, rl, self.pert_idx,
+                    max_nbr=cfg.fep_max_nbr)
+                fep_ovf = feplist.n_overflow.astype(jnp.int32)
+            flags = jnp.stack([nlist.n_overflow.astype(jnp.int32),
+                               fep_ovf,
+                               nlist.max_count.astype(jnp.int32)])
+            return nlist, feplist, flags
 
+        def scan(state: State, nlist, feplist):
             bound_force = lambda x, box, lam: force_fn(x, box, lam, nlist,
                                                        feplist)
 
@@ -146,9 +151,17 @@ class MdRunner:
                                   if foreign_factory else None),
                 n_foreign=n_foreign)
             state_out, log = jax.lax.scan(step_fn, state, length=seg_len)
+            return state_out, log
+
+        rebuild_j = jax.jit(rebuild)
+        scan_j = jax.jit(scan)
+
+        def chunk(state: State):
+            nlist, feplist, flags = rebuild_j(state)
+            state_out, log = scan_j(state, nlist, feplist)
             return state_out, log, flags
 
-        return jax.jit(chunk)
+        return chunk
 
     def _grow(self, flags: np.ndarray):
         if flags[0] > 0:

@@ -93,24 +93,24 @@ def _bspline_moduli(K: int, order: int) -> np.ndarray:
     return b2.astype(np.float32)
 
 
-def spread_charges(x, box, charges, grid_shape, order: int = 4):
-    """Scatter charges onto the (K1,K2,K3) mesh with B-spline weights."""
+def _spline_data(x, box, grid_shape, order: int):
+    """Per-axis B-spline weights and (wrapped) cell indices."""
     K = jnp.array(grid_shape)
-    # fractional coordinates in [0,1): s = x @ box^-1 (box lower-triangular)
     binv = jnp.linalg.inv(box)
     s = x @ binv
     s = s - jnp.floor(s)
     u = s * K.astype(x.dtype)
     gi = jnp.floor(u).astype(jnp.int32)
     w = u - gi.astype(x.dtype)
-
-    # weights per dimension: (N, order); cell index gi - j mod K
-    n = x.shape[0]
     ws = [bspline_weights(w[:, d], order) for d in range(3)]
     j = jnp.arange(order)
     idx = [(gi[:, d:d + 1] - j[None, :]) % grid_shape[d] for d in range(3)]
+    return ws, idx
 
-    # outer product of weights -> (N, order, order, order)
+
+def spread_charges_scatter(x, box, charges, grid_shape, order: int = 4):
+    """Reference scatter-add spread (slow on TPU; kept as oracle)."""
+    ws, idx = _spline_data(x, box, grid_shape, order)
     wq = (charges[:, None, None, None]
           * ws[0][:, :, None, None]
           * ws[1][:, None, :, None]
@@ -122,6 +122,52 @@ def spread_charges(x, box, charges, grid_shape, order: int = 4):
     grid = grid.at[i0.reshape(-1), i1.reshape(-1), i2.reshape(-1)].add(
         wq.reshape(-1))
     return grid
+
+
+def spread_charges(x, box, charges, grid_shape, order: int = 4,
+                   chunk: int = 8192):
+    """MXU-formulated charge spread: per-axis dense one-hot weight rows
+    W_d (N, K_d), then Q = (q WX)^T (WY x WZ) as one matmul per atom
+    chunk.  Replaces the 64N-update scatter-add, which serializes on TPU
+    (measured 5.5x slower at 12k atoms / 42^3); the AD transpose of this
+    formulation is again matmuls, so the force gather inherits the speed.
+    The reference's CUDA spread (pme_spread.cu) uses shared-memory
+    atomics — this is the systolic-array equivalent.
+    """
+    n = x.shape[0]
+    K1, K2, K3 = grid_shape
+    ws, idx = _spline_data(x, box, grid_shape, order)
+
+    oh = []
+    for d, Kd in enumerate(grid_shape):
+        cells = jnp.arange(Kd)
+        o = jnp.zeros((n, Kd), x.dtype)
+        for jj in range(order):
+            o = o + ws[d][:, jj:jj + 1] * (idx[d][:, jj:jj + 1]
+                                           == cells[None, :])
+        oh.append(o)
+    qwx = charges[:, None] * oh[0]
+
+    if n <= chunk:
+        u = (oh[1][:, :, None] * oh[2][:, None, :]).reshape(n, K2 * K3)
+        grid = jnp.dot(qwx.T, u, preferred_element_type=x.dtype)
+        return grid.reshape(grid_shape)
+
+    # chunk over atoms to bound the (chunk, K2*K3) intermediate
+    nchunks = -(-n // chunk)
+    npad = nchunks * chunk
+    qwx_p = jnp.pad(qwx, ((0, npad - n), (0, 0))).reshape(nchunks, chunk, K1)
+    oh1_p = jnp.pad(oh[1], ((0, npad - n), (0, 0))).reshape(nchunks, chunk, K2)
+    oh2_p = jnp.pad(oh[2], ((0, npad - n), (0, 0))).reshape(nchunks, chunk, K3)
+
+    def body(acc, args):
+        a, b, c = args
+        u = (b[:, :, None] * c[:, None, :]).reshape(chunk, K2 * K3)
+        return acc + jnp.dot(a.T, u, preferred_element_type=x.dtype), None
+
+    grid0 = jnp.zeros((K1, K2 * K3), x.dtype)
+    grid, _ = jax.lax.scan(body, grid0, (qwx_p, oh1_p, oh2_p))
+    return grid.reshape(grid_shape)
 
 
 def make_influence_function(grid_shape, order: int):
