@@ -41,6 +41,9 @@ class RunnerConfig:
     use_dense: bool = False     # small systems / debugging
     check_every: int = 8        # chunks between overflow-flag reads
     cell_size: Optional[float] = None  # sort-cell edge; default ~ cluster size
+    use_pallas: bool = False    # Pallas supercluster kernel for the NB loop
+    super_nnbr: int = 384       # supercluster list capacity (pallas path)
+    pallas_interpret: bool = False
 
 
 class MdRunner:
@@ -73,7 +76,9 @@ class MdRunner:
         else:
             self._force_fn = make_cluster_force_fn(
                 system, params, self.recip_fn, has_fep=self.has_fep,
-                block=self.config.kernel_block)
+                block=self.config.kernel_block,
+                use_pallas=self.config.use_pallas,
+                pallas_interpret=self.config.pallas_interpret)
 
         self._chunk = None
         self._compiled_for = None
@@ -119,10 +124,11 @@ class MdRunner:
 
         def rebuild(state: State):
             if cfg.use_dense:
-                return None, None, jnp.zeros((3,), jnp.int32)
+                return None, None, jnp.zeros((5,), jnp.int32)
             nlist = build_cluster_pairlist(
                 state.x, state.box, self.system, rl, nnbr=cfg.nnbr,
-                cell_size=cfg.cell_size)
+                cell_size=cfg.cell_size,
+                super_nnbr=cfg.super_nnbr if cfg.use_pallas else None)
             feplist = None
             fep_ovf = jnp.zeros((), jnp.int32)
             if self.has_fep:
@@ -130,9 +136,16 @@ class MdRunner:
                     state.x, state.box, self.system, rl, self.pert_idx,
                     max_nbr=cfg.fep_max_nbr)
                 fep_ovf = feplist.n_overflow.astype(jnp.int32)
+            s_ovf = (nlist.super_overflow.astype(jnp.int32)
+                     if nlist.super_overflow is not None
+                     else jnp.zeros((), jnp.int32))
+            s_max = (nlist.super_max_count.astype(jnp.int32)
+                     if nlist.super_max_count is not None
+                     else jnp.zeros((), jnp.int32))
             flags = jnp.stack([nlist.n_overflow.astype(jnp.int32),
                                fep_ovf,
-                               nlist.max_count.astype(jnp.int32)])
+                               nlist.max_count.astype(jnp.int32),
+                               s_ovf, s_max])
             return nlist, feplist, flags
 
         def scan(state: State, nlist, feplist):
@@ -170,6 +183,9 @@ class MdRunner:
             self.config.nnbr = (need + 7) // 8 * 8
         if flags[1] > 0:
             self.config.fep_max_nbr = int(self.config.fep_max_nbr * 1.5 + 8)
+        if len(flags) > 3 and flags[3] > 0:
+            need = int(max(flags[4], self.config.super_nnbr) * 1.15 + 8)
+            self.config.super_nnbr = (need + 127) // 128 * 128
         self._chunk = None
 
     def run(self, state: State, nsteps: int,
@@ -189,7 +205,8 @@ class MdRunner:
         first_chunk = True
         while done < nsteps:
             seg_len = min(nst, nsteps - done)
-            key = (seg_len, self.config.nnbr, self.config.fep_max_nbr)
+            key = (seg_len, self.config.nnbr, self.config.fep_max_nbr,
+                   self.config.super_nnbr)
             if self._chunk is None or self._compiled_for != key:
                 self._chunk = self._build_chunk(seg_len)
                 self._compiled_for = key
@@ -206,10 +223,11 @@ class MdRunner:
                 with self.wallcycle.region("overflow_check"):
                     fl = np.asarray(
                         jax.device_get(jnp.stack([p[0] for p in pending])))
-                if fl[:, :2].sum() > 0:
+                if fl[:, :2].sum() + fl[:, 3:4].sum() > 0:
                     # roll back to last verified point with grown capacity
                     self._grow(np.array([fl[:, 0].sum(), fl[:, 1].sum(),
-                                         fl[:, 2].max()]))
+                                         fl[:, 2].max(), fl[:, 3].sum(),
+                                         fl[:, 4].max()]))
                     state = verified_state
                     done = verified_done
                     logs = logs[:verified_nlogs]

@@ -316,15 +316,23 @@ def fep_pair_energy(x, box, lam_c, lam_v, feplist: FepPairlist,
 def make_cluster_force_fn(system: System, params: MdParams,
                           pme_recip_fn: Optional[Callable] = None,
                           has_fep: Optional[bool] = None,
-                          block: int = 64):
+                          block: int = 64,
+                          use_pallas: bool = False,
+                          pallas_interpret: bool = False):
     """Production force function: force_fn(x, box, lam, nlist, feplist)
-    -> (f, EnergyTerms)."""
+    -> (f, EnergyTerms).  use_pallas routes the plain nonbonded kernel
+    through the Pallas supercluster kernel (requires a geometric LJ table,
+    a rectangular box, and a pair list built with super_nnbr)."""
     from .forces import get_beta
     beta = get_beta(params)
     import numpy as _np
     if has_fep is None:
         has_fep = bool(_np.asarray(system.perturbed).any())
     lj_mode = lj_table_mode(_np.asarray(system.nbfp))
+    if use_pallas and lj_mode != "geometric":
+        use_pallas = False
+    if use_pallas:
+        from .pallas_nb import pallas_cluster_forces
 
     def other_energy(x, lam, box, feplist):
         """Everything except the plain cluster kernel, as one scalar for
@@ -355,8 +363,14 @@ def make_cluster_force_fn(system: System, params: MdParams,
 
     def force_fn(x, box, lam, nlist: ClusterPairlist,
                  feplist: Optional[FepPairlist] = None):
-        f_sorted, e_coul, e_lj = cluster_nb_kernel(
-            x, box, nlist, system.nbfp, params, beta, block, lj_mode=lj_mode)
+        if use_pallas:
+            f_sorted, e_coul, e_lj = pallas_cluster_forces(
+                x, box, nlist, system.nbfp, params, beta,
+                interpret=pallas_interpret)
+        else:
+            f_sorted, e_coul, e_lj = cluster_nb_kernel(
+                x, box, nlist, system.nbfp, params, beta, block,
+                lj_mode=lj_mode)
         f_cluster = f_sorted[nlist.inv_perm]                  # gather, no scatter
 
         (_, terms), (gx, glam) = grad_other(x, lam, box, feplist)

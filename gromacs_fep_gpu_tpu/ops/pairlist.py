@@ -52,6 +52,11 @@ class ClusterPairlist:
     t_b: jnp.ndarray
     pert: jnp.ndarray        # (n_pad,) float 1.0 if atom perturbed
     excl: jnp.ndarray        # (n_pad, K) exclusion partners in SORTED ids (-1 pad)
+    # supercluster (8-cluster / 64-atom i-block) list for the Pallas kernel
+    # (reference analogue: the 8x8x8 supercluster sci list, pairlist.cpp:3128)
+    nbr_super: Optional[jnp.ndarray] = None       # (S, NNBR_B)
+    super_overflow: Optional[jnp.ndarray] = None  # ()
+    super_max_count: Optional[jnp.ndarray] = None
 
     @property
     def n_clusters(self) -> int:
@@ -141,18 +146,20 @@ def sort_atoms_by_cell(x, box, cell_size: float):
 
 
 @partial(jax.jit, static_argnames=("nnbr", "block"))
-def _cluster_neighbors(bb_lo, bb_hi, box, rlist2, nnbr: int,
+def _cluster_neighbors(bb_lo_i, bb_hi_i, bb_lo, bb_hi, box, rlist2, nnbr: int,
                        block: int = 256):
-    """For each cluster, up to nnbr clusters whose axis-aligned bounding
+    """For each i-box, up to nnbr j-clusters whose axis-aligned bounding
     boxes come within rlist (exact bbox-bbox lower bound, much tighter
     than bounding spheres for ragged clusters; same role as the
     reference's SIMD-packed cluster bounds, nbnxm/boundingboxes.h).
-    bb_lo/bb_hi: (C, 3)."""
+    bb_lo_i/bb_hi_i: (Ci, 3) query boxes (clusters or superclusters);
+    bb_lo/bb_hi: (C, 3) j-cluster boxes."""
+    Ci = bb_lo_i.shape[0]
     C = bb_lo.shape[0]
-    Cp = ((C + block - 1) // block) * block
-    pad = Cp - C
-    lo_p = jnp.pad(bb_lo, ((0, pad), (0, 0)), constant_values=1e6)
-    hi_p = jnp.pad(bb_hi, ((0, pad), (0, 0)), constant_values=1e6)
+    Cp = ((Ci + block - 1) // block) * block
+    pad = Cp - Ci
+    lo_p = jnp.pad(bb_lo_i, ((0, pad), (0, 0)), constant_values=1e6)
+    hi_p = jnp.pad(bb_hi_i, ((0, pad), (0, 0)), constant_values=1e6)
     centers = 0.5 * (bb_lo + bb_hi)
     half = 0.5 * (bb_hi - bb_lo)
 
@@ -179,9 +186,9 @@ def _cluster_neighbors(bb_lo, bb_hi, box, rlist2, nnbr: int,
 
     nblocks = Cp // block
     idx, mask, count = jax.lax.map(one_block, jnp.arange(nblocks))
-    idx = idx.reshape(Cp, nnbr)[:C]
-    mask = mask.reshape(Cp, nnbr)[:C]
-    count = count.reshape(Cp)[:C]
+    idx = idx.reshape(Cp, nnbr)[:Ci]
+    mask = mask.reshape(Cp, nnbr)[:Ci]
+    count = count.reshape(Cp)[:Ci]
     n_overflow = jnp.sum(count > nnbr)
     max_count = jnp.max(count)
     return idx, mask, n_overflow, max_count
@@ -189,7 +196,8 @@ def _cluster_neighbors(bb_lo, bb_hi, box, rlist2, nnbr: int,
 
 def build_cluster_pairlist(x, box, system: System, rlist: float,
                            nnbr: int = 64,
-                           cell_size: Optional[float] = None) -> ClusterPairlist:
+                           cell_size: Optional[float] = None,
+                           super_nnbr: Optional[int] = None) -> ClusterPairlist:
     """Rebuild the cluster pair list (NS step analogue)."""
     n = system.n_atoms
     C = (n + CLUSTER - 1) // CLUSTER
@@ -224,7 +232,24 @@ def build_cluster_pairlist(x, box, system: System, rlist: float,
     bb_hi = xref[:, 0] + jnp.max(dloc, axis=1)
 
     nbr, nbr_mask, n_overflow, max_count = _cluster_neighbors(
-        bb_lo, bb_hi, box, jnp.asarray(rlist**2, x.dtype), nnbr)
+        bb_lo, bb_hi, bb_lo, bb_hi, box, jnp.asarray(rlist**2, x.dtype), nnbr)
+
+    nbr_super = super_overflow = super_max = None
+    if super_nnbr is not None:
+        SB = 8  # clusters per supercluster (64 atoms)
+        S = (C + SB - 1) // SB
+        pad_s = S * SB - C
+        lo_s = jnp.pad(bb_lo, ((0, pad_s), (0, 0)),
+                       constant_values=1e6).reshape(S, SB, 3)
+        hi_s = jnp.pad(bb_hi, ((0, pad_s), (0, 0)),
+                       constant_values=1e6).reshape(S, SB, 3)
+        # guard: padded rows must not shrink the min
+        bbs_lo = jnp.min(lo_s, axis=1)
+        bbs_hi = jnp.max(jnp.where(hi_s > 5e5, -1e6, hi_s), axis=1)
+        nbr_s, _, super_overflow, super_max = _cluster_neighbors(
+            bbs_lo, bbs_hi, bb_lo, bb_hi, box,
+            jnp.asarray(rlist**2, x.dtype), super_nnbr)
+        nbr_super = nbr_s
 
     # sorted static atom data
     def gather_pad(a, fill):
@@ -249,7 +274,9 @@ def build_cluster_pairlist(x, box, system: System, rlist: float,
                            nbr_mask=nbr_mask, n_overflow=n_overflow,
                            max_count=max_count,
                            q_a=q_a, q_b=q_b, t_a=t_a, t_b=t_b, pert=pert,
-                           excl=excl)
+                           excl=excl,
+                           nbr_super=nbr_super, super_overflow=super_overflow,
+                           super_max_count=super_max)
 
 
 def build_fep_pairlist(x, box, system: System, rlist: float,

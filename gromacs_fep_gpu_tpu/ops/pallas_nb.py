@@ -1,0 +1,288 @@
+"""Pallas TPU cluster-pair nonbonded kernel — the hot-loop analogue of the
+reference's CUDA kernel (nbnxm/cuda/nbnxm_cuda_kernel.cuh:141-713).
+
+Mapping of the CUDA design onto TPU (see SURVEY.md §2.6 translation
+notes):
+ - thread block per i-supercluster (8 clusters / 64 atoms)
+     -> one grid program per supercluster; i-atom tile (8, 8) lives in
+        registers/VMEM for the whole j loop
+ - shared-memory xq staging
+     -> whole SoA atom planes pinned in VMEM ((ncl, 8) layout; ~400k
+        atoms fit in 16 MB — beyond that the spatial sharding splits
+        the system first)
+ - warp loop over packed j-groups with interaction masks
+     -> fori_loop over groups of GJ=16 j-clusters, each iteration forming
+        a dense (8, 8, 128) pair tile (sublane x lane = 8 x 128 on the
+        VPU); masks are computed arithmetically — TPU prefers computing
+        masked zeros over divergent skips
+ - j-cluster indices come from a per-supercluster pair list in SMEM
+   (reference: the sci/cjPacked list, pairlist.h nbnxn_cj_packed_t)
+ - atomic force scatter + warp shuffles
+     -> nothing: the FULL list form accumulates i-forces only
+ - exclusion bitmasks -> per-i-atom exclusion-id lists compared against
+   j ids in-register (K comparisons, K = max exclusions per atom)
+
+LJ parameters use the geometric-combination fast path (per-atom sqrt(c6),
+sqrt(c12) planes); general tables route through the XLA kernel instead.
+Energies accumulate per program and are summed by the caller.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..core.types import CoulombType, MdParams
+from ..core.units import ONE_4PI_EPS0
+from .nonbonded_ref import rf_constants
+from .pairlist import CLUSTER, ClusterPairlist
+
+R2_FLOOR = 1e-6
+TWO_OVER_SQRT_PI = 1.1283791670955126
+BI = 8          # i-clusters per supercluster/program (64 atoms)
+GJ = 16         # j-clusters per inner iteration (128 atoms -> lane dim)
+
+
+def _erfc_poly(x):
+    """erfc for x >= 0, Abramowitz & Stegun 7.1.26 (|err| < 1.5e-7) —
+    Mosaic has no erfc primitive; the reference GPU kernels use the same
+    class of polynomial/tabulated approximation (pmecorrF,
+    nbnxm_cuda_kernel_utils.cuh)."""
+    t = 1.0 / (1.0 + 0.3275911 * x)
+    poly = t * (0.254829592 + t * (-0.284496736 + t * (1.421413741
+                + t * (-1.453152027 + t * 1.061405429))))
+    return poly * jnp.exp(-x * x)
+
+
+def _make_kernel(nnbr_b: int, n_excl: int, params: MdParams, beta,
+                 epsfac: float):
+    rc2 = params.rcoulomb ** 2
+    rv2 = params.rvdw ** 2
+    rcinv6 = 1.0 / params.rvdw ** 6
+    if params.coulomb == CoulombType.REACTION_FIELD:
+        krf, crf = rf_constants(params)
+    n_groups = nnbr_b // GJ
+
+    def kernel(nbr_ref,                      # SMEM (1, nnbr_b/128, 128) i32
+               box_ref,                      # SMEM (1, 3) f32 box diagonal
+               xx_ref, xy_ref, xz_ref,       # VMEM (ncl, 8) f32 planes
+               q_ref, s6_ref, s12_ref,       # VMEM (ncl, 8)
+               pv_ref,                       # VMEM (ncl, 8) valid*(1-pert)
+               excl_ref,                     # VMEM (ncl, 8, K) i32
+               fx_ref, fy_ref, fz_ref,       # out VMEM (BI, 8)
+               e_ref):                       # out VMEM (1, 2)
+        pid = pl.program_id(0)
+        c0 = pid * BI
+
+        def iload(ref):
+            return ref[pl.ds(c0, BI), :][:, :, None]     # (BI, 8, 1)
+
+        xi_x = iload(xx_ref)
+        xi_y = iload(xy_ref)
+        xi_z = iload(xz_ref)
+        qi = iload(q_ref)
+        s6i = iload(s6_ref)
+        s12i = iload(s12_ref)
+        pvi = iload(pv_ref)
+        ei = excl_ref[pl.ds(c0, BI), :, :]               # (BI, 8, K)
+        iid = (c0 * CLUSTER
+               + jax.lax.broadcasted_iota(jnp.int32, (BI, CLUSTER, 1), 0)
+               * CLUSTER
+               + jax.lax.broadcasted_iota(jnp.int32, (BI, CLUSTER, 1), 1))
+
+        bx = box_ref[0, 0]
+        by = box_ref[0, 1]
+        bz = box_ref[0, 2]
+
+        def j_group(g, acc):
+            fx, fy, fz, e_c, e_lj = acc
+            base = g * GJ
+            xs, ys, zs, qs, s6s, s12s, pvs, jids = ([] for _ in range(8))
+            for t in range(GJ):
+                idx = base + t
+                cj = nbr_ref[0, idx // 128, idx % 128]
+                xs.append(xx_ref[pl.ds(cj, 1), :])       # (1, 8)
+                ys.append(xy_ref[pl.ds(cj, 1), :])
+                zs.append(xz_ref[pl.ds(cj, 1), :])
+                qs.append(q_ref[pl.ds(cj, 1), :])
+                s6s.append(s6_ref[pl.ds(cj, 1), :])
+                s12s.append(s12_ref[pl.ds(cj, 1), :])
+                pvs.append(pv_ref[pl.ds(cj, 1), :])
+                jids.append(cj * CLUSTER + jax.lax.broadcasted_iota(
+                    jnp.int32, (1, CLUSTER), 1))
+
+            def jcat(parts):
+                return jnp.concatenate(parts, axis=1).reshape(
+                    1, 1, GJ * CLUSTER)
+
+            xj = jcat(xs)
+            yj = jcat(ys)
+            zj = jcat(zs)
+            qj = jcat(qs)
+            s6j = jcat(s6s)
+            s12j = jcat(s12s)
+            pvj = jcat(pvs)
+            jid = jcat(jids)
+
+            # rectangular minimum image (triclinic uses the XLA kernel)
+            dx = xi_x - xj
+            dy = xi_y - yj
+            dz = xi_z - zj
+            dx = dx - jnp.floor(dx / bx + 0.5) * bx
+            dy = dy - jnp.floor(dy / by + 0.5) * by
+            dz = dz - jnp.floor(dz / bz + 0.5) * bz
+            r2 = jnp.maximum(dx * dx + dy * dy + dz * dz, R2_FLOOR)
+            rinv = jax.lax.rsqrt(r2)
+            rinv2 = rinv * rinv
+
+            pairm = pvi * pvj * (iid != jid)
+            exm = jnp.zeros(r2.shape, jnp.bool_)
+            for k in range(n_excl):
+                exm = exm | (ei[:, :, k:k + 1] == jid)
+            incl = 1.0 - exm.astype(r2.dtype)
+            in_c = jnp.where(r2 < rc2, pairm, 0.0)
+            in_v = jnp.where(r2 < rv2, pairm * incl, 0.0)
+
+            c6 = s6i * s6j
+            c12 = s12i * s12j
+            rinv6 = jnp.minimum(rinv2 * rinv2 * rinv2, 1e15)
+            rinv12 = rinv6 * rinv6
+            e_lj_pair = (c12 * rinv12 - c6 * rinv6
+                         - (c12 * rcinv6 * rcinv6 - c6 * rcinv6)) * in_v
+            f_lj = (12.0 * c12 * rinv12 - 6.0 * c6 * rinv6) * rinv2 * in_v
+
+            qq = epsfac * qi * qj
+            if params.coulomb == CoulombType.REACTION_FIELD:
+                e_c_pair = qq * (incl * rinv + krf * r2 - crf) * in_c
+                f_c = qq * (incl * rinv2 * rinv - 2.0 * krf) * in_c
+            elif params.coulomb == CoulombType.PME:
+                br = beta * (r2 * rinv)
+                erfc_t = _erfc_poly(br)
+                gauss = jnp.exp(-br * br)
+                e_c_pair = qq * rinv * (erfc_t - (1.0 - incl)) * in_c
+                f_c = (qq * rinv2 * ((incl - (1.0 - erfc_t)) * rinv
+                                     + beta * TWO_OVER_SQRT_PI * gauss)
+                       * in_c)
+            else:
+                e_c_pair = qq * incl * (rinv - 1.0 / params.rcoulomb) * in_c
+                f_c = qq * incl * rinv2 * rinv * in_c
+
+            fscal = f_lj + f_c
+            fx = fx + jnp.sum(fscal * dx, axis=2)
+            fy = fy + jnp.sum(fscal * dy, axis=2)
+            fz = fz + jnp.sum(fscal * dz, axis=2)
+            e_c = e_c + jnp.sum(e_c_pair)
+            e_lj = e_lj + jnp.sum(e_lj_pair)
+            return fx, fy, fz, e_c, e_lj
+
+        z = jnp.zeros((BI, CLUSTER), jnp.float32)
+        fx, fy, fz, e_c, e_lj = jax.lax.fori_loop(
+            0, n_groups, j_group,
+            (z, z, z, jnp.float32(0.0), jnp.float32(0.0)))
+        fx_ref[...] = fx
+        fy_ref[...] = fy
+        fz_ref[...] = fz
+        e_ref[0, 0, 0] = e_c
+        e_ref[0, 0, 1] = e_lj
+
+    return kernel
+
+
+def pallas_cluster_forces(x, box, nlist: ClusterPairlist, nbfp,
+                          params: MdParams, beta: Optional[float],
+                          interpret: bool = False):
+    """(f_sorted (n_pad, 3), e_coul, e_lj) via the Pallas supercluster
+    kernel.  Requires nlist built with super_nnbr and a geometric LJ
+    table; energies use the 0.5 full-list convention like the XLA twin."""
+    assert nlist.nbr_super is not None, "build pair list with super_nnbr"
+    n = nlist.inv_perm.shape[0]
+    n_pad = nlist.n_pad
+    C = nlist.n_clusters
+    S = nlist.nbr_super.shape[0]
+    nnbr_b = nlist.nbr_super.shape[1]
+    K = nlist.excl.shape[1]
+
+    # rows: S*BI i-clusters (>= C) plus one trailing dummy cluster that the
+    # padded neighbour index C resolves to
+    ncl = S * BI + 1
+    extra = ncl * CLUSTER - n_pad
+    xs = jnp.where((nlist.perm < n)[:, None],
+                   x[jnp.minimum(nlist.perm, n - 1)],
+                   1e4 + jnp.arange(n_pad, dtype=x.dtype)[:, None])
+    dummy = 2e4 + jnp.arange(extra, dtype=x.dtype)[:, None] * jnp.ones(3)
+    xs = jnp.concatenate([xs, dummy])
+
+    def plane(a, fill=0.0, dtype=None):
+        pad = jnp.full((extra,), fill, dtype or a.dtype)
+        return jnp.concatenate([a, pad]).reshape(ncl, CLUSTER)
+
+    diag6 = jnp.sqrt(jnp.maximum(jnp.diagonal(nbfp[:, :, 0]), 0.0))
+    diag12 = jnp.sqrt(jnp.maximum(jnp.diagonal(nbfp[:, :, 1]), 0.0))
+    valid = (nlist.perm < n).astype(x.dtype)
+    pv = valid * (1.0 - nlist.pert)
+
+    xx = xs[:, 0].reshape(ncl, CLUSTER)   # xs already carries the dummy row
+    xy = xs[:, 1].reshape(ncl, CLUSTER)
+    xz = xs[:, 2].reshape(ncl, CLUSTER)
+    q = plane(nlist.q_a)
+    s6 = plane(diag6[nlist.t_a])
+    s12 = plane(diag12[nlist.t_a])
+    pvp = plane(pv)
+    excl = jnp.concatenate(
+        [nlist.excl, jnp.full((extra, K), -1, jnp.int32)]).reshape(
+        ncl, CLUSTER, K)
+
+    # supercluster neighbour rows, padded to a multiple of 128 (SMEM block
+    # tiling) with the dummy cluster id
+    nnbr_pad = -(-nnbr_b // 128) * 128
+    nbr = jnp.pad(jnp.where(nlist.nbr_super >= 0, nlist.nbr_super, C),
+                  ((0, 0), (0, nnbr_pad - nnbr_b)), constant_values=C)
+    nbr = nbr.reshape(S, nnbr_pad // 128, 128)
+    box_diag = jnp.stack([box[0, 0], box[1, 1], box[2, 2]]).reshape(1, 3)
+
+    epsfac = float(ONE_4PI_EPS0 / params.epsilon_r)
+    kernel = _make_kernel(nnbr_pad, K, params, beta, epsfac)
+
+    full = lambda shape: pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
+                                      memory_space=pltpu.ANY)
+    vmem_full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+
+    fx, fy, fz, e = pl.pallas_call(
+        kernel,
+        grid=(S,),
+        in_specs=[
+            pl.BlockSpec((1, nnbr_pad // 128, 128), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 3), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            vmem_full(), vmem_full(), vmem_full(),
+            vmem_full(), vmem_full(), vmem_full(),
+            vmem_full(),
+            vmem_full(),
+        ],
+        out_specs=[
+            pl.BlockSpec((BI, CLUSTER), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((BI, CLUSTER), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((BI, CLUSTER), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 2), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((S * BI, CLUSTER), jnp.float32),
+            jax.ShapeDtypeStruct((S * BI, CLUSTER), jnp.float32),
+            jax.ShapeDtypeStruct((S * BI, CLUSTER), jnp.float32),
+            jax.ShapeDtypeStruct((S, 1, 2), jnp.float32),
+        ],
+        interpret=interpret,
+    )(nbr, box_diag, xx, xy, xz, q, s6, s12, pvp, excl)
+
+    f_sorted = jnp.stack([fx.reshape(-1)[:n_pad], fy.reshape(-1)[:n_pad],
+                          fz.reshape(-1)[:n_pad]], axis=-1)
+    return f_sorted, 0.5 * jnp.sum(e[:, 0, 0]), 0.5 * jnp.sum(e[:, 0, 1])

@@ -1,0 +1,34 @@
+"""Pallas kernel vs XLA cluster kernel (interpret mode on CPU)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gromacs_fep_gpu_tpu.core.types import CoulombType, MdParams
+from gromacs_fep_gpu_tpu.models.water import water_box
+from gromacs_fep_gpu_tpu.ops.cluster_nb import cluster_nb_kernel
+from gromacs_fep_gpu_tpu.ops.pairlist import build_cluster_pairlist
+from gromacs_fep_gpu_tpu.ops.pallas_nb import pallas_cluster_forces
+
+
+@pytest.mark.parametrize("coulomb", [CoulombType.REACTION_FIELD,
+                                     CoulombType.PME])
+def test_pallas_matches_xla_kernel(coulomb):
+    params = MdParams(rcoulomb=0.55, rvdw=0.55, rlist=0.6, coulomb=coulomb)
+    system, state = water_box(3, spacing=0.4, seed=30)
+    beta = 3.5 if coulomb == CoulombType.PME else None
+    nlist = build_cluster_pairlist(state.x, state.box, system, params.rlist,
+                                   nnbr=96, super_nnbr=128)
+    assert int(nlist.super_overflow) == 0
+
+    f_ref, ec_ref, el_ref = cluster_nb_kernel(
+        state.x, state.box, nlist, system.nbfp, params, beta, block=16,
+        lj_mode="geometric")
+    f_p, ec_p, el_p = pallas_cluster_forces(
+        state.x, state.box, nlist, system.nbfp, params, beta, interpret=True)
+
+    np.testing.assert_allclose(float(ec_p), float(ec_ref), rtol=1e-5)
+    np.testing.assert_allclose(float(el_p), float(el_ref), rtol=1e-5)
+    scale = float(jnp.abs(f_ref).max())
+    np.testing.assert_allclose(np.asarray(f_p), np.asarray(f_ref),
+                               atol=2e-5 * scale)
