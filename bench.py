@@ -48,7 +48,9 @@ def main():
         fep=FepParams(enabled=True, sc_alpha=0.5, sc_coul=True, sc_sigma=0.3))
     state = state.replace(lam=state.lam.at[2].set(0.5).at[3].set(0.5))
 
-    runner = MdRunner(system, params, RunnerConfig(nnbr=192, kernel_block=32))
+    runner = MdRunner(system, params,
+                      RunnerConfig(nnbr=288, use_pallas=True, super_nnbr=512,
+                                   fep_max_nbr=512))
 
     # warmup (compile + first segments)
     state, _ = runner.run(state, 2 * params.nstlist)
