@@ -52,8 +52,15 @@ def main():
                       RunnerConfig(nnbr=288, use_pallas=True, super_nnbr=512,
                                    fep_max_nbr=512))
 
-    # warmup (compile + first segments)
-    state, _ = runner.run(state, 2 * params.nstlist)
+    # warmup: compile + let list capacities settle (a capacity growth in
+    # the timed window would trigger a recompile and wreck the timing)
+    for _ in range(5):
+        caps = (runner.config.nnbr, runner.config.super_nnbr,
+                runner.config.fep_max_nbr)
+        state, _ = runner.run(state, 4 * params.nstlist)
+        if (runner.config.nnbr, runner.config.super_nnbr,
+                runner.config.fep_max_nbr) == caps:
+            break
 
     t0 = time.perf_counter()
     state, logs = runner.run(state, nsteps)

@@ -32,8 +32,15 @@ def vrescale_lambda(ekin, ekin_ref, ndf, dt_coupl, tau_t, key):
     c = jnp.exp(-dt_coupl / tau_t)
     k1, k2 = jax.random.split(key)
     r1 = jax.random.normal(k1, ())
-    # sum of (ndf-1) squared gaussians ~ Gamma((ndf-1)/2, 2)
-    r2 = 2.0 * jax.random.gamma(k2, 0.5 * (ndf - 1.0))
+    # sum of (ndf-1) squared gaussians ~ Gamma((ndf-1)/2, 2); for the many
+    # degrees of freedom of an MD system the normal approximation
+    # N(ndf-1, 2(ndf-1)) is exact to O(1/sqrt(ndf)) and avoids the gamma
+    # sampler's rejection loop inside the hot step
+    if ndf > 100:
+        r2 = (ndf - 1.0) + jnp.sqrt(2.0 * (ndf - 1.0)) * jax.random.normal(k2, ())
+        r2 = jnp.maximum(r2, 0.0)
+    else:
+        r2 = 2.0 * jax.random.gamma(k2, 0.5 * (ndf - 1.0))
     ek_safe = jnp.maximum(ekin, 1e-10)
     ek_new = (ekin
               + (1.0 - c) * (ekin_ref * (r2 + r1 * r1) / ndf - ekin)

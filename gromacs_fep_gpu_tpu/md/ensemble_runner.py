@@ -1,0 +1,192 @@
+"""Multi-window FEP ensemble driver — Hamiltonian replica exchange over a
+lambda ladder, all windows advancing as ONE vmapped/sharded XLA program.
+
+Reference analogue: `mdrun -multidir` + replica exchange
+(mdrun/replicaexchange.cpp, mdrunutility/multisim.h).  The TPU design
+batches the whole step over the replica axis and shards it over the mesh
+'ens' axis; exchange is an in-program neighbour permutation using
+energies from the foreign-lambda pass — no MPI, no host round-trips, and
+the Delta-H matrix needed by BAR/MBAR falls out of the same pass.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..core.types import FepCoupling, MdParams, State, System
+from ..core.units import BOLTZ
+from ..ops.forces import dense_energy, get_beta, make_dense_force_fn
+from ..ops.cluster_nb import make_cluster_force_fn
+from ..ops.pairlist import build_cluster_pairlist, build_fep_pairlist
+from ..ops.pme import make_pme_recip_fn
+from ..parallel.mesh import ENS_AXIS
+from .simulator import make_step_fn
+from .runner import concat_logs
+
+
+@dataclasses.dataclass
+class EnsembleConfig:
+    nstexchange: int = 100       # steps between exchange attempts
+    exchange: bool = True
+    use_dense: bool = False
+    nnbr: int = 288
+    fep_max_nbr: int = 512
+    use_pallas: bool = False
+    super_nnbr: int = 512
+    cell_size: Optional[float] = None
+
+
+class EnsembleRunner:
+    """Runs L lambda windows in lockstep with periodic replica exchange."""
+
+    def __init__(self, system: System, params: MdParams,
+                 all_lambda: jnp.ndarray, mesh: Optional[Mesh] = None,
+                 config: Optional[EnsembleConfig] = None):
+        self.system = system
+        self.params = params
+        self.all_lambda = jnp.asarray(all_lambda)
+        self.mesh = mesh
+        self.config = config or EnsembleConfig()
+        self.pert_idx = np.where(np.asarray(system.perturbed))[0]
+        self.has_fep = self.pert_idx.size > 0
+        self.recip_fn = None
+        if params.pme_grid is not None and params.coulomb.value == "pme":
+            self.recip_fn = make_pme_recip_fn(system, params)
+        self._exchange_parity = 0
+        self._chunk = None
+
+    # -- single-window machinery ---------------------------------------
+    def _window_chunk(self, seg_len: int):
+        cfg = self.config
+        L = self.all_lambda.shape[0]
+        from .verletbuf import effective_rlist
+        rl = effective_rlist(self.params)
+        if cfg.use_dense:
+            dense = make_dense_force_fn(self.system, self.params,
+                                        self.recip_fn)
+            force_fn = lambda x, box, lam, nl, fl: dense(x, box, lam)
+        else:
+            force_fn = make_cluster_force_fn(
+                self.system, self.params, self.recip_fn,
+                has_fep=self.has_fep, use_pallas=cfg.use_pallas)
+
+        from ..ops.foreign import make_foreign_delta_fn
+        if cfg.use_dense:
+            beta = get_beta(self.params)
+
+            def delta_factory(feplist):
+                def delta(x, box, lam):
+                    def e_at(l):
+                        return dense_energy(x, box, l, self.system,
+                                            self.params, beta,
+                                            self.recip_fn).epot
+                    return jax.vmap(e_at)(self.all_lambda) - e_at(lam)
+                return delta
+        else:
+            delta_core = make_foreign_delta_fn(
+                self.system, self.params, self.all_lambda, self.recip_fn)
+
+            def delta_factory(feplist):
+                return lambda x, box, lam: delta_core(x, box, lam, feplist)
+
+        def window_chunk(state: State):
+            """One window: rebuild lists + seg_len steps."""
+            if cfg.use_dense:
+                nlist = feplist = None
+            else:
+                nlist = build_cluster_pairlist(
+                    state.x, state.box, self.system, rl, nnbr=cfg.nnbr,
+                    cell_size=cfg.cell_size,
+                    super_nnbr=cfg.super_nnbr if cfg.use_pallas else None)
+                feplist = (build_fep_pairlist(
+                    state.x, state.box, self.system, rl, self.pert_idx,
+                    max_nbr=cfg.fep_max_nbr) if self.has_fep else None)
+            step_fn = make_step_fn(
+                self.system, self.params,
+                lambda x, box, lam: force_fn(x, box, lam, nlist, feplist),
+                foreign_delta_fn=delta_factory(feplist), n_foreign=L)
+            return jax.lax.scan(step_fn, state, length=seg_len)
+
+        return window_chunk
+
+    def _build(self, seg_len: int):
+        window = self._window_chunk(seg_len)
+        vchunk = jax.vmap(window)
+        if self.mesh is not None:
+            shard = NamedSharding(self.mesh, P(ENS_AXIS))
+            return jax.jit(vchunk, in_shardings=(shard,),
+                           out_shardings=(shard, shard))
+        return jax.jit(vchunk)
+
+    # -- exchange --------------------------------------------------------
+    def _exchange(self, states: State, last_delta_h):
+        """Neighbour swap using the last foreign-lambda energies:
+        Delta = beta [dU_i(j) + dU_j(i)] with dU_i(j) = U_{lam_j}(x_i) -
+        U_{lam_i}(x_i) from the Delta-H pass (reference computes the same
+        quantity for lambda-RE, replicaexchange.cpp:867)."""
+        L = self.all_lambda.shape[0]
+        beta = 1.0 / (BOLTZ * self.params.ref_t)
+        parity = self._exchange_parity
+        self._exchange_parity ^= 1
+        idx = jnp.arange(L)
+        partner = jnp.where((idx - parity) % 2 == 0,
+                            jnp.clip(idx + 1, 0, L - 1),
+                            jnp.clip(idx - 1, 0, L - 1))
+        has_partner = partner != idx
+        du_fwd = last_delta_h[idx, partner]        # U_pl(x_i) - U_li(x_i)
+        delta = beta * (du_fwd + du_fwd[partner])
+        lo = jnp.minimum(idx, partner)
+        key = jax.random.fold_in(states.rng[0], int(np.random.randint(1 << 30)))
+        u = jax.random.uniform(key, (L,))
+        accept = (u[lo] < jnp.exp(-jnp.clip(delta, -50.0, 50.0))) & has_partner
+        src = jnp.where(accept, partner, idx)
+        new_states = states.replace(
+            x=states.x[src], v=states.v[src], box=states.box[src],
+            coupling=jax.tree_util.tree_map(lambda a: a[src],
+                                            states.coupling))
+        n_acc = jnp.sum(accept & (partner > idx))
+        return new_states, int(n_acc)
+
+    # -- main loop --------------------------------------------------------
+    def run(self, states: State, nsteps: int):
+        """states: batched State (leading axis L).  Returns (states, logs,
+        n_exchanges_accepted)."""
+        nst = self.params.nstlist
+        nex = max(self.config.nstexchange, nst)
+        seg = min(nst, nsteps)
+        if self.config.cell_size is None and not self.config.use_dense:
+            vol = float(np.prod(np.diag(np.asarray(states.box[0]))))
+            n = max(self.system.n_atoms, 1)
+            self.config.cell_size = max((8.0 * vol / n) ** (1.0 / 3.0), 0.15)
+        if self._chunk is None:
+            self._chunk = self._build(seg)
+        if self.mesh is not None:
+            states = jax.device_put(
+                states, NamedSharding(self.mesh, P(ENS_AXIS)))
+        logs = []
+        n_acc_total = 0
+        done = 0
+        since_exchange = 0
+        while done < nsteps:
+            states, log = self._chunk(states)
+            logs.append(log)
+            done += seg
+            since_exchange += seg
+            if self.config.exchange and since_exchange >= nex:
+                dh = np.asarray(log.delta_h)            # (L, seg, L)
+                valid = ~np.isnan(dh[0, :, 0])
+                if valid.any():
+                    last = np.where(valid)[0][-1]
+                    states, n_acc = self._exchange(
+                        states, jnp.asarray(dh[:, last, :]))
+                    if self.mesh is not None:
+                        states = jax.device_put(
+                            states, NamedSharding(self.mesh, P(ENS_AXIS)))
+                    n_acc_total += n_acc
+                since_exchange = 0
+        return states, logs, n_acc_total

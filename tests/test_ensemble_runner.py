@@ -1,0 +1,51 @@
+"""Ensemble FEP driver test: 4 windows on the 8-device CPU mesh, with
+replica exchange and a BAR estimate at the end (config #4 of
+BASELINE.json)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gromacs_fep_gpu_tpu.analysis.bar import bar_profile
+from gromacs_fep_gpu_tpu.core.types import (CoulombType, FepParams, MdParams,
+                                            TcouplType)
+from gromacs_fep_gpu_tpu.md.ensemble_runner import (EnsembleConfig,
+                                                    EnsembleRunner)
+from gromacs_fep_gpu_tpu.models.solvation import solvation_system
+from gromacs_fep_gpu_tpu.parallel.ensemble import lambda_schedule, stack_states
+from gromacs_fep_gpu_tpu.parallel.mesh import make_mesh
+
+
+def test_ensemble_fep_run_with_exchange():
+    L = 4
+    all_lambda = lambda_schedule(L)
+    params = MdParams(dt=0.002, nstlist=10, coulomb=CoulombType.REACTION_FIELD,
+                      rcoulomb=0.58, rvdw=0.58, rlist=0.64, nstcomm=0,
+                      tcoupl=TcouplType.V_RESCALE, ref_t=300.0, nsttcouple=1,
+                      tau_t=0.2,
+                      fep=FepParams(enabled=True, sc_alpha=0.5, sc_coul=True,
+                                    nstdhdl=5))
+    system, state0 = solvation_system(n_side=3, spacing=0.4, seed=17,
+                                      temperature=300.0)
+    mesh = make_mesh(n_ens=4, n_spatial=2)
+    runner = EnsembleRunner(system, params, all_lambda, mesh=mesh,
+                            config=EnsembleConfig(nstexchange=20, nnbr=96,
+                                                  fep_max_nbr=128))
+    states = stack_states(state0, all_lambda, seed=5)
+    states, logs, n_acc = runner.run(states, 60)
+
+    assert states.x.shape[0] == L
+    ep = np.asarray(logs[-1].epot)
+    assert np.isfinite(ep).all()
+
+    # collect Delta H rows and run BAR
+    dh_rows, idx_rows = [], []
+    for log in logs:
+        dh = np.asarray(log.delta_h)       # (L, seg, L)
+        for w in range(L):
+            keep = ~np.isnan(dh[w, :, 0])
+            dh_rows.append(dh[w, keep])
+            idx_rows.append(np.full(keep.sum(), w))
+    delta_h = np.concatenate(dh_rows)
+    lam_idx = np.concatenate(idx_rows)
+    legs, total, err = bar_profile(delta_h, lam_idx, 300.0, skip_frac=0.0)
+    assert np.isfinite(total)
