@@ -54,10 +54,10 @@ def main():
 
     # warmup: compile + let list capacities settle (a capacity growth in
     # the timed window would trigger a recompile and wreck the timing)
-    for _ in range(5):
+    for _ in range(8):
         caps = (runner.config.nnbr, runner.config.super_nnbr,
                 runner.config.fep_max_nbr)
-        state, _ = runner.run(state, 4 * params.nstlist)
+        state, _ = runner.run(state, 10 * params.nstlist)
         if (runner.config.nnbr, runner.config.super_nnbr,
                 runner.config.fep_max_nbr) == caps:
             break

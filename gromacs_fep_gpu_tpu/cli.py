@@ -1,0 +1,201 @@
+"""Command-line interface — the `gmx` multiplex analogue
+(reference: src/programs/gmx.cpp:49, mdrun registered in
+legacymodules.cpp; mdrun flags from mdrun/legacymdrunoptions.h incl. the
+fork's -fep).
+
+Commands:
+  grompp  -f md.mdp -p topol.top -c conf.gro -o topol.tpz
+  mdrun   -s topol.tpz [-nsteps N] [-deffnm md] [-cpi state.cpt]
+          [-fep auto|cpu|tpu]
+  bar     -f dhdl0.xvg dhdl1.xvg ...
+  check   -s topol.tpz
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def cmd_grompp(args):
+    from .io.groio import read_gro
+    from .io.mdpio import mdp_to_params
+
+    with open(args.f) as f:
+        mdp_text = f.read()
+    with open(args.p) as f:
+        top_text = f.read()
+    names, resnames, x, v, box = read_gro(args.c)
+    params, all_lambda = mdp_to_params(mdp_text)
+    # validate by building once
+    from .io.topio import system_from_top
+    system = system_from_top(top_text, include_dirs=[os.path.dirname(args.p)],
+                             couple_moltype=args.couple_moltype)
+    assert system.n_atoms == x.shape[0], \
+        f"topology has {system.n_atoms} atoms, coordinates {x.shape[0]}"
+    np.savez(args.o, top=top_text, mdp=mdp_text, x=x,
+             v=(v if v is not None else np.zeros_like(x)), box=box,
+             couple_moltype=args.couple_moltype or "",
+             names=names, resnames=resnames)
+    print(f"wrote {args.o} ({system.n_atoms} atoms)")
+
+
+def _load_tpz(path):
+    from .io.mdpio import mdp_to_params
+    from .io.topio import system_from_top
+    from .core.types import make_state
+
+    data = np.load(path, allow_pickle=True)
+    params, all_lambda = mdp_to_params(str(data["mdp"]))
+    cm = str(data["couple_moltype"]) or None
+    system = system_from_top(str(data["top"]), couple_moltype=cm)
+    state = make_state(data["x"], data["v"], data["box"],
+                       seed=params.ld_seed)
+    return system, params, all_lambda, state, data
+
+
+def cmd_mdrun(args):
+    import jax
+    import jax.numpy as jnp
+    from .core.types import CoulombType, FepCoupling
+    from .io.checkpoint import load_checkpoint, save_checkpoint
+    from .io.groio import write_gro
+    from .io.xvgio import write_dhdl_xvg
+    from .md.runner import MdRunner, RunnerConfig, concat_logs
+    from .ops.pme import pme_grid_size
+
+    system, params, all_lambda, state, data = _load_tpz(args.s)
+    if args.nsteps is not None:
+        params = params.replace(nsteps=args.nsteps)
+    if params.coulomb == CoulombType.PME and params.pme_grid is None:
+        diag = tuple(float(v) for v in np.diag(data["box"]))
+        params = params.replace(pme_grid=pme_grid_size(
+            diag, params.fourier_spacing))
+
+    lam_arr = None
+    if all_lambda is not None:
+        lam_arr = jnp.asarray(all_lambda.T)   # (L, 7)
+        lam0 = lam_arr[params.fep.init_lambda_state]
+        state = state.replace(lam=lam0,
+                              fep_state=jnp.asarray(
+                                  params.fep.init_lambda_state, jnp.int32))
+    if args.cpi and os.path.exists(args.cpi):
+        state, _ = load_checkpoint(args.cpi, state)
+        print(f"restarted from {args.cpi} at step {int(state.step)}")
+
+    use_pallas = args.fep != "cpu"
+    runner = MdRunner(system, params,
+                      RunnerConfig(use_pallas=use_pallas),
+                      all_lambda=lam_arr)
+    t0 = time.time()
+    state, logs = runner.run(state, params.nsteps)
+    jax.block_until_ready(state.x)
+    wall = time.time() - t0
+    log = concat_logs(logs)
+
+    deffnm = args.deffnm
+    # energy file (csv analogue of edr) + dhdl + checkpoint + final conf
+    times = np.arange(len(log.epot)) * params.dt
+    np.savetxt(f"{deffnm}.ener.csv",
+               np.stack([times, log.epot, log.ekin, log.temp, log.pres], 1),
+               header="time epot ekin temp pres", comments="# ")
+    if all_lambda is not None:
+        dh = np.asarray(log.delta_h)
+        keep = ~np.isnan(dh[:, 0])
+        write_dhdl_xvg(f"{deffnm}.dhdl.xvg", times[keep],
+                       np.asarray(log.dvdl)[keep], dh[keep],
+                       np.asarray(lam_arr),
+                       int(params.fep.init_lambda_state),
+                       temperature=params.ref_t)
+    save_checkpoint(f"{deffnm}.cpt", state)
+    names = [str(n) for n in data["names"]]
+    resnames = [str(r) for r in data["resnames"]]
+    write_gro(f"{deffnm}.gro", "tpumd output", names, resnames,
+              np.asarray(state.x), np.asarray(state.v), np.asarray(state.box))
+    ns_day = params.nsteps * params.dt / 1000.0 / max(wall, 1e-9) * 86400.0
+    print(runner.wallcycle.report())
+    print(f"\nPerformance: {ns_day:10.3f} ns/day  ({wall:.1f} s wall, "
+          f"{params.nsteps} steps, {system.n_atoms} atoms)")
+
+
+def cmd_bar(args):
+    from .analysis.bar import bar_profile
+    from .io.xvgio import read_xvg
+    from .core.types import FepCoupling
+
+    dh_rows, idx_rows = [], []
+    for i, path in enumerate(args.f):
+        data, legends = read_xvg(path)
+        ndvdl = sum(1 for l in legends if l.startswith("dH/d"))
+        dh = data[:, 1 + ndvdl:]
+        dh_rows.append(dh)
+        idx_rows.append(np.full(dh.shape[0], i))
+    delta_h = np.concatenate(dh_rows)
+    lam_idx = np.concatenate(idx_rows)
+    legs, total, err = bar_profile(delta_h, lam_idx, args.temp,
+                                   skip_frac=args.b)
+    print("lambda pair      dG (kJ/mol)    +/-")
+    for i, (dg, e) in enumerate(legs):
+        print(f"{i:3d} -> {i+1:<3d}   {dg:12.3f}   {e:8.3f}")
+    print(f"\ntotal          {total:12.3f}   {err:8.3f} kJ/mol")
+
+
+def cmd_check(args):
+    system, params, all_lambda, state, _ = _load_tpz(args.s)
+    print(f"atoms: {system.n_atoms}")
+    print(f"types: {system.n_types}")
+    print(f"perturbed atoms: {int(np.asarray(system.perturbed).sum())}")
+    print(f"settle waters: {system.settle.atoms.shape[0]}")
+    print(f"constraints: {system.lincs.atoms.shape[0]}")
+    for name, il in system.bonded.items():
+        print(f"{name}: {il.n}")
+    print(f"pairs14: {system.pairs14.n}")
+    print(f"integrator: {params.integrator.value}, dt={params.dt}")
+    if all_lambda is not None:
+        print(f"lambda windows: {all_lambda.shape[1]}")
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="tpumd",
+                                description="TPU-native MD engine with "
+                                "GPU-FEP-class free energy support")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    g = sub.add_parser("grompp", help="preprocess top+gro+mdp into a run file")
+    g.add_argument("-f", required=True, help="mdp file")
+    g.add_argument("-p", required=True, help="top file")
+    g.add_argument("-c", required=True, help="gro file")
+    g.add_argument("-o", default="topol.tpz")
+    g.add_argument("--couple-moltype", default=None)
+    g.set_defaults(fn=cmd_grompp)
+
+    m = sub.add_parser("mdrun", help="run molecular dynamics")
+    m.add_argument("-s", required=True, help="tpz run file")
+    m.add_argument("-deffnm", default="md")
+    m.add_argument("-nsteps", type=int, default=None)
+    m.add_argument("-cpi", default=None, help="checkpoint to restart from")
+    m.add_argument("-fep", choices=["auto", "cpu", "tpu"], default="auto",
+                   help="FEP kernel target (parity with the reference's "
+                   "mdrun -fep flag)")
+    m.set_defaults(fn=cmd_mdrun)
+
+    b = sub.add_parser("bar", help="BAR free-energy estimate from dhdl files")
+    b.add_argument("-f", nargs="+", required=True)
+    b.add_argument("-temp", type=float, default=300.0)
+    b.add_argument("-b", type=float, default=0.1, help="skip fraction")
+    b.set_defaults(fn=cmd_bar)
+
+    c = sub.add_parser("check", help="inspect a run file")
+    c.add_argument("-s", required=True)
+    c.set_defaults(fn=cmd_check)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

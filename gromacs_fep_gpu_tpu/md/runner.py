@@ -179,12 +179,12 @@ class MdRunner:
     def _grow(self, flags: np.ndarray):
         if flags[0] > 0:
             # size to the observed maximum + 15% headroom, 8-aligned
-            need = int(max(flags[2], self.config.nnbr) * 1.15 + 8)
+            need = int(max(flags[2], self.config.nnbr) * 1.25 + 8)
             self.config.nnbr = (need + 7) // 8 * 8
         if flags[1] > 0:
             self.config.fep_max_nbr = int(self.config.fep_max_nbr * 1.5 + 8)
         if len(flags) > 3 and flags[3] > 0:
-            need = int(max(flags[4], self.config.super_nnbr) * 1.15 + 8)
+            need = int(max(flags[4], self.config.super_nnbr) * 1.25 + 8)
             self.config.super_nnbr = (need + 127) // 128 * 128
         self._chunk = None
 
