@@ -52,8 +52,26 @@ def main():
                       RunnerConfig(nnbr=288, use_pallas=True, super_nnbr=512,
                                    fep_max_nbr=512))
 
-    # warmup: compile + let list capacities settle (a capacity growth in
-    # the timed window would trigger a recompile and wreck the timing)
+    # pre-equilibration: the lattice start releases a lot of potential
+    # energy; relax it with a short small-timestep strongly-coupled run so
+    # the timed section measures an equilibrated liquid (and pair-list
+    # capacities stop growing -> no recompiles in the timed window)
+    eq_params = params.replace(dt=0.0005, tcoupl=TcouplType.V_RESCALE,
+                               tau_t=0.1, nsttcouple=1)
+    eq_runner = MdRunner(system, eq_params,
+                         RunnerConfig(nnbr=runner.config.nnbr,
+                                      use_pallas=True,
+                                      super_nnbr=runner.config.super_nnbr,
+                                      fep_max_nbr=runner.config.fep_max_nbr))
+    state = state.replace(lam=state.lam)
+    state, _ = eq_runner.run(state, 600)
+
+    # warmup: compile + let list capacities settle
+    runner.config.nnbr = max(runner.config.nnbr, eq_runner.config.nnbr)
+    runner.config.super_nnbr = max(runner.config.super_nnbr,
+                                   eq_runner.config.super_nnbr)
+    runner.config.fep_max_nbr = max(runner.config.fep_max_nbr,
+                                    eq_runner.config.fep_max_nbr)
     for _ in range(8):
         caps = (runner.config.nnbr, runner.config.super_nnbr,
                 runner.config.fep_max_nbr)

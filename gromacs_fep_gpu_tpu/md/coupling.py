@@ -73,9 +73,8 @@ def virial_pressure(ekin_tensor, virial, volume):
 
 def berendsen_pscale(p_cur, ref_p, dt_coupl, tau_p, compressibility):
     """Isotropic Berendsen box/coordinate scale factor mu (reference:
-    coupling.cpp berendsen_pcoupl)."""
-    scalar = dt_coupl * compressibility / (3.0 * tau_p) * (p_cur - ref_p)
-    mu = 1.0 - scalar
+    coupling.cpp berendsen_pcoupl: mu^3 = 1 - kappa dt/tau (P0 - P))."""
+    mu = 1.0 - dt_coupl * compressibility / (3.0 * tau_p) * (ref_p - p_cur)
     return jnp.clip(mu, 0.98, 1.02)
 
 

@@ -62,10 +62,12 @@ def current_lambdas(step, lam0, params: MdParams):
                     0.0, 1.0)
 
 
-def make_pressure_fn(energy_epot_fn: Callable):
+def make_pressure_fn(energy_epot_fn: Callable,
+                     p_extra_fn: Optional[Callable] = None):
     """Diagonal stress via strain jvp: scale x and box by (1+e) along each
     axis; P_aa = (2 K_aa - dU/de_aa) / V (reference semantics:
-    mdlib/coupling.cpp calc_pres from Ekin and virial)."""
+    mdlib/coupling.cpp calc_pres from Ekin and virial).
+    p_extra_fn(box): isotropic extra pressure in bar (dispersion tail)."""
 
     def pressure(x, box, lam, v, mass, extra_virial_diag=None):
         vol = pbc_mod.box_volume(box)
@@ -80,6 +82,8 @@ def make_pressure_fn(energy_epot_fn: Callable):
         if extra_virial_diag is not None:
             vir_diag = vir_diag + extra_virial_diag
         p_diag = 2.0 / vol * (ekin_diag - vir_diag) * PRESFAC
+        if p_extra_fn is not None:
+            p_diag = p_diag + p_extra_fn(box)
         return jnp.mean(p_diag), p_diag
 
     return pressure
@@ -96,7 +100,11 @@ def make_step_fn(system: System, params: MdParams, force_fn: Callable,
     ndf = degrees_of_freedom(system, params)
     dt = params.dt
     has_constraints = constr_mod.n_constraints(system) > 0
-    pressure_fn = (make_pressure_fn(energy_epot_fn)
+    p_extra_fn = None
+    if params.dispcorr:
+        from ..ops.dispcorr import make_dispersion_correction
+        _, p_extra_fn = make_dispersion_correction(system, params)
+    pressure_fn = (make_pressure_fn(energy_epot_fn, p_extra_fn)
                    if compute_pressure and energy_epot_fn is not None else None)
 
     def step(state: State, _=None) -> Tuple[State, StepLog]:
@@ -153,6 +161,7 @@ def make_step_fn(system: System, params: MdParams, force_fn: Callable,
 
         # --- constraints ---
         constr_rmsd = jnp.zeros((), state.x.dtype)
+        constr_vir_diag = jnp.zeros((3,), state.x.dtype)
         if has_constraints:
             x_c = constr_mod.constrain(state.x, x_new, state.box, system,
                                        invmass, lam[FepCoupling.MASS],
@@ -160,6 +169,10 @@ def make_step_fn(system: System, params: MdParams, force_fn: Callable,
             dv = (x_c - x_new) / dt
             v_new = v_new + dv
             constr_rmsd = jnp.sqrt(jnp.mean(jnp.sum((x_c - x_new)**2, -1)))
+            # constraint virial: f_c = m dx/dt^2; Xi_aa = -1/2 sum x_a f_c,a
+            # (reference: constr.cpp virial from constraint displacements)
+            f_c = mass[:, None] * (x_c - x_new) / (dt * dt)
+            constr_vir_diag = -0.5 * jnp.sum(x_c * f_c, axis=0)
             x_new = x_c
 
         # --- COM motion removal ---
@@ -177,7 +190,8 @@ def make_step_fn(system: System, params: MdParams, force_fn: Callable,
         if params.pcoupl != PcouplType.NO and pressure_fn is not None:
             do_p = (state.step % params.nstpcouple) == 0
             dt_p = params.nstpcouple * dt
-            p_scalar, p_diag = pressure_fn(x_new, state.box, lam, v_new, mass)
+            p_scalar, p_diag = pressure_fn(x_new, state.box, lam, v_new, mass,
+                                           constr_vir_diag)
             if params.pcoupl == PcouplType.BERENDSEN:
                 mu = coupling_mod.berendsen_pscale(
                     p_scalar, params.ref_p, dt_p, params.tau_p,
@@ -187,14 +201,31 @@ def make_step_fn(system: System, params: MdParams, force_fn: Callable,
                     p_scalar, params.ref_p, dt_p, params.tau_p,
                     params.compressibility, pbc_mod.box_volume(state.box),
                     temp, k_baro)
+            elif params.pcoupl == PcouplType.PARRINELLO_RAHMAN:
+                # anisotropic (diagonal) PR: integrate box velocities, scale
+                # box columns and coordinates per axis
+                vol = pbc_mod.box_volume(state.box)
+                boxv_new = coupling_mod.parrinello_rahman_step(
+                    coupl.boxv, state.box, jnp.diag(p_diag), params.ref_p,
+                    dt_p, params.tau_p, params.compressibility, vol)
+                boxv_new = jnp.where(do_p, boxv_new, coupl.boxv)
+                coupl = coupl.replace(boxv=boxv_new)
+                box_prop = state.box + dt_p * boxv_new
+                mu3 = jnp.diag(box_prop) / jnp.diag(state.box)
+                mu3 = jnp.where(do_p, jnp.clip(mu3, 0.99, 1.01), 1.0)
+                mu = None
+                box_new = state.box * mu3[None, :]
+                x_new = x_new * mu3[None, :]
             else:
                 raise NotImplementedError(params.pcoupl)
-            mu = jnp.where(do_p, mu, 1.0)
-            box_new = state.box * mu
-            x_new = x_new * mu
+            if mu is not None:
+                mu = jnp.where(do_p, mu, 1.0)
+                box_new = state.box * mu
+                x_new = x_new * mu
             pres = p_scalar
         elif pressure_fn is not None:
-            pres, _ = pressure_fn(x_new, state.box, lam, v_new, mass)
+            pres, _ = pressure_fn(x_new, state.box, lam, v_new, mass,
+                                  constr_vir_diag)
         else:
             pres = jnp.zeros((), state.x.dtype)
 

@@ -333,6 +333,10 @@ def make_cluster_force_fn(system: System, params: MdParams,
         use_pallas = False
     if use_pallas:
         from .pallas_nb import pallas_cluster_forces
+    disp_e_fn = None
+    if params.dispcorr:
+        from .dispcorr import make_dispersion_correction
+        disp_e_fn, _ = make_dispersion_correction(system, params)
 
     def other_energy(x, lam, box, feplist):
         """Everything except the plain cluster kernel, as one scalar for
@@ -378,6 +382,8 @@ def make_cluster_force_fn(system: System, params: MdParams,
         terms = terms.replace(coulomb=terms.coulomb + e_coul,
                               lj=terms.lj + e_lj,
                               dvdl=glam)
+        if disp_e_fn is not None:
+            terms = terms.replace(dispcorr=disp_e_fn(box))
         return f, terms
 
     return force_fn

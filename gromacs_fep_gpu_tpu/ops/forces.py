@@ -157,8 +157,16 @@ def make_dense_force_fn(system: System, params: MdParams,
 
     grad_fn = jax.value_and_grad(epot, argnums=(0, 1), has_aux=True)
 
+    disp_e_fn = None
+    if params.dispcorr:
+        from .dispcorr import make_dispersion_correction
+        disp_e_fn, _ = make_dispersion_correction(system, params)
+
     def force_fn(x, box, lam):
         (_, terms), (gx, glam) = grad_fn(x, lam, box)
-        return -gx, terms.replace(dvdl=glam)
+        terms = terms.replace(dvdl=glam)
+        if disp_e_fn is not None:
+            terms = terms.replace(dispcorr=disp_e_fn(box))
+        return -gx, terms
 
     return force_fn
