@@ -37,10 +37,11 @@ def cmd_grompp(args):
                              couple_moltype=args.couple_moltype)
     assert system.n_atoms == x.shape[0], \
         f"topology has {system.n_atoms} atoms, coordinates {x.shape[0]}"
-    np.savez(args.o, top=top_text, mdp=mdp_text, x=x,
-             v=(v if v is not None else np.zeros_like(x)), box=box,
-             couple_moltype=args.couple_moltype or "",
-             names=names, resnames=resnames)
+    with open(args.o, "wb") as f:   # np.savez would append .npz to a path
+        np.savez(f, top=top_text, mdp=mdp_text, x=x,
+                 v=(v if v is not None else np.zeros_like(x)), box=box,
+                 couple_moltype=args.couple_moltype or "",
+                 names=names, resnames=resnames)
     print(f"wrote {args.o} ({system.n_atoms} atoms)")
 
 

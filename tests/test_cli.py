@@ -1,0 +1,107 @@
+"""End-to-end CLI test: grompp -> mdrun -> bar on real files (the
+reference's programs/mdrun/tests moduletest pattern)."""
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from gromacs_fep_gpu_tpu.cli import main as cli_main
+from gromacs_fep_gpu_tpu.io.groio import write_gro
+from gromacs_fep_gpu_tpu.models.water import water_template, _random_rotations
+
+TOP = """
+[ defaults ]
+1 2 yes 0.5 0.8333
+
+[ atomtypes ]
+OW   15.9994  -0.834 A 0.315061 0.636386
+HW    1.008    0.417 A 0.0      0.0
+
+[ moleculetype ]
+SOL 2
+
+[ atoms ]
+1 OW 1 SOL OW 1 -0.834 15.9994
+2 HW 1 SOL HW1 1 0.417 1.008
+3 HW 1 SOL HW2 1 0.417 1.008
+
+[ settles ]
+1 1 0.09572 0.15139
+
+[ exclusions ]
+1 2 3
+2 3
+
+[ system ]
+water box
+
+[ molecules ]
+SOL 27
+"""
+
+MDP = """
+integrator = md
+dt = 0.001
+nsteps = 30
+nstlist = 10
+coulombtype = reaction-field
+rcoulomb = 0.55
+rvdw = 0.55
+rlist = 0.6
+tcoupl = v-rescale
+ref-t = 300
+tau-t = 0.5
+nstcomm = 0
+free-energy = yes
+init-lambda-state = 0
+fep-lambdas = 0.0 0.5 1.0
+sc-alpha = 0.5
+sc-coul = yes
+nstdhdl = 5
+"""
+
+
+def make_water_gro(path, n_side=3, spacing=0.4, seed=0):
+    rng = np.random.RandomState(seed)
+    grid = np.mgrid[0:n_side, 0:n_side, 0:n_side].reshape(3, -1).T
+    centers = (grid + 0.5) * spacing
+    rots = _random_rotations(len(centers), rng)
+    tpl = water_template()
+    x = (centers[:, None, :] + np.einsum('nij,kj->nki', rots, tpl)
+         ).reshape(-1, 3)
+    n = x.shape[0]
+    names = ["OW", "HW1", "HW2"] * (n // 3)
+    resnames = ["SOL"] * n
+    box = np.diag([n_side * spacing] * 3)
+    write_gro(path, "water", names, resnames, x, None, box)
+
+
+def test_cli_grompp_mdrun_bar(tmp_path):
+    os.chdir(tmp_path)
+    make_water_gro("conf.gro")
+    with open("topol.top", "w") as f:
+        f.write(TOP)
+    with open("md.mdp", "w") as f:
+        f.write(MDP)
+
+    cli_main(["grompp", "-f", "md.mdp", "-p", "topol.top", "-c", "conf.gro",
+              "-o", "topol.tpz"])
+    assert os.path.exists("topol.tpz")
+
+    cli_main(["check", "-s", "topol.tpz"])
+    cli_main(["mdrun", "-s", "topol.tpz", "-deffnm", "md", "-fep", "cpu"])
+    assert os.path.exists("md.gro")
+    assert os.path.exists("md.cpt")
+    assert os.path.exists("md.ener.csv")
+    assert os.path.exists("md.dhdl.xvg")
+
+    data = np.genfromtxt("md.ener.csv")
+    assert data.shape[0] == 30
+    assert np.isfinite(data).all()
+
+    # restart from checkpoint continues
+    cli_main(["mdrun", "-s", "topol.tpz", "-deffnm", "md2", "-cpi", "md.cpt",
+              "-nsteps", "10", "-fep", "cpu"])
+    assert os.path.exists("md2.gro")
