@@ -7,9 +7,9 @@ notes):
      -> one grid program per supercluster; i-atom tile (8, 8) lives in
         registers/VMEM for the whole j loop
  - shared-memory xq staging
-     -> whole SoA atom planes pinned in VMEM ((ncl, 8) layout; ~400k
-        atoms fit in 16 MB — beyond that the spatial sharding splits
-        the system first)
+     -> whole SoA coordinate planes pinned in VMEM ((ncl, 8) layout;
+        ~400k atoms fit in 16 MB — beyond that the spatial sharding
+        splits the system first)
  - warp loop over packed j-groups with interaction masks
      -> fori_loop over groups of GJ=16 j-clusters, each iteration forming
         a dense (8, 8, 128) pair tile (sublane x lane = 8 x 128 on the
@@ -17,6 +17,10 @@ notes):
         masked zeros over divergent skips
  - j-cluster indices come from a per-supercluster pair list in SMEM
    (reference: the sci/cjPacked list, pairlist.h nbnxn_cj_packed_t)
+ - static j-side data (charges, sqrt-LJ params, masks, ids) is
+   PRE-GATHERED per supercluster outside the kernel, so the inner loop
+   reads it with aligned streaming slices; only the three coordinate
+   planes need scalar-indexed cluster loads (positions change per step)
  - atomic force scatter + warp shuffles
      -> nothing: the FULL list form accumulates i-forces only
  - exclusion bitmasks -> per-i-atom exclusion-id lists compared against
@@ -67,15 +71,18 @@ def _make_kernel(nnbr_b: int, n_excl: int, params: MdParams, beta,
     if params.coulomb == CoulombType.REACTION_FIELD:
         krf, crf = rf_constants(params)
     n_groups = nnbr_b // GJ
+    JW = GJ * CLUSTER   # 128 j atoms per iteration
 
-    def kernel(nbr_ref,                      # SMEM (1, nnbr_b/128, 128) i32
-               box_ref,                      # SMEM (1, 3) f32 box diagonal
+    def kernel(box_ref,                      # SMEM (1, 3) f32 box diagonal
                xx_ref, xy_ref, xz_ref,       # VMEM (ncl, 8) f32 planes
-               q_ref, s6_ref, s12_ref,       # VMEM (ncl, 8)
+               q_ref, s6_ref, s12_ref,       # VMEM (ncl, 8) i-side data
                pv_ref,                       # VMEM (ncl, 8) valid*(1-pert)
                excl_ref,                     # VMEM (ncl, 8, K) i32
+               jx_ref, jy_ref, jz_ref,       # VMEM (1, n_groups, 128)
+               jq_ref, js6_ref, js12_ref,    # VMEM (1, n_groups, 128)
+               jpv_ref, jid_ref,             # VMEM (1, n_groups, 128) i32
                fx_ref, fy_ref, fz_ref,       # out VMEM (BI, 8)
-               e_ref):                       # out VMEM (1, 2)
+               e_ref):                       # out SMEM (1, 1, 2)
         pid = pl.program_id(0)
         c0 = pid * BI
 
@@ -101,33 +108,15 @@ def _make_kernel(nnbr_b: int, n_excl: int, params: MdParams, beta,
 
         def j_group(g, acc):
             fx, fy, fz, e_c, e_lj = acc
-            base = g * GJ
-            xs, ys, zs, qs, s6s, s12s, pvs, jids = ([] for _ in range(8))
-            for t in range(GJ):
-                idx = base + t
-                cj = nbr_ref[0, idx // 128, idx % 128]
-                xs.append(xx_ref[pl.ds(cj, 1), :])       # (1, 8)
-                ys.append(xy_ref[pl.ds(cj, 1), :])
-                zs.append(xz_ref[pl.ds(cj, 1), :])
-                qs.append(q_ref[pl.ds(cj, 1), :])
-                s6s.append(s6_ref[pl.ds(cj, 1), :])
-                s12s.append(s12_ref[pl.ds(cj, 1), :])
-                pvs.append(pv_ref[pl.ds(cj, 1), :])
-                jids.append(cj * CLUSTER + jax.lax.broadcasted_iota(
-                    jnp.int32, (1, CLUSTER), 1))
-
-            def jcat(parts):
-                return jnp.concatenate(parts, axis=1).reshape(
-                    1, 1, GJ * CLUSTER)
-
-            xj = jcat(xs)
-            yj = jcat(ys)
-            zj = jcat(zs)
-            qj = jcat(qs)
-            s6j = jcat(s6s)
-            s12j = jcat(s12s)
-            pvj = jcat(pvs)
-            jid = jcat(jids)
+            # everything j-side streams as row g of (1, n_groups, 128)
+            xj = jx_ref[0:1, pl.ds(g, 1), :]
+            yj = jy_ref[0:1, pl.ds(g, 1), :]
+            zj = jz_ref[0:1, pl.ds(g, 1), :]
+            qj = jq_ref[0:1, pl.ds(g, 1), :]
+            s6j = js6_ref[0:1, pl.ds(g, 1), :]
+            s12j = js12_ref[0:1, pl.ds(g, 1), :]
+            pvj = jpv_ref[0:1, pl.ds(g, 1), :]
+            jid = jid_ref[0:1, pl.ds(g, 1), :]
 
             # rectangular minimum image (triclinic uses the XLA kernel)
             dx = xi_x - xj
@@ -240,29 +229,47 @@ def pallas_cluster_forces(x, box, nlist: ClusterPairlist, nbfp,
     # supercluster neighbour rows, padded to a multiple of 128 (SMEM block
     # tiling) with the dummy cluster id
     nnbr_pad = -(-nnbr_b // 128) * 128
-    nbr = jnp.pad(jnp.where(nlist.nbr_super >= 0, nlist.nbr_super, C),
-                  ((0, 0), (0, nnbr_pad - nnbr_b)), constant_values=C)
-    nbr = nbr.reshape(S, nnbr_pad // 128, 128)
+    nbr2 = jnp.pad(jnp.where(nlist.nbr_super >= 0, nlist.nbr_super, C),
+                   ((0, 0), (0, nnbr_pad - nnbr_b)), constant_values=C)
+    nbr = nbr2.reshape(S, nnbr_pad // 128, 128)
     box_diag = jnp.stack([box[0, 0], box[1, 1], box[2, 2]]).reshape(1, 3)
+
+    # pre-gathered static j-side data: (S, nnbr_pad * 8) row gathers
+    n_groups = nnbr_pad // GJ
+
+    def jgather(pl2d):
+        return pl2d[nbr2].reshape(S, n_groups, GJ * CLUSTER)
+
+    jx = jgather(xx)
+    jy = jgather(xy)
+    jz = jgather(xz)
+    jq = jgather(q)
+    js6 = jgather(s6)
+    js12 = jgather(s12)
+    jpv = jgather(pvp)
+    jid = (nbr2[:, :, None] * CLUSTER
+           + jnp.arange(CLUSTER, dtype=jnp.int32)[None, None, :]
+           ).reshape(S, n_groups, GJ * CLUSTER)
 
     epsfac = float(ONE_4PI_EPS0 / params.epsilon_r)
     kernel = _make_kernel(nnbr_pad, K, params, beta, epsfac)
 
-    full = lambda shape: pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
-                                      memory_space=pltpu.ANY)
     vmem_full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+    jrow = lambda: pl.BlockSpec((1, n_groups, GJ * CLUSTER),
+                                lambda i: (i, 0, 0),
+                                memory_space=pltpu.VMEM)
 
     fx, fy, fz, e = pl.pallas_call(
         kernel,
         grid=(S,),
         in_specs=[
-            pl.BlockSpec((1, nnbr_pad // 128, 128), lambda i: (i, 0, 0),
-                         memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 3), lambda i: (0, 0), memory_space=pltpu.SMEM),
             vmem_full(), vmem_full(), vmem_full(),
             vmem_full(), vmem_full(), vmem_full(),
             vmem_full(),
             vmem_full(),
+            jrow(), jrow(), jrow(),
+            jrow(), jrow(), jrow(), jrow(), jrow(),
         ],
         out_specs=[
             pl.BlockSpec((BI, CLUSTER), lambda i: (i, 0),
@@ -281,7 +288,8 @@ def pallas_cluster_forces(x, box, nlist: ClusterPairlist, nbfp,
             jax.ShapeDtypeStruct((S, 1, 2), jnp.float32),
         ],
         interpret=interpret,
-    )(nbr, box_diag, xx, xy, xz, q, s6, s12, pvp, excl)
+    )(box_diag, xx, xy, xz, q, s6, s12, pvp, excl,
+      jx, jy, jz, jq, js6, js12, jpv, jid)
 
     f_sorted = jnp.stack([fx.reshape(-1)[:n_pad], fy.reshape(-1)[:n_pad],
                           fz.reshape(-1)[:n_pad]], axis=-1)
