@@ -279,6 +279,19 @@ def build_cluster_pairlist(x, box, system: System, rlist: float,
                            super_max_count=super_max)
 
 
+def check_exclusions(x, box, system: System, rlist: float):
+    """Number of excluded pairs beyond rlist — such pairs would silently
+    lose their RF/Ewald exclusion corrections (the reference fails hard on
+    this; nbnxm/exclusionchecker.cpp, pairlist.cpp:4456-4466)."""
+    ex = system.exclusions.idx
+    n = system.n_atoms
+    valid = ex >= 0
+    partner = jnp.where(valid, ex, 0)
+    d = pbc_mod.pbc_dx(x[:, None, :] - x[partner], box)
+    r2 = jnp.sum(d * d, -1)
+    return jnp.sum((r2 > rlist * rlist) & valid)
+
+
 def build_fep_pairlist(x, box, system: System, rlist: float,
                        pert_idx: np.ndarray, max_nbr: int = 512
                        ) -> FepPairlist:
