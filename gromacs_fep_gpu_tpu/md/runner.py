@@ -72,7 +72,8 @@ class MdRunner:
         self._force_fn = None
         if self.config.use_dense:
             dense = make_dense_force_fn(system, params, self.recip_fn)
-            self._force_fn = lambda x, box, lam, nl, fl: dense(x, box, lam)
+            self._force_fn = (lambda x, box, lam, nl, fl, prep=None:
+                              dense(x, box, lam))
         else:
             self._force_fn = make_cluster_force_fn(
                 system, params, self.recip_fn, has_fep=self.has_fep,
@@ -124,7 +125,7 @@ class MdRunner:
 
         def rebuild(state: State):
             if cfg.use_dense:
-                return None, None, jnp.zeros((5,), jnp.int32)
+                return None, None, None, jnp.zeros((5,), jnp.int32)
             nlist = build_cluster_pairlist(
                 state.x, state.box, self.system, rl, nnbr=cfg.nnbr,
                 cell_size=cfg.cell_size,
@@ -146,14 +147,18 @@ class MdRunner:
                                fep_ovf,
                                nlist.max_count.astype(jnp.int32),
                                s_ovf, s_max])
-            return nlist, feplist, flags
+            prep = None
+            if cfg.use_pallas:
+                from ..ops.pallas_nb import pallas_prepare
+                prep = pallas_prepare(nlist, self.system.nbfp)
+            return nlist, feplist, prep, flags
 
-        def scan(state: State, nlist, feplist):
+        def scan(state: State, nlist, feplist, prep):
             bound_force = lambda x, box, lam: force_fn(x, box, lam, nlist,
-                                                       feplist)
+                                                       feplist, prep)
 
             def epot_fn(x, box, lam):
-                _, terms = force_fn(x, box, lam, nlist, feplist)
+                _, terms = force_fn(x, box, lam, nlist, feplist, prep)
                 return terms.epot
 
             step_fn = make_step_fn(
@@ -170,8 +175,8 @@ class MdRunner:
         scan_j = jax.jit(scan)
 
         def chunk(state: State):
-            nlist, feplist, flags = rebuild_j(state)
-            state_out, log = scan_j(state, nlist, feplist)
+            nlist, feplist, prep, flags = rebuild_j(state)
+            state_out, log = scan_j(state, nlist, feplist, prep)
             return state_out, log, flags
 
         return chunk

@@ -366,11 +366,11 @@ def make_cluster_force_fn(system: System, params: MdParams,
     grad_other = jax.value_and_grad(other_energy, argnums=(0, 1), has_aux=True)
 
     def force_fn(x, box, lam, nlist: ClusterPairlist,
-                 feplist: Optional[FepPairlist] = None):
+                 feplist: Optional[FepPairlist] = None, prep=None):
         if use_pallas:
             f_sorted, e_coul, e_lj = pallas_cluster_forces(
                 x, box, nlist, system.nbfp, params, beta,
-                interpret=pallas_interpret)
+                interpret=pallas_interpret, prep=prep)
         else:
             f_sorted, e_coul, e_lj = cluster_nb_kernel(
                 x, box, nlist, system.nbfp, params, beta, block,

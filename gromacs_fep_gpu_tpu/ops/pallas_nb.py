@@ -182,12 +182,29 @@ def _make_kernel(nnbr_b: int, n_excl: int, params: MdParams, beta,
     return kernel
 
 
-def pallas_cluster_forces(x, box, nlist: ClusterPairlist, nbfp,
-                          params: MdParams, beta: Optional[float],
-                          interpret: bool = False):
-    """(f_sorted (n_pad, 3), e_coul, e_lj) via the Pallas supercluster
-    kernel.  Requires nlist built with super_nnbr and a geometric LJ
-    table; energies use the 0.5 full-list convention like the XLA twin."""
+from flax import struct as _struct
+
+
+@_struct.dataclass
+class PallasPrep:
+    """Static per-rebuild data for the Pallas kernel: padded per-atom
+    planes plus the pre-gathered j-side streams.  Compute once per
+    pair-list rebuild (md/runner.py) so the per-step work is only the
+    coordinate gathers + the kernel itself."""
+    q: jnp.ndarray
+    s6: jnp.ndarray
+    s12: jnp.ndarray
+    pvp: jnp.ndarray
+    excl: jnp.ndarray
+    nbr2: jnp.ndarray
+    jq: jnp.ndarray
+    js6: jnp.ndarray
+    js12: jnp.ndarray
+    jpv: jnp.ndarray
+    jid: jnp.ndarray
+
+
+def pallas_prepare(nlist: ClusterPairlist, nbfp) -> PallasPrep:
     assert nlist.nbr_super is not None, "build pair list with super_nnbr"
     n = nlist.inv_perm.shape[0]
     n_pad = nlist.n_pad
@@ -195,29 +212,18 @@ def pallas_cluster_forces(x, box, nlist: ClusterPairlist, nbfp,
     S = nlist.nbr_super.shape[0]
     nnbr_b = nlist.nbr_super.shape[1]
     K = nlist.excl.shape[1]
-
-    # rows: S*BI i-clusters (>= C) plus one trailing dummy cluster that the
-    # padded neighbour index C resolves to
     ncl = S * BI + 1
     extra = ncl * CLUSTER - n_pad
-    xs = jnp.where((nlist.perm < n)[:, None],
-                   x[jnp.minimum(nlist.perm, n - 1)],
-                   1e4 + jnp.arange(n_pad, dtype=x.dtype)[:, None])
-    dummy = 2e4 + jnp.arange(extra, dtype=x.dtype)[:, None] * jnp.ones(3)
-    xs = jnp.concatenate([xs, dummy])
 
-    def plane(a, fill=0.0, dtype=None):
-        pad = jnp.full((extra,), fill, dtype or a.dtype)
+    def plane(a, fill=0.0):
+        pad = jnp.full((extra,), fill, a.dtype)
         return jnp.concatenate([a, pad]).reshape(ncl, CLUSTER)
 
     diag6 = jnp.sqrt(jnp.maximum(jnp.diagonal(nbfp[:, :, 0]), 0.0))
     diag12 = jnp.sqrt(jnp.maximum(jnp.diagonal(nbfp[:, :, 1]), 0.0))
-    valid = (nlist.perm < n).astype(x.dtype)
+    valid = (nlist.perm < n).astype(jnp.float32)
     pv = valid * (1.0 - nlist.pert)
 
-    xx = xs[:, 0].reshape(ncl, CLUSTER)   # xs already carries the dummy row
-    xy = xs[:, 1].reshape(ncl, CLUSTER)
-    xz = xs[:, 2].reshape(ncl, CLUSTER)
     q = plane(nlist.q_a)
     s6 = plane(diag6[nlist.t_a])
     s12 = plane(diag12[nlist.t_a])
@@ -226,30 +232,59 @@ def pallas_cluster_forces(x, box, nlist: ClusterPairlist, nbfp,
         [nlist.excl, jnp.full((extra, K), -1, jnp.int32)]).reshape(
         ncl, CLUSTER, K)
 
-    # supercluster neighbour rows, padded to a multiple of 128 (SMEM block
-    # tiling) with the dummy cluster id
     nnbr_pad = -(-nnbr_b // 128) * 128
     nbr2 = jnp.pad(jnp.where(nlist.nbr_super >= 0, nlist.nbr_super, C),
                    ((0, 0), (0, nnbr_pad - nnbr_b)), constant_values=C)
-    nbr = nbr2.reshape(S, nnbr_pad // 128, 128)
-    box_diag = jnp.stack([box[0, 0], box[1, 1], box[2, 2]]).reshape(1, 3)
-
-    # pre-gathered static j-side data: (S, nnbr_pad * 8) row gathers
     n_groups = nnbr_pad // GJ
 
     def jgather(pl2d):
         return pl2d[nbr2].reshape(S, n_groups, GJ * CLUSTER)
 
-    jx = jgather(xx)
-    jy = jgather(xy)
-    jz = jgather(xz)
-    jq = jgather(q)
-    js6 = jgather(s6)
-    js12 = jgather(s12)
-    jpv = jgather(pvp)
     jid = (nbr2[:, :, None] * CLUSTER
            + jnp.arange(CLUSTER, dtype=jnp.int32)[None, None, :]
            ).reshape(S, n_groups, GJ * CLUSTER)
+    return PallasPrep(q=q, s6=s6, s12=s12, pvp=pvp, excl=excl, nbr2=nbr2,
+                      jq=jgather(q), js6=jgather(s6), js12=jgather(s12),
+                      jpv=jgather(pvp), jid=jid)
+
+
+def pallas_cluster_forces(x, box, nlist: ClusterPairlist, nbfp,
+                          params: MdParams, beta: Optional[float],
+                          interpret: bool = False,
+                          prep: Optional[PallasPrep] = None):
+    """(f_sorted (n_pad, 3), e_coul, e_lj) via the Pallas supercluster
+    kernel.  Requires nlist built with super_nnbr and a geometric LJ
+    table; energies use the 0.5 full-list convention like the XLA twin."""
+    if prep is None:
+        prep = pallas_prepare(nlist, nbfp)
+    n = nlist.inv_perm.shape[0]
+    n_pad = nlist.n_pad
+    S = prep.jq.shape[0]
+    n_groups = prep.jq.shape[1]
+    nnbr_pad = n_groups * GJ
+    K = prep.excl.shape[-1]
+    ncl = S * BI + 1
+    extra = ncl * CLUSTER - n_pad
+
+    xs = jnp.where((nlist.perm < n)[:, None],
+                   x[jnp.minimum(nlist.perm, n - 1)],
+                   1e4 + jnp.arange(n_pad, dtype=x.dtype)[:, None])
+    dummy = 2e4 + jnp.arange(extra, dtype=x.dtype)[:, None] * jnp.ones(3)
+    xs = jnp.concatenate([xs, dummy])
+    xx = xs[:, 0].reshape(ncl, CLUSTER)
+    xy = xs[:, 1].reshape(ncl, CLUSTER)
+    xz = xs[:, 2].reshape(ncl, CLUSTER)
+    q, s6, s12, pvp, excl = prep.q, prep.s6, prep.s12, prep.pvp, prep.excl
+
+    def jgather(pl2d):
+        return pl2d[prep.nbr2].reshape(S, n_groups, GJ * CLUSTER)
+
+    jx = jgather(xx)
+    jy = jgather(xy)
+    jz = jgather(xz)
+    jq, js6, js12, jpv, jid = (prep.jq, prep.js6, prep.js12, prep.jpv,
+                               prep.jid)
+    box_diag = jnp.stack([box[0, 0], box[1, 1], box[2, 2]]).reshape(1, 3)
 
     epsfac = float(ONE_4PI_EPS0 / params.epsilon_r)
     kernel = _make_kernel(nnbr_pad, K, params, beta, epsfac)
