@@ -1,4 +1,4 @@
-"""Soft-core FEP pair interactions (Beutler; Gapsys planned).
+"""Soft-core FEP pair interactions (Beutler and Gapsys).
 
 This reproduces the physics of the fork's FEP kernels
 (reference: src/gromacs/nbnxm/cuda/nbnxm_fep_cuda_kernel.cuh:88-628 and
@@ -35,6 +35,7 @@ import jax
 import jax.numpy as jnp
 
 from ..core.types import CoulombType, FepParams, MdParams, SoftcoreType, VdwModifier
+from ..core.units import ONE_4PI_EPS0
 from .nonbonded_ref import rf_constants, _potential_switch
 
 # The reference floors r^2 at 1e-12 (nb_free_energy.cpp:99); we floor at
@@ -58,6 +59,108 @@ class FepPairData(NamedTuple):
 def _sixth_root(x):
     # x^(1/6) for x > 0 via cbrt(sqrt(x)); rInv = (rpinv)^(1/6)
     return jnp.cbrt(jnp.sqrt(x))
+
+
+def _gapsys_pair_energies(r2, rinv, r, qq, c6, c12, lfac_c, lfac_v, sc_on,
+                          inc, excluded, is_self, fep: FepParams,
+                          params: MdParams, beta):
+    """Gapsys ('softcore-function = gapsys') linearized soft-core
+    (reference: gmxlib/nonbonded/nb_softcore.h — reactionFieldQuadratic
+    Potential / ewaldQuadraticPotential / lennardJonesQuadraticPotential).
+
+    Below a lambda-dependent linearization point rQ the plain potential is
+    replaced by its second-order expansion around rQ; above rQ the plain
+    (hard-core) potential applies.  Written energy-only: jax.grad w.r.t.
+    lambda reproduces the reference's hand-derived dvdl including the
+    rQ(lambda) chain rule, because the expansion matches value and slope
+    at rQ (the masks are C1-continuous switch points).
+    """
+    dtype = r2.dtype
+    epsfac = ONE_4PI_EPS0 / params.epsilon_r
+
+    # per-state sigma^6 with the Gapsys default
+    sig6_def = fep.sc_gapsys_sigma_lj ** 6
+    have_lj = (c6 > 0) & (c12 > 0)
+    sigma6 = jnp.where(have_lj, c12 / jnp.where(c6 > 0, c6, 1.0), sig6_def)
+
+    scale_q = fep.sc_gapsys_scale_linpoint_q * sc_on
+    scale_lj = fep.sc_gapsys_scale_linpoint_lj * sc_on
+
+    lfac_c_safe = jnp.minimum(lfac_c, 1.0 - 1e-6)
+    lfac_v_safe = jnp.minimum(lfac_v, 1.0 - 1e-6)
+
+    # ---- Coulomb ----
+    rc = params.rcoulomb
+    if params.coulomb == CoulombType.PME:
+        sh = jax.lax.erfc(jnp.asarray(beta * rc, dtype)) / rc
+        krf, crf = 0.0, sh
+    elif params.coulomb == CoulombType.REACTION_FIELD:
+        krf, crf = rf_constants(params)
+    else:
+        krf, crf = 0.0, 1.0 / rc
+
+    # plain (hard-core) per-state potential on the true distance
+    mask_c = (r < rc).astype(dtype) * (qq != 0) * inc
+    v_c_plain = qq * (rinv + krf * r2 - crf)
+
+    # linearization point rQ = scale * (1-LF)^(1/6) * (1 + |q_i q_j|)
+    qq_raw = qq / epsfac
+    r_q = (jnp.cbrt(jnp.sqrt(1.0 - lfac_c_safe))
+           * (1.0 + jnp.abs(qq_raw)) * scale_q)
+    r_q = jnp.minimum(r_q, rc)
+    use_quad = (r < r_q) & (scale_q > 0) & (lfac_c < 1.0) & (qq != 0)
+    r_q_safe = jnp.where(use_quad, jnp.maximum(r_q, 1e-6), 1.0)
+    rinv_q = 1.0 / r_q_safe
+    const_f = qq * rinv_q
+    lin_f = const_f * r * rinv_q
+    quad_f = lin_f * r * rinv_q
+    v_c_quad = quad_f - 3.0 * (lin_f - const_f) + qq * (krf * r2 - crf)
+    v_c = jnp.where(use_quad, v_c_quad, v_c_plain) * mask_c
+
+    # ---- LJ ----
+    rv = params.rvdw
+    rinv2 = rinv * rinv
+    rinv6 = jnp.minimum((rinv2 * rinv2 * rinv2), MAX_RINV_SIX)
+    mask_v = (r < rv).astype(dtype) * ((c6 != 0) | (c12 != 0)) * inc
+    rvinv6 = 1.0 / rv ** 6
+    shift_v = -(c12 * rvinv6 * rvinv6 - c6 * rvinv6)
+    v_v_plain = c12 * rinv6 * rinv6 - c6 * rinv6 + shift_v
+
+    r_qv = (jnp.sqrt(jnp.cbrt(26.0 / 7.0 * sigma6 * (1.0 - lfac_v_safe)))
+            * scale_lj)
+    use_quad_v = (r < r_qv) & (scale_lj > 0) & (lfac_v < 1.0)
+    r_qv_safe = jnp.where(use_quad_v, jnp.maximum(r_qv, 1e-6), 1.0)
+    rinv_qv = 1.0 / r_qv_safe
+    i6 = rinv_qv ** 6
+    i7 = i6 * rinv_qv
+    i8 = i7 * rinv_qv
+    t14 = c12 * i7 * i7 * r2
+    t13 = c12 * i7 * i6 * r
+    t12 = c12 * i6 * i6
+    t8 = i8 * c6 * r2
+    t7 = i7 * c6 * r
+    t6 = i6 * c6
+    quad = 156.0 * t14 - 42.0 * t8
+    lin = 168.0 * t13 - 48.0 * t7
+    const = 91.0 * t12 - 28.0 * t6
+    v_v_quad = 0.5 * quad - lin + const + shift_v
+    v_v = jnp.where(use_quad_v, v_v_quad, v_v_plain) * mask_v
+
+    v_coul = jnp.sum(lfac_c * v_c, axis=0)
+    v_vdw = jnp.sum(lfac_v * v_v, axis=0)
+
+    # exclusion / reciprocal corrections (identical to the Beutler path)
+    self_fac = jnp.where(is_self > 0, 0.5, 1.0)
+    if params.coulomb == CoulombType.REACTION_FIELD:
+        in_rc = (r2 < rc * rc).astype(dtype)
+        vv = (krf * r2 - crf) * self_fac * excluded * in_rc
+        v_coul = v_coul + jnp.sum(lfac_c * qq, axis=0) * vv
+    elif params.coulomb == CoulombType.PME:
+        in_rc = (r2 < rc * rc).astype(dtype)
+        corr_mask = jnp.maximum(excluded, inc * in_rc)
+        v_lr = jax.lax.erf(beta * r) * rinv * self_fac * corr_mask
+        v_coul = v_coul - jnp.sum(lfac_c * qq, axis=0) * v_lr
+    return v_coul, v_vdw
 
 
 def softcore_pair_energies(
@@ -114,6 +217,12 @@ def softcore_pair_energies(
     sc_on = jnp.logical_not((pair.c12_a > 0) & (pair.c12_b > 0)).astype(dtype)
     alpha_v = fep.sc_alpha * sc_on
     alpha_c = (fep.sc_alpha if fep.sc_coul else 0.0) * sc_on
+
+    if fep.softcore == SoftcoreType.GAPSYS:
+        return _gapsys_pair_energies(
+            r2, rinv, r, qq, c6, c12, lfac_c, lfac_v, sc_on, inc=included,
+            excluded=excluded, is_self=is_self, fep=fep, params=params,
+            beta=beta)
 
     use_softcore = (fep.softcore == SoftcoreType.BEUTLER and fep.sc_alpha != 0.0)
     if use_softcore:

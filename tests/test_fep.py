@@ -150,3 +150,62 @@ def test_foreign_lambda_energies_vmap():
     # energies vary monotonically-ish across lambda for this system; at
     # least they must differ
     assert float(jnp.abs(e_vmap[0] - e_vmap[-1])) > 1e-3
+
+
+from gromacs_fep_gpu_tpu.core.types import SoftcoreType
+
+
+@pytest.mark.parametrize("lam0", [0.2, 0.5, 0.9])
+def test_gapsys_dvdl_matches_finite_difference(lam0):
+    system, x, box = perturbed_dimer_system()
+    fep = FepParams(enabled=True, sc_alpha=0.5, sc_coul=True,
+                    softcore=SoftcoreType.GAPSYS)
+    params = MdParams(rcoulomb=0.9, rvdw=0.9,
+                      coulomb=CoulombType.REACTION_FIELD, fep=fep)
+    # overlap a bath atom with the perturbed atom so the linearized region
+    # is actually exercised
+    x = x.at[2].set(x[1] + jnp.asarray([0.05, 0.0, 0.0]))
+
+    def epot(l):
+        lam = jnp.zeros(7).at[LAM.COUL].set(l).at[LAM.VDW].set(l)
+        return dense_energy(x, box, lam, system, params).epot
+
+    dvdl_ad = jax.grad(epot)(jnp.float32(lam0))
+    h = 1e-3
+    dvdl_fd = (epot(jnp.float32(lam0 + h)) - epot(jnp.float32(lam0 - h))) / (2 * h)
+    assert np.isfinite(float(dvdl_ad))
+    np.testing.assert_allclose(float(dvdl_ad), float(dvdl_fd),
+                               rtol=3e-2, atol=0.1)
+
+
+def test_gapsys_end_states_match_plain():
+    """At lambda=0 the Gapsys potential must equal the unperturbed-A
+    energy (linearization only affects the vanishing state)."""
+    system, x, box = perturbed_dimer_system()
+    fep_g = FepParams(enabled=True, sc_alpha=0.5, sc_coul=True,
+                      softcore=SoftcoreType.GAPSYS)
+    fep_b = FepParams(enabled=True, sc_alpha=0.0, sc_coul=False)
+    pg = MdParams(rcoulomb=0.9, rvdw=0.9,
+                  coulomb=CoulombType.REACTION_FIELD, fep=fep_g)
+    pb = MdParams(rcoulomb=0.9, rvdw=0.9,
+                  coulomb=CoulombType.REACTION_FIELD, fep=fep_b)
+    lam0 = jnp.zeros(7)
+    e_g = dense_energy(x, box, lam0, system, pg).epot
+    e_b = dense_energy(x, box, lam0, system, pb).epot
+    np.testing.assert_allclose(float(e_g), float(e_b), rtol=1e-5)
+
+
+def test_gapsys_removes_singularity():
+    system, x, box = perturbed_dimer_system()
+    fep = FepParams(enabled=True, sc_alpha=0.5, sc_coul=True,
+                    softcore=SoftcoreType.GAPSYS)
+    params = MdParams(rcoulomb=0.9, rvdw=0.9,
+                      coulomb=CoulombType.REACTION_FIELD, fep=fep)
+    x = x.at[2].set(x[1] + jnp.asarray([1e-4, 0, 0]))
+    lam = jnp.zeros(7).at[LAM.COUL].set(0.9).at[LAM.VDW].set(0.9)
+    e = dense_energy(x, box, lam, system, params).epot
+    g = jax.grad(lambda l: dense_energy(
+        x, box, jnp.zeros(7).at[LAM.VDW].set(l).at[LAM.COUL].set(l),
+        system, params).epot)(jnp.float32(0.9))
+    assert np.isfinite(float(e))
+    assert np.isfinite(float(g))
