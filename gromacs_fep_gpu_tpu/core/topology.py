@@ -17,7 +17,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from .types import (Exclusions, InteractionList, LincsConstraints,
-                    SettleGroups, System)
+                    SettleGroups, System, VirtualSites)
 from .units import ONE_4PI_EPS0
 
 
@@ -44,6 +44,10 @@ class MoleculeType:
     # constraints
     settle: Optional[Tuple[int, int, int, float, float]] = None  # (O,H1,H2,dOH,dHH)
     constraints: List[Tuple] = dataclasses.field(default_factory=list)  # (i,j,lenA[,lenB])
+    # virtual sites: (indices tuple, params tuple); see md/vsites.py kinds
+    vsites2: List[Tuple] = dataclasses.field(default_factory=list)   # ((s,i,j),(a,))
+    vsites3: List[Tuple] = dataclasses.field(default_factory=list)   # ((s,i,j,k),(a,b))
+    vsites3out: List[Tuple] = dataclasses.field(default_factory=list)  # ((s,i,j,k),(a,b,c))
     # explicit extra exclusions beyond bond graph
     extra_exclusions: List[Tuple[int, int]] = dataclasses.field(default_factory=list)
     nrexcl: int = 3
@@ -55,6 +59,9 @@ class MoleculeType:
     def bond_graph_edges(self) -> List[Tuple[int, int]]:
         edges = [(int(b[0][0]), int(b[0][1])) for b in self.bonds]
         edges += [(int(c[0]), int(c[1])) for c in self.constraints]
+        # virtual sites inherit connectivity from their first constructor
+        for row in self.vsites2 + self.vsites3 + self.vsites3out:
+            edges.append((int(row[0][0]), int(row[0][1])))
         if self.settle is not None:
             o, h1, h2 = self.settle[:3]
             edges += [(o, h1), (o, h2), (h1, h2)]
@@ -148,6 +155,7 @@ def build_system(molecules: Sequence[Tuple[MoleculeType, int]],
     pair14_rows: List[Tuple] = []
     settle_rows: List[Tuple] = []
     lincs_rows: List[Tuple] = []
+    vsite_rows: List[Tuple] = []   # (atoms4, params3, kind)
     offset = 0
     epsfac = ONE_4PI_EPS0 / epsilon_r
 
@@ -179,6 +187,16 @@ def build_system(molecules: Sequence[Tuple[MoleculeType, int]],
                 sb = None if par_b is None else (par_b[0] * epsfac * fudge_qq,
                                                  par_b[1], par_b[2])
                 pair14_rows.append((off(idx), sa, sb))
+            for row in mol.vsites2:
+                (sid, i, j), pars = row[0], row[1]
+                vsite_rows.append((off((sid, i, j, i)),
+                                   (pars[0], 0.0, 0.0), 2))
+            for row in mol.vsites3:
+                idx, pars = row[0], row[1]
+                vsite_rows.append((off(idx), (pars[0], pars[1], 0.0), 3))
+            for row in mol.vsites3out:
+                idx, pars = row[0], row[1]
+                vsite_rows.append((off(idx), tuple(pars[:3]), 4))
             if mol.settle is not None:
                 o, h1, h2, doh, dhh = mol.settle
                 settle_rows.append((off((o, h1, h2)), doh, dhh))
@@ -226,6 +244,16 @@ def build_system(molecules: Sequence[Tuple[MoleculeType, int]],
     else:
         lincs = LincsConstraints.empty()
 
+    if vsite_rows:
+        vsites = VirtualSites(
+            atoms=jnp.asarray(np.array([r[0] for r in vsite_rows], np.int32)),
+            params=jnp.asarray(np.array([r[1] for r in vsite_rows],
+                                        np.float32)),
+            kind=jnp.asarray(np.array([r[2] for r in vsite_rows], np.int32)),
+            mask=jnp.ones((len(vsite_rows),), np.float32))
+    else:
+        vsites = VirtualSites.empty()
+
     qa = np.asarray(qa, np.float32); qb = np.asarray(qb, np.float32)
     ta_ = np.asarray(ta, np.int32); tb_ = np.asarray(tb, np.int32)
     ma_ = np.asarray(ma, np.float32); mb_ = np.asarray(mb, np.float32)
@@ -242,5 +270,6 @@ def build_system(molecules: Sequence[Tuple[MoleculeType, int]],
         pairs14=pairs14,
         settle=settle,
         lincs=lincs,
+        vsites=vsites,
         n_atoms=n,
     )

@@ -121,6 +121,28 @@ class Exclusions:
 
 
 @struct.dataclass
+class VirtualSites:
+    """Massless interaction sites constructed from real atoms
+    (reference: mdlib/vsite.cpp; types vsite2, vsite3, vsite3out).
+
+    atoms: (n, 4) int32 = (site, i, j, k); k unused for 2-body (=i).
+    params: (n, 3) = (a, b, c); kind: (n,) int32 (2=vsite2, 3=vsite3
+    in-plane, 4=vsite3out); mask: (n,).
+    """
+    atoms: Array
+    params: Array
+    kind: Array
+    mask: Array
+
+    @staticmethod
+    def empty() -> "VirtualSites":
+        return VirtualSites(atoms=jnp.zeros((0, 4), jnp.int32),
+                            params=jnp.zeros((0, 3), jnp.float32),
+                            kind=jnp.zeros((0,), jnp.int32),
+                            mask=jnp.zeros((0,), jnp.float32))
+
+
+@struct.dataclass
 class SettleGroups:
     """Rigid 3-site water constraint groups (reference: mdlib/settle.cpp).
 
@@ -192,6 +214,7 @@ class System:
 
     settle: SettleGroups
     lincs: LincsConstraints
+    vsites: VirtualSites = None
 
     # FEP perturbed-pair list metadata filled by the pairlist machinery is
     # dynamic; but the set of perturbed atoms is static:

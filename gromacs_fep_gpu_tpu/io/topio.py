@@ -241,6 +241,20 @@ def parse_top(text: str, include_dirs: Optional[List[str]] = None) -> ParsedTop:
             kx, ky, kz = float(t[2]), float(t[3]), float(t[4])
             # reference position filled at build time from coordinates
             cur.posres.append(((ai,), (0.0, 0.0, 0.0, kx, ky, kz), None))
+        elif section == "virtual_sites2":
+            sid, ai, aj = int(t[0]) - 1, int(t[1]) - 1, int(t[2]) - 1
+            cur.vsites2.append(((sid, ai, aj), (float(t[4]),)))
+        elif section == "virtual_sites3":
+            sid, ai, aj, ak = (int(t[0]) - 1, int(t[1]) - 1, int(t[2]) - 1,
+                               int(t[3]) - 1)
+            funct = int(t[4])
+            vals = [float(v) for v in t[5:]]
+            if funct == 1:
+                cur.vsites3.append(((sid, ai, aj, ak), (vals[0], vals[1])))
+            elif funct == 4:
+                cur.vsites3out.append(((sid, ai, aj, ak), tuple(vals[:3])))
+            else:
+                raise ValueError(f"virtual_sites3 funct {funct} unsupported")
         elif section == "constraints":
             ai, aj = int(t[0]) - 1, int(t[1]) - 1
             la = float(t[3])

@@ -198,6 +198,10 @@ class MdRunner:
         """Run nsteps; returns (final_state, list of per-chunk StepLog)."""
         nst = self.params.nstlist if not self.config.use_dense else nsteps
         nst = max(1, min(nst, nsteps))
+        from .vsites import construct_vsites, n_vsites
+        if n_vsites(self.system) > 0:
+            state = state.replace(
+                x=construct_vsites(state.x, self.system.vsites))
         if self.config.cell_size is None and not self.config.use_dense:
             vol = float(np.prod(np.diag(np.asarray(state.box))))
             n = max(self.system.n_atoms, 1)

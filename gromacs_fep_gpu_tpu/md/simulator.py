@@ -41,8 +41,9 @@ class StepLog:
 
 
 def degrees_of_freedom(system: System, params: MdParams) -> float:
+    from .vsites import n_vsites
     n = system.n_atoms
-    ndf = 3 * n - constr_mod.n_constraints(system)
+    ndf = 3 * n - constr_mod.n_constraints(system) - 3 * n_vsites(system)
     if params.nstcomm > 0:
         ndf -= 3
     return float(ndf)
@@ -50,7 +51,10 @@ def degrees_of_freedom(system: System, params: MdParams) -> float:
 
 def masses_at_lambda(system: System, lam_mass):
     m = (1.0 - lam_mass) * system.mass_a + lam_mass * system.mass_b
-    return m, 1.0 / m
+    # virtual sites have zero mass: invmass 0 keeps them frozen in the
+    # integrator (their positions are reconstructed each step)
+    invm = jnp.where(m > 0, 1.0 / jnp.where(m > 0, m, 1.0), 0.0)
+    return m, invm
 
 
 def current_lambdas(step, lam0, params: MdParams):
@@ -107,6 +111,9 @@ def make_step_fn(system: System, params: MdParams, force_fn: Callable,
     pressure_fn = (make_pressure_fn(energy_epot_fn, p_extra_fn)
                    if compute_pressure and energy_epot_fn is not None else None)
 
+    from .vsites import construct_vsites, n_vsites, spread_vsite_forces
+    has_vsites = n_vsites(system) > 0
+
     def step(state: State, _=None) -> Tuple[State, StepLog]:
         lam = current_lambdas(state.step, state.lam, params)
         mass, invmass = masses_at_lambda(system, lam[FepCoupling.MASS])
@@ -114,6 +121,8 @@ def make_step_fn(system: System, params: MdParams, force_fn: Callable,
         k_therm, k_sd, k_baro = jax.random.split(key, 3)
 
         f, terms = force_fn(state.x, state.box, lam)
+        if has_vsites:
+            f = spread_vsite_forces(state.x, f, system.vsites)
 
         # --- thermostat scale (applied in the update) ---
         v_scale = jnp.ones((), state.x.dtype)
@@ -174,6 +183,10 @@ def make_step_fn(system: System, params: MdParams, force_fn: Callable,
             f_c = mass[:, None] * (x_c - x_new) / (dt * dt)
             constr_vir_diag = -0.5 * jnp.sum(x_c * f_c, axis=0)
             x_new = x_c
+
+        # --- rebuild virtual-site positions from the moved atoms ---
+        if has_vsites:
+            x_new = construct_vsites(x_new, system.vsites)
 
         # --- COM motion removal ---
         if params.nstcomm > 0:
