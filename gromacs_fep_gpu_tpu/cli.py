@@ -160,7 +160,24 @@ def cmd_check(args):
         print(f"lambda windows: {all_lambda.shape[1]}")
 
 
+def _ensure_backend():
+    """Fall back to an available JAX backend if JAX_PLATFORMS names one
+    whose plugin is not importable in this environment."""
+    try:
+        import jax
+        jax.devices()
+    except RuntimeError:
+        import jax
+        jax.config.update("jax_platforms", None)
+        os.environ.pop("JAX_PLATFORMS", None)
+        try:
+            jax.devices()
+        except RuntimeError:
+            pass
+
+
 def main(argv=None):
+    _ensure_backend()
     p = argparse.ArgumentParser(prog="tpumd",
                                 description="TPU-native MD engine with "
                                 "GPU-FEP-class free energy support")
@@ -195,7 +212,12 @@ def main(argv=None):
     c.set_defaults(fn=cmd_check)
 
     args = p.parse_args(argv)
-    args.fn(args)
+    try:
+        args.fn(args)
+    except FileNotFoundError as e:
+        sys.exit(f"tpumd error: file not found: {e.filename or e}")
+    except (AssertionError, ValueError) as e:
+        sys.exit(f"tpumd error: {e}")
 
 
 if __name__ == "__main__":
