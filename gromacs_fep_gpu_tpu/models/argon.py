@@ -22,7 +22,7 @@ def argon_box(n_side: int = 4, spacing: float = 0.4, seed: int = 0,
               temperature: float | None = None):
     """Simple-cubic argon lattice; returns (System, State)."""
     n = n_side ** 3
-    nbfp = lj_table_from_sigma_eps([AR_SIGMA], [AR_EPS])
+    nbfp = lj_table_from_sigma_eps([AR_SIGMA], [AR_EPS], comb_rule=3)
     system = build_system([(argon_moltype(), n)], nbfp)
 
     g = np.mgrid[0:n_side, 0:n_side, 0:n_side].reshape(3, -1).T

@@ -50,7 +50,7 @@ def solvation_system(n_side: int = 8, spacing: float = 0.31, seed: int = 0,
     """Ligand at the box centre + TIP3P lattice (one water removed)."""
     sigma = [O_SIGMA, 0.1, LIG_C_SIGMA, LIG_H_SIGMA, 0.1]
     eps = [O_EPS, 0.0, LIG_C_EPS, LIG_H_EPS, 0.0]
-    nbfp = lj_table_from_sigma_eps(sigma, eps)
+    nbfp = lj_table_from_sigma_eps(sigma, eps, comb_rule=3)
     nbfp[4, :, :] = 0.0
     nbfp[:, 4, :] = 0.0
     nbfp[1, :, :] = 0.0

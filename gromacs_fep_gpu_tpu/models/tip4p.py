@@ -36,7 +36,7 @@ def tip4p_moltype() -> MoleculeType:
 
 def tip4p_box(n_side: int = 3, spacing: float = 0.4, seed: int = 0,
               temperature: float | None = None):
-    nbfp = lj_table_from_sigma_eps([O_SIGMA, 0.1], [O_EPS, 0.0])
+    nbfp = lj_table_from_sigma_eps([O_SIGMA, 0.1], [O_EPS, 0.0], comb_rule=3)
     n_mol = n_side ** 3
     system = build_system([(tip4p_moltype(), n_mol)], nbfp)
 

@@ -64,7 +64,7 @@ def water_box(n_side: int = 4, spacing: float = 0.31, seed: int = 0,
               temperature: float | None = None, rigid: bool = True):
     """Lattice of randomly-oriented TIP3P waters; returns (System, State)."""
     n_mol = n_side ** 3
-    nbfp = lj_table_from_sigma_eps([O_SIGMA, 0.1], [O_EPS, 0.0])
+    nbfp = lj_table_from_sigma_eps([O_SIGMA, 0.1], [O_EPS, 0.0], comb_rule=3)
     system = build_system([(tip3p_moltype(rigid=rigid), n_mol)], nbfp)
 
     rng = np.random.RandomState(seed)

@@ -206,6 +206,12 @@ class PallasPrep:
 
 def pallas_prepare(nlist: ClusterPairlist, nbfp) -> PallasPrep:
     assert nlist.nbr_super is not None, "build pair list with super_nnbr"
+    from .cluster_nb import lj_table_mode
+    import numpy as _np
+    if not isinstance(nbfp, jax.core.Tracer):
+        assert lj_table_mode(_np.asarray(nbfp)) == "geometric", (
+            "Pallas kernel requires a geometric-combination LJ table "
+            "(comb rule 1/3); LB tables must use the XLA kernel")
     n = nlist.inv_perm.shape[0]
     n_pad = nlist.n_pad
     C = nlist.n_clusters
