@@ -145,6 +145,11 @@ def cmd_bar(args):
     print(f"\ntotal          {total:12.3f}   {err:8.3f} kJ/mol")
 
 
+def cmd_energy(args):
+    from .analysis.energy import energy_statistics, print_statistics
+    print_statistics(energy_statistics(args.f, skip_frac=args.b))
+
+
 def cmd_check(args):
     system, params, all_lambda, state, _ = _load_tpz(args.s)
     print(f"atoms: {system.n_atoms}")
@@ -210,6 +215,12 @@ def main(argv=None):
     c = sub.add_parser("check", help="inspect a run file")
     c.add_argument("-s", required=True)
     c.set_defaults(fn=cmd_check)
+
+    e = sub.add_parser("energy", help="statistics of energy terms "
+                       "(gmx energy analogue)")
+    e.add_argument("-f", required=True, help=".ener.csv from mdrun")
+    e.add_argument("-b", type=float, default=0.1, help="skip fraction")
+    e.set_defaults(fn=cmd_energy)
 
     args = p.parse_args(argv)
     try:
