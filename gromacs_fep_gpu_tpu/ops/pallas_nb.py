@@ -4,30 +4,27 @@ reference's CUDA kernel (nbnxm/cuda/nbnxm_cuda_kernel.cuh:141-713).
 Mapping of the CUDA design onto TPU (see SURVEY.md §2.6 translation
 notes):
  - thread block per i-supercluster (8 clusters / 64 atoms)
-     -> one grid program per supercluster; i-atom tile (8, 8) lives in
-        registers/VMEM for the whole j loop
+     -> one grid program per supercluster; the i-atom tile arrives as a
+        streamed (8, 8) BlockSpec block and stays resident for the j loop
  - shared-memory xq staging
-     -> whole SoA coordinate planes pinned in VMEM ((ncl, 8) layout;
-        ~400k atoms fit in 16 MB — beyond that the spatial sharding
-        splits the system first)
+     -> j-side data (coordinates, charges, sqrt-LJ params, masks, ids) is
+        PRE-GATHERED per supercluster outside the kernel (one XLA row
+        gather per rebuild for static data, per step for coordinates) and
+        streamed into VMEM as (1, n_groups, 128) blocks, so per-program
+        VMEM is O(list length), independent of system size
  - warp loop over packed j-groups with interaction masks
      -> fori_loop over groups of GJ=16 j-clusters, each iteration forming
         a dense (8, 8, 128) pair tile (sublane x lane = 8 x 128 on the
         VPU); masks are computed arithmetically — TPU prefers computing
         masked zeros over divergent skips
- - j-cluster indices come from a per-supercluster pair list in SMEM
-   (reference: the sci/cjPacked list, pairlist.h nbnxn_cj_packed_t)
- - static j-side data (charges, sqrt-LJ params, masks, ids) is
-   PRE-GATHERED per supercluster outside the kernel, so the inner loop
-   reads it with aligned streaming slices; only the three coordinate
-   planes need scalar-indexed cluster loads (positions change per step)
  - atomic force scatter + warp shuffles
      -> nothing: the FULL list form accumulates i-forces only
- - exclusion bitmasks -> per-i-atom exclusion-id lists compared against
-   j ids in-register (K comparisons, K = max exclusions per atom)
+ - exclusion bitmasks -> per-i-atom exclusion-id lists (k-major packed so
+   each k-slice is a contiguous (8,8) tile) compared against j ids
+   in-register
 
 LJ parameters use the geometric-combination fast path (per-atom sqrt(c6),
-sqrt(c12) planes); general tables route through the XLA kernel instead.
+sqrt(c12)); general tables route through the XLA kernel instead.
 Energies accumulate per program and are summed by the caller.
 """
 from __future__ import annotations
@@ -38,6 +35,7 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
+from flax import struct as _struct
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -63,21 +61,19 @@ def _erfc_poly(x):
     return poly * jnp.exp(-x * x)
 
 
-def _make_kernel(nnbr_b: int, n_excl: int, params: MdParams, beta,
+def _make_kernel(n_groups: int, n_excl: int, params: MdParams, beta,
                  epsfac: float):
     rc2 = params.rcoulomb ** 2
     rv2 = params.rvdw ** 2
     rcinv6 = 1.0 / params.rvdw ** 6
     if params.coulomb == CoulombType.REACTION_FIELD:
         krf, crf = rf_constants(params)
-    n_groups = nnbr_b // GJ
-    JW = GJ * CLUSTER   # 128 j atoms per iteration
 
     def kernel(box_ref,                      # SMEM (1, 3) f32 box diagonal
-               xx_ref, xy_ref, xz_ref,       # VMEM (ncl, 8) f32 planes
-               q_ref, s6_ref, s12_ref,       # VMEM (ncl, 8) i-side data
-               pv_ref,                       # VMEM (ncl, 8) valid*(1-pert)
-               excl_ref,                     # VMEM (ncl, 8, K) i32
+               ix_ref, iy_ref, iz_ref,       # VMEM (BI, 8) i-atom blocks
+               iq_ref, is6_ref, is12_ref,    # VMEM (BI, 8)
+               ipv_ref,                      # VMEM (BI, 8) valid*(1-pert)
+               iex_ref,                      # VMEM (BI, K*8) i32, k-major
                jx_ref, jy_ref, jz_ref,       # VMEM (1, n_groups, 128)
                jq_ref, js6_ref, js12_ref,    # VMEM (1, n_groups, 128)
                jpv_ref, jid_ref,             # VMEM (1, n_groups, 128) i32
@@ -86,17 +82,16 @@ def _make_kernel(nnbr_b: int, n_excl: int, params: MdParams, beta,
         pid = pl.program_id(0)
         c0 = pid * BI
 
-        def iload(ref):
-            return ref[pl.ds(c0, BI), :][:, :, None]     # (BI, 8, 1)
+        def col(ref):
+            return ref[...][:, :, None]                 # (BI, 8, 1)
 
-        xi_x = iload(xx_ref)
-        xi_y = iload(xy_ref)
-        xi_z = iload(xz_ref)
-        qi = iload(q_ref)
-        s6i = iload(s6_ref)
-        s12i = iload(s12_ref)
-        pvi = iload(pv_ref)
-        ei = excl_ref[pl.ds(c0, BI), :, :]               # (BI, 8, K)
+        xi_x = col(ix_ref)
+        xi_y = col(iy_ref)
+        xi_z = col(iz_ref)
+        qi = col(iq_ref)
+        s6i = col(is6_ref)
+        s12i = col(is12_ref)
+        pvi = col(ipv_ref)
         iid = (c0 * CLUSTER
                + jax.lax.broadcasted_iota(jnp.int32, (BI, CLUSTER, 1), 0)
                * CLUSTER
@@ -132,7 +127,8 @@ def _make_kernel(nnbr_b: int, n_excl: int, params: MdParams, beta,
             pairm = pvi * pvj * (iid != jid)
             exm = jnp.zeros(r2.shape, jnp.bool_)
             for k in range(n_excl):
-                exm = exm | (ei[:, :, k:k + 1] == jid)
+                ei_k = iex_ref[:, k * CLUSTER:(k + 1) * CLUSTER][:, :, None]
+                exm = exm | (ei_k == jid)
             incl = 1.0 - exm.astype(r2.dtype)
             in_c = jnp.where(r2 < rc2, pairm, 0.0)
             in_v = jnp.where(r2 < rv2, pairm * incl, 0.0)
@@ -182,26 +178,36 @@ def _make_kernel(nnbr_b: int, n_excl: int, params: MdParams, beta,
     return kernel
 
 
-from flax import struct as _struct
-
-
 @_struct.dataclass
 class PallasPrep:
-    """Static per-rebuild data for the Pallas kernel: padded per-atom
-    planes plus the pre-gathered j-side streams.  Compute once per
-    pair-list rebuild (md/runner.py) so the per-step work is only the
-    coordinate gathers + the kernel itself."""
-    q: jnp.ndarray
-    s6: jnp.ndarray
-    s12: jnp.ndarray
-    pvp: jnp.ndarray
-    excl: jnp.ndarray
-    nbr2: jnp.ndarray
-    jq: jnp.ndarray
+    """Static per-rebuild data for the Pallas kernel: i-side per-atom data
+    in (S*BI, 8) cluster rows plus the pre-gathered j-side streams.
+    Compute once per pair-list rebuild (md/runner.py) so the per-step work
+    is only the coordinate gathers + the kernel itself."""
+    iq: jnp.ndarray       # (S*BI, 8)
+    is6: jnp.ndarray
+    is12: jnp.ndarray
+    ipv: jnp.ndarray
+    iex: jnp.ndarray      # (S*BI, K*8) i32, k-major
+    nbr2: jnp.ndarray     # (S, nnbr_pad)
+    jq: jnp.ndarray       # (S, n_groups, 128)
     js6: jnp.ndarray
     js12: jnp.ndarray
     jpv: jnp.ndarray
     jid: jnp.ndarray
+
+
+def _dims(nlist: ClusterPairlist):
+    n = nlist.inv_perm.shape[0]
+    n_pad = nlist.n_pad
+    C = nlist.n_clusters
+    S = nlist.nbr_super.shape[0]
+    nnbr_b = nlist.nbr_super.shape[1]
+    K = nlist.excl.shape[1]
+    ncl = S * BI + 1     # trailing dummy cluster for padded neighbour id C
+    extra = ncl * CLUSTER - n_pad
+    nnbr_pad = -(-nnbr_b // 128) * 128
+    return n, n_pad, C, S, nnbr_b, K, ncl, extra, nnbr_pad
 
 
 def pallas_prepare(nlist: ClusterPairlist, nbfp) -> PallasPrep:
@@ -212,14 +218,7 @@ def pallas_prepare(nlist: ClusterPairlist, nbfp) -> PallasPrep:
         assert lj_table_mode(_np.asarray(nbfp)) == "geometric", (
             "Pallas kernel requires a geometric-combination LJ table "
             "(comb rule 1/3); LB tables must use the XLA kernel")
-    n = nlist.inv_perm.shape[0]
-    n_pad = nlist.n_pad
-    C = nlist.n_clusters
-    S = nlist.nbr_super.shape[0]
-    nnbr_b = nlist.nbr_super.shape[1]
-    K = nlist.excl.shape[1]
-    ncl = S * BI + 1
-    extra = ncl * CLUSTER - n_pad
+    n, n_pad, C, S, nnbr_b, K, ncl, extra, nnbr_pad = _dims(nlist)
 
     def plane(a, fill=0.0):
         pad = jnp.full((extra,), fill, a.dtype)
@@ -234,11 +233,13 @@ def pallas_prepare(nlist: ClusterPairlist, nbfp) -> PallasPrep:
     s6 = plane(diag6[nlist.t_a])
     s12 = plane(diag12[nlist.t_a])
     pvp = plane(pv)
+    # exclusions: (ncl*8, K) -> k-major (S*BI, K*8) so each k is a
+    # contiguous (BI, 8) tile inside the kernel
     excl = jnp.concatenate(
-        [nlist.excl, jnp.full((extra, K), -1, jnp.int32)]).reshape(
-        ncl, CLUSTER, K)
+        [nlist.excl, jnp.full((extra, K), -1, jnp.int32)])
+    iex = excl.reshape(ncl, CLUSTER, K).transpose(0, 2, 1).reshape(
+        ncl, K * CLUSTER)[:S * BI]
 
-    nnbr_pad = -(-nnbr_b // 128) * 128
     nbr2 = jnp.pad(jnp.where(nlist.nbr_super >= 0, nlist.nbr_super, C),
                    ((0, 0), (0, nnbr_pad - nnbr_b)), constant_values=C)
     n_groups = nnbr_pad // GJ
@@ -249,7 +250,8 @@ def pallas_prepare(nlist: ClusterPairlist, nbfp) -> PallasPrep:
     jid = (nbr2[:, :, None] * CLUSTER
            + jnp.arange(CLUSTER, dtype=jnp.int32)[None, None, :]
            ).reshape(S, n_groups, GJ * CLUSTER)
-    return PallasPrep(q=q, s6=s6, s12=s12, pvp=pvp, excl=excl, nbr2=nbr2,
+    return PallasPrep(iq=q[:S * BI], is6=s6[:S * BI], is12=s12[:S * BI],
+                      ipv=pvp[:S * BI], iex=iex, nbr2=nbr2,
                       jq=jgather(q), js6=jgather(s6), js12=jgather(s12),
                       jpv=jgather(pvp), jid=jid)
 
@@ -263,14 +265,8 @@ def pallas_cluster_forces(x, box, nlist: ClusterPairlist, nbfp,
     table; energies use the 0.5 full-list convention like the XLA twin."""
     if prep is None:
         prep = pallas_prepare(nlist, nbfp)
-    n = nlist.inv_perm.shape[0]
-    n_pad = nlist.n_pad
-    S = prep.jq.shape[0]
+    n, n_pad, C, S, nnbr_b, K, ncl, extra, nnbr_pad = _dims(nlist)
     n_groups = prep.jq.shape[1]
-    nnbr_pad = n_groups * GJ
-    K = prep.excl.shape[-1]
-    ncl = S * BI + 1
-    extra = ncl * CLUSTER - n_pad
 
     xs = jnp.where((nlist.perm < n)[:, None],
                    x[jnp.minimum(nlist.perm, n - 1)],
@@ -280,7 +276,6 @@ def pallas_cluster_forces(x, box, nlist: ClusterPairlist, nbfp,
     xx = xs[:, 0].reshape(ncl, CLUSTER)
     xy = xs[:, 1].reshape(ncl, CLUSTER)
     xz = xs[:, 2].reshape(ncl, CLUSTER)
-    q, s6, s12, pvp, excl = prep.q, prep.s6, prep.s12, prep.pvp, prep.excl
 
     def jgather(pl2d):
         return pl2d[prep.nbr2].reshape(S, n_groups, GJ * CLUSTER)
@@ -288,14 +283,13 @@ def pallas_cluster_forces(x, box, nlist: ClusterPairlist, nbfp,
     jx = jgather(xx)
     jy = jgather(xy)
     jz = jgather(xz)
-    jq, js6, js12, jpv, jid = (prep.jq, prep.js6, prep.js12, prep.jpv,
-                               prep.jid)
     box_diag = jnp.stack([box[0, 0], box[1, 1], box[2, 2]]).reshape(1, 3)
 
     epsfac = float(ONE_4PI_EPS0 / params.epsilon_r)
-    kernel = _make_kernel(nnbr_pad, K, params, beta, epsfac)
+    kernel = _make_kernel(n_groups, K, params, beta, epsfac)
 
-    vmem_full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+    iblk = lambda w: pl.BlockSpec((BI, w), lambda i: (i, 0),
+                                  memory_space=pltpu.VMEM)
     jrow = lambda: pl.BlockSpec((1, n_groups, GJ * CLUSTER),
                                 lambda i: (i, 0, 0),
                                 memory_space=pltpu.VMEM)
@@ -305,20 +299,15 @@ def pallas_cluster_forces(x, box, nlist: ClusterPairlist, nbfp,
         grid=(S,),
         in_specs=[
             pl.BlockSpec((1, 3), lambda i: (0, 0), memory_space=pltpu.SMEM),
-            vmem_full(), vmem_full(), vmem_full(),
-            vmem_full(), vmem_full(), vmem_full(),
-            vmem_full(),
-            vmem_full(),
+            iblk(CLUSTER), iblk(CLUSTER), iblk(CLUSTER),
+            iblk(CLUSTER), iblk(CLUSTER), iblk(CLUSTER),
+            iblk(CLUSTER),
+            iblk(K * CLUSTER),
             jrow(), jrow(), jrow(),
             jrow(), jrow(), jrow(), jrow(), jrow(),
         ],
         out_specs=[
-            pl.BlockSpec((BI, CLUSTER), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((BI, CLUSTER), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((BI, CLUSTER), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
+            iblk(CLUSTER), iblk(CLUSTER), iblk(CLUSTER),
             pl.BlockSpec((1, 1, 2), lambda i: (i, 0, 0),
                          memory_space=pltpu.SMEM),
         ],
@@ -329,8 +318,9 @@ def pallas_cluster_forces(x, box, nlist: ClusterPairlist, nbfp,
             jax.ShapeDtypeStruct((S, 1, 2), jnp.float32),
         ],
         interpret=interpret,
-    )(box_diag, xx, xy, xz, q, s6, s12, pvp, excl,
-      jx, jy, jz, jq, js6, js12, jpv, jid)
+    )(box_diag, xx[:S * BI], xy[:S * BI], xz[:S * BI],
+      prep.iq, prep.is6, prep.is12, prep.ipv, prep.iex,
+      jx, jy, jz, prep.jq, prep.js6, prep.js12, prep.jpv, prep.jid)
 
     f_sorted = jnp.stack([fx.reshape(-1)[:n_pad], fy.reshape(-1)[:n_pad],
                           fz.reshape(-1)[:n_pad]], axis=-1)
