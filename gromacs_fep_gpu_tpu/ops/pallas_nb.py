@@ -62,7 +62,7 @@ def _erfc_poly(x):
 
 
 def _make_kernel(n_groups: int, n_excl: int, params: MdParams, beta,
-                 epsfac: float):
+                 epsfac: float, bi: int = BI):
     rc2 = params.rcoulomb ** 2
     rv2 = params.rvdw ** 2
     rcinv6 = 1.0 / params.rvdw ** 6
@@ -70,6 +70,7 @@ def _make_kernel(n_groups: int, n_excl: int, params: MdParams, beta,
         krf, crf = rf_constants(params)
 
     def kernel(box_ref,                      # SMEM (1, 3) f32 box diagonal
+               ng_ref,                       # SMEM (1, 1, 1) i32 group count
                ix_ref, iy_ref, iz_ref,       # VMEM (BI, 8) i-atom blocks
                iq_ref, is6_ref, is12_ref,    # VMEM (BI, 8)
                ipv_ref,                      # VMEM (BI, 8) valid*(1-pert)
@@ -80,10 +81,10 @@ def _make_kernel(n_groups: int, n_excl: int, params: MdParams, beta,
                fx_ref, fy_ref, fz_ref,       # out VMEM (BI, 8)
                e_ref):                       # out SMEM (1, 1, 2)
         pid = pl.program_id(0)
-        c0 = pid * BI
+        c0 = pid * bi
 
         def col(ref):
-            return ref[...][:, :, None]                 # (BI, 8, 1)
+            return ref[...][0][:, :, None]              # (bi, 8, 1)
 
         xi_x = col(ix_ref)
         xi_y = col(iy_ref)
@@ -93,9 +94,9 @@ def _make_kernel(n_groups: int, n_excl: int, params: MdParams, beta,
         s12i = col(is12_ref)
         pvi = col(ipv_ref)
         iid = (c0 * CLUSTER
-               + jax.lax.broadcasted_iota(jnp.int32, (BI, CLUSTER, 1), 0)
+               + jax.lax.broadcasted_iota(jnp.int32, (bi, CLUSTER, 1), 0)
                * CLUSTER
-               + jax.lax.broadcasted_iota(jnp.int32, (BI, CLUSTER, 1), 1))
+               + jax.lax.broadcasted_iota(jnp.int32, (bi, CLUSTER, 1), 1))
 
         bx = box_ref[0, 0]
         by = box_ref[0, 1]
@@ -127,7 +128,7 @@ def _make_kernel(n_groups: int, n_excl: int, params: MdParams, beta,
             pairm = pvi * pvj * (iid != jid)
             exm = jnp.zeros(r2.shape, jnp.bool_)
             for k in range(n_excl):
-                ei_k = iex_ref[:, k * CLUSTER:(k + 1) * CLUSTER][:, :, None]
+                ei_k = iex_ref[0, :, k * CLUSTER:(k + 1) * CLUSTER][:, :, None]
                 exm = exm | (ei_k == jid)
             incl = 1.0 - exm.astype(r2.dtype)
             in_c = jnp.where(r2 < rc2, pairm, 0.0)
@@ -165,13 +166,14 @@ def _make_kernel(n_groups: int, n_excl: int, params: MdParams, beta,
             e_lj = e_lj + jnp.sum(e_lj_pair)
             return fx, fy, fz, e_c, e_lj
 
-        z = jnp.zeros((BI, CLUSTER), jnp.float32)
+        z = jnp.zeros((bi, CLUSTER), jnp.float32)
+        # dynamic trip count: padded j-groups (all-dummy) are skipped
         fx, fy, fz, e_c, e_lj = jax.lax.fori_loop(
-            0, n_groups, j_group,
+            0, jnp.minimum(ng_ref[0, 0, 0], n_groups), j_group,
             (z, z, z, jnp.float32(0.0), jnp.float32(0.0)))
-        fx_ref[...] = fx
-        fy_ref[...] = fy
-        fz_ref[...] = fz
+        fx_ref[...] = fx[None]
+        fy_ref[...] = fy[None]
+        fz_ref[...] = fz[None]
         e_ref[0, 0, 0] = e_c
         e_ref[0, 0, 1] = e_lj
 
@@ -184,41 +186,49 @@ class PallasPrep:
     in (S*BI, 8) cluster rows plus the pre-gathered j-side streams.
     Compute once per pair-list rebuild (md/runner.py) so the per-step work
     is only the coordinate gathers + the kernel itself."""
-    iq: jnp.ndarray       # (S*BI, 8)
+    iq: jnp.ndarray       # (S*bi, 8)
     is6: jnp.ndarray
     is12: jnp.ndarray
     ipv: jnp.ndarray
-    iex: jnp.ndarray      # (S*BI, K*8) i32, k-major
+    iex: jnp.ndarray      # (S*bi, K*8) i32, k-major
     nbr2: jnp.ndarray     # (S, nnbr_pad)
+    ng: jnp.ndarray       # (S, 1, 1) i32 — valid j-group count per program
     jq: jnp.ndarray       # (S, n_groups, 128)
     js6: jnp.ndarray
     js12: jnp.ndarray
     jpv: jnp.ndarray
     jid: jnp.ndarray
+    bi: int = _struct.field(pytree_node=False, default=8)
 
 
-def _dims(nlist: ClusterPairlist):
+def _dims(nlist: ClusterPairlist, bi: int):
     n = nlist.inv_perm.shape[0]
     n_pad = nlist.n_pad
     C = nlist.n_clusters
-    S = nlist.nbr_super.shape[0]
-    nnbr_b = nlist.nbr_super.shape[1]
+    src = nlist.nbr if bi == 1 else nlist.nbr_super
+    S = -(-C // bi)
+    nnbr_b = src.shape[1]
     K = nlist.excl.shape[1]
-    ncl = S * BI + 1     # trailing dummy cluster for padded neighbour id C
+    ncl = S * bi + 1     # trailing dummy cluster for padded neighbour id C
     extra = ncl * CLUSTER - n_pad
-    nnbr_pad = -(-nnbr_b // 128) * 128
+    nnbr_pad = -(-nnbr_b // GJ) * GJ
     return n, n_pad, C, S, nnbr_b, K, ncl, extra, nnbr_pad
 
 
-def pallas_prepare(nlist: ClusterPairlist, nbfp) -> PallasPrep:
-    assert nlist.nbr_super is not None, "build pair list with super_nnbr"
+def pallas_prepare(nlist: ClusterPairlist, nbfp, bi: int = 8) -> PallasPrep:
+    """bi=1: per-cluster lists ((8,128) tiles, ~3x fewer padded pair
+    slots); bi=8: supercluster lists (j loads amortized over 64 i-atoms,
+    needs nbr_super)."""
+    if bi != 1:
+        assert nlist.nbr_super is not None, "build pair list with super_nnbr"
     from .cluster_nb import lj_table_mode
     import numpy as _np
     if not isinstance(nbfp, jax.core.Tracer):
         assert lj_table_mode(_np.asarray(nbfp)) == "geometric", (
             "Pallas kernel requires a geometric-combination LJ table "
             "(comb rule 1/3); LB tables must use the XLA kernel")
-    n, n_pad, C, S, nnbr_b, K, ncl, extra, nnbr_pad = _dims(nlist)
+    n, n_pad, C, S, nnbr_b, K, ncl, extra, nnbr_pad = _dims(nlist, bi)
+    nbr_src = nlist.nbr if bi == 1 else nlist.nbr_super
 
     def plane(a, fill=0.0):
         pad = jnp.full((extra,), fill, a.dtype)
@@ -238,11 +248,14 @@ def pallas_prepare(nlist: ClusterPairlist, nbfp) -> PallasPrep:
     excl = jnp.concatenate(
         [nlist.excl, jnp.full((extra, K), -1, jnp.int32)])
     iex = excl.reshape(ncl, CLUSTER, K).transpose(0, 2, 1).reshape(
-        ncl, K * CLUSTER)[:S * BI]
+        ncl, K * CLUSTER)[:S * bi]
 
-    nbr2 = jnp.pad(jnp.where(nlist.nbr_super >= 0, nlist.nbr_super, C),
+    nbr2 = jnp.pad(jnp.where(nbr_src >= 0, nbr_src, C),
                    ((0, 0), (0, nnbr_pad - nnbr_b)), constant_values=C)
     n_groups = nnbr_pad // GJ
+    # valid entries are contiguous at the front (top_k order); padded = C
+    count = jnp.sum(nbr2 != C, axis=1)
+    ng = (-(-count // GJ)).astype(jnp.int32).reshape(S, 1, 1)
 
     def jgather(pl2d):
         return pl2d[nbr2].reshape(S, n_groups, GJ * CLUSTER)
@@ -250,10 +263,10 @@ def pallas_prepare(nlist: ClusterPairlist, nbfp) -> PallasPrep:
     jid = (nbr2[:, :, None] * CLUSTER
            + jnp.arange(CLUSTER, dtype=jnp.int32)[None, None, :]
            ).reshape(S, n_groups, GJ * CLUSTER)
-    return PallasPrep(iq=q[:S * BI], is6=s6[:S * BI], is12=s12[:S * BI],
-                      ipv=pvp[:S * BI], iex=iex, nbr2=nbr2,
+    return PallasPrep(iq=q[:S * bi], is6=s6[:S * bi], is12=s12[:S * bi],
+                      ipv=pvp[:S * bi], iex=iex, nbr2=nbr2, ng=ng,
                       jq=jgather(q), js6=jgather(s6), js12=jgather(s12),
-                      jpv=jgather(pvp), jid=jid)
+                      jpv=jgather(pvp), jid=jid, bi=bi)
 
 
 def pallas_cluster_forces(x, box, nlist: ClusterPairlist, nbfp,
@@ -265,7 +278,8 @@ def pallas_cluster_forces(x, box, nlist: ClusterPairlist, nbfp,
     table; energies use the 0.5 full-list convention like the XLA twin."""
     if prep is None:
         prep = pallas_prepare(nlist, nbfp)
-    n, n_pad, C, S, nnbr_b, K, ncl, extra, nnbr_pad = _dims(nlist)
+    bi = prep.bi
+    n, n_pad, C, S, nnbr_b, K, ncl, extra, nnbr_pad = _dims(nlist, bi)
     n_groups = prep.jq.shape[1]
 
     xs = jnp.where((nlist.perm < n)[:, None],
@@ -286,10 +300,13 @@ def pallas_cluster_forces(x, box, nlist: ClusterPairlist, nbfp,
     box_diag = jnp.stack([box[0, 0], box[1, 1], box[2, 2]]).reshape(1, 3)
 
     epsfac = float(ONE_4PI_EPS0 / params.epsilon_r)
-    kernel = _make_kernel(n_groups, K, params, beta, epsfac)
+    kernel = _make_kernel(n_groups, K, params, beta, epsfac, bi=bi)
 
-    iblk = lambda w: pl.BlockSpec((BI, w), lambda i: (i, 0),
+    iblk = lambda w: pl.BlockSpec((1, bi, w), lambda i: (i, 0, 0),
                                   memory_space=pltpu.VMEM)
+
+    def i3(a, w):
+        return a.reshape(S, bi, w)
     jrow = lambda: pl.BlockSpec((1, n_groups, GJ * CLUSTER),
                                 lambda i: (i, 0, 0),
                                 memory_space=pltpu.VMEM)
@@ -299,6 +316,8 @@ def pallas_cluster_forces(x, box, nlist: ClusterPairlist, nbfp,
         grid=(S,),
         in_specs=[
             pl.BlockSpec((1, 3), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
             iblk(CLUSTER), iblk(CLUSTER), iblk(CLUSTER),
             iblk(CLUSTER), iblk(CLUSTER), iblk(CLUSTER),
             iblk(CLUSTER),
@@ -312,14 +331,17 @@ def pallas_cluster_forces(x, box, nlist: ClusterPairlist, nbfp,
                          memory_space=pltpu.SMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((S * BI, CLUSTER), jnp.float32),
-            jax.ShapeDtypeStruct((S * BI, CLUSTER), jnp.float32),
-            jax.ShapeDtypeStruct((S * BI, CLUSTER), jnp.float32),
+            jax.ShapeDtypeStruct((S, bi, CLUSTER), jnp.float32),
+            jax.ShapeDtypeStruct((S, bi, CLUSTER), jnp.float32),
+            jax.ShapeDtypeStruct((S, bi, CLUSTER), jnp.float32),
             jax.ShapeDtypeStruct((S, 1, 2), jnp.float32),
         ],
         interpret=interpret,
-    )(box_diag, xx[:S * BI], xy[:S * BI], xz[:S * BI],
-      prep.iq, prep.is6, prep.is12, prep.ipv, prep.iex,
+    )(box_diag, prep.ng,
+      i3(xx[:S * bi], CLUSTER), i3(xy[:S * bi], CLUSTER),
+      i3(xz[:S * bi], CLUSTER),
+      i3(prep.iq, CLUSTER), i3(prep.is6, CLUSTER), i3(prep.is12, CLUSTER),
+      i3(prep.ipv, CLUSTER), i3(prep.iex, K * CLUSTER),
       jx, jy, jz, prep.jq, prep.js6, prep.js12, prep.jpv, prep.jid)
 
     f_sorted = jnp.stack([fx.reshape(-1)[:n_pad], fy.reshape(-1)[:n_pad],
