@@ -10,8 +10,6 @@ reference's CUDA-graph whole-step capture (mdlib/mdgraph_gpu_impl.cu).
 """
 from __future__ import annotations
 
-import dataclasses
-from functools import partial
 from typing import Callable, Optional, Tuple
 
 import jax

@@ -21,7 +21,6 @@ CPU kernels).  TPU design decisions vs. the CUDA kernel:
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable, NamedTuple, Optional, Tuple
 
 import jax

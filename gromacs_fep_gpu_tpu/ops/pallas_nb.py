@@ -29,12 +29,10 @@ Energies accumulate per program and are summed by the caller.
 """
 from __future__ import annotations
 
-import functools
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from flax import struct as _struct
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
