@@ -49,7 +49,7 @@ def main():
     state = state.replace(lam=state.lam.at[2].set(0.5).at[3].set(0.5))
 
     runner = MdRunner(system, params,
-                      RunnerConfig(nnbr=288, use_pallas=True, super_nnbr=512,
+                      RunnerConfig(nnbr=384, use_pallas=True, super_nnbr=640,
                                    fep_max_nbr=512))
 
     # pre-equilibration: the lattice start releases a lot of potential

@@ -92,8 +92,26 @@ def cmd_mdrun(args):
     runner = MdRunner(system, params,
                       RunnerConfig(use_pallas=use_pallas),
                       all_lambda=lam_arr)
+    traj_path = f"{args.deffnm}.trr"
+    callback = None
+    if params.nstxout > 0:
+        from .io.trrio import write_trr_frame
+        if os.path.exists(traj_path):
+            os.unlink(traj_path)
+        next_frame = [0]
+
+        def callback(st, log, done):
+            # chunk-granularity frames (every nstxout steps, rounded up to
+            # the chunk boundary)
+            if done >= next_frame[0]:
+                write_trr_frame(traj_path, np.asarray(st.x),
+                                np.asarray(st.box), v=np.asarray(st.v),
+                                step=int(done), time=done * params.dt,
+                                lam=float(np.asarray(st.lam)[2]))
+                next_frame[0] = done + params.nstxout
+
     t0 = time.time()
-    state, logs = runner.run(state, params.nsteps)
+    state, logs = runner.run(state, params.nsteps, callback=callback)
     jax.block_until_ready(state.x)
     wall = time.time() - t0
     log = concat_logs(logs)

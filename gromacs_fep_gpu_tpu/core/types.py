@@ -311,6 +311,9 @@ class MdParams:
     # COM motion removal
     nstcomm: int = 100
 
+    # output
+    nstxout: int = 0          # TRR coordinate frames every N steps (0 = off)
+
     fep: FepParams = FepParams()
 
     def replace(self, **kw) -> "MdParams":

@@ -135,6 +135,7 @@ def mdp_to_params(text: str) -> Tuple[MdParams, Optional[np.ndarray]]:
         lincs_order=get("lincs-order", 4, int),
         lincs_iter=get("lincs-iter", 2, int),
         nstcomm=get("nstcomm", 100, int),
+        nstxout=get("nstxout", 0, int),
         fep=fep,
     )
     return params, all_lambda
