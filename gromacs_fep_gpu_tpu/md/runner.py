@@ -198,6 +198,12 @@ class MdRunner:
         """Run nsteps; returns (final_state, list of per-chunk StepLog)."""
         nst = self.params.nstlist if not self.config.use_dense else nsteps
         nst = max(1, min(nst, nsteps))
+        if self.config.use_pallas:
+            b = np.asarray(state.box)
+            if np.abs(b - np.diag(np.diag(b))).max() > 1e-6:
+                raise ValueError("Pallas NB kernel supports rectangular "
+                                 "boxes only; use use_pallas=False for "
+                                 "triclinic cells")
         from .vsites import construct_vsites, n_vsites
         if n_vsites(self.system) > 0:
             state = state.replace(

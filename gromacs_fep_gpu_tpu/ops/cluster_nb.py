@@ -328,7 +328,11 @@ def make_cluster_force_fn(system: System, params: MdParams,
     if has_fep is None:
         has_fep = bool(_np.asarray(system.perturbed).any())
     lj_mode = lj_table_mode(_np.asarray(system.nbfp))
-    if use_pallas and lj_mode != "geometric":
+    if use_pallas and (lj_mode != "geometric"
+                       or params.vdw_modifier != VdwModifier.POTENTIAL_SHIFT):
+        # the Pallas kernel implements the potential-shift modifier and the
+        # geometric LJ fast path only; other combinations fall back to the
+        # XLA kernel (same physics, slower)
         use_pallas = False
     if use_pallas:
         from .pallas_nb import pallas_cluster_forces
