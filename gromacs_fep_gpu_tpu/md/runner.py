@@ -69,6 +69,15 @@ class MdRunner:
                 raise ValueError("set params.pme_grid (use pme.pme_grid_size)")
             self.recip_fn = make_pme_recip_fn(system, params)
 
+        if self.config.use_pallas and not self.config.use_dense:
+            # mirror make_cluster_force_fn's fallback conditions so the
+            # rebuild doesn't prepare Pallas data the force path won't use
+            from ..ops.cluster_nb import lj_table_mode
+            from ..core.types import VdwModifier
+            if (lj_table_mode(np.asarray(system.nbfp)) != "geometric"
+                    or params.vdw_modifier != VdwModifier.POTENTIAL_SHIFT):
+                self.config.use_pallas = False
+
         self._force_fn = None
         if self.config.use_dense:
             dense = make_dense_force_fn(system, params, self.recip_fn)
