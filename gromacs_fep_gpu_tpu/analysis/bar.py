@@ -34,10 +34,12 @@ def bar(delta_u_fwd: np.ndarray, delta_u_rev: np.ndarray, kt: float,
         return 1.0 / (1.0 + np.exp(np.clip(x, -500, 500)))
 
     def imbalance(dg):
-        # Bennett self-consistency: <f((M + wF - dG)/kT)>_fwd =
-        # <f((-M + wR + dG)/kT)>_rev, with wR = U_i - U_{i+1} at state i+1
-        a = np.log(np.mean(fermi((m + delta_u_fwd - dg) / kt)) + 1e-300)
-        b = np.log(np.mean(fermi((-m + delta_u_rev + dg) / kt)) + 1e-300)
+        # Bennett self-consistency on SUMS (gmx_bar.cpp calc_bar_sum):
+        # sum f((M + wF - dG)/kT) = sum f((-M + wR + dG)/kT), with
+        # wR = U_i - U_{i+1} at state i+1.  Equating means instead would
+        # converge to dG + kT ln(nf/nr) when sample counts differ.
+        a = np.log(np.sum(fermi((m + delta_u_fwd - dg) / kt)) + 1e-300)
+        b = np.log(np.sum(fermi((-m + delta_u_rev + dg) / kt)) + 1e-300)
         return a - b
 
     lo, hi = -1e4, 1e4

@@ -89,6 +89,13 @@ def cmd_mdrun(args):
         print(f"restarted from {args.cpi} at step {int(state.step)}")
 
     use_pallas = args.fep != "cpu"
+    if args.fep == "auto" or args.fep is None:
+        # auto mode falls back to the XLA kernels on triclinic boxes
+        # (the Pallas NB kernel is rectangular-only; an explicit
+        # `-fep tpu` keeps the hard error in MdRunner.run)
+        b = np.asarray(data["box"], dtype=np.float64)
+        if np.abs(b - np.diag(np.diag(b))).max() > 1e-6:
+            use_pallas = False
     runner = MdRunner(system, params,
                       RunnerConfig(use_pallas=use_pallas),
                       all_lambda=lam_arr)

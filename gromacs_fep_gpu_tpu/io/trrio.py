@@ -7,6 +7,7 @@ The format interoperates with GROMACS `gmx dump -f`, `gmx check` etc.
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import os
 import subprocess
 import threading
@@ -19,13 +20,24 @@ _LIB = None
 
 
 def _build_lib() -> str:
+    """Compile trrio.cc into a per-source-hash cache path.
+
+    The binary is never committed; keying the output on the source content
+    hash guarantees a stale or divergent .so is never loaded."""
     here = os.path.dirname(os.path.abspath(__file__))
     src = os.path.join(here, "..", "native", "trrio.cc")
-    out = os.path.join(here, "..", "native", "_trrio.so")
-    if (not os.path.exists(out)
-            or os.path.getmtime(out) < os.path.getmtime(src)):
+    with open(src, "rb") as fh:
+        digest = hashlib.sha256(fh.read()).hexdigest()[:16]
+    cache = os.environ.get("TPUMD_NATIVE_CACHE",
+                           os.path.join(os.path.expanduser("~"),
+                                        ".cache", "tpumd"))
+    os.makedirs(cache, exist_ok=True)
+    out = os.path.join(cache, f"_trrio_{digest}.so")
+    if not os.path.exists(out):
+        tmp = out + f".tmp{os.getpid()}"
         subprocess.check_call(
-            ["g++", "-O2", "-shared", "-fPIC", "-std=c++17", src, "-o", out])
+            ["g++", "-O2", "-shared", "-fPIC", "-std=c++17", src, "-o", tmp])
+        os.replace(tmp, out)
     return out
 
 

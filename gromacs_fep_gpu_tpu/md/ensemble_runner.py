@@ -58,7 +58,9 @@ class EnsembleRunner:
         if params.pme_grid is not None and params.coulomb.value == "pme":
             self.recip_fn = make_pme_recip_fn(system, params)
         self._exchange_parity = 0
+        self._exchange_count = 0
         self._chunk = None
+        self._delta_final = None
 
     # -- single-window machinery ---------------------------------------
     def _window_chunk(self, seg_len: int):
@@ -123,6 +125,36 @@ class EnsembleRunner:
                            out_shardings=(shard, shard))
         return jax.jit(vchunk)
 
+    def _build_delta_final(self):
+        """Foreign-lambda Delta-H evaluated on the EXCHANGE-TIME
+        configuration (not the last nstdhdl sample), so the Metropolis
+        test satisfies detailed balance (ref: replicaexchange.cpp:867
+        uses the current step's foreignLambdaTerms)."""
+        cfg = self.config
+        from .verletbuf import effective_rlist
+        rl = effective_rlist(self.params)
+        if cfg.use_dense:
+            beta = get_beta(self.params)
+
+            def one(state: State):
+                def e_at(l):
+                    return dense_energy(state.x, state.box, l, self.system,
+                                        self.params, beta,
+                                        self.recip_fn).epot
+                return jax.vmap(e_at)(self.all_lambda) - e_at(state.lam)
+        else:
+            from ..ops.foreign import make_foreign_delta_fn
+            delta_core = make_foreign_delta_fn(
+                self.system, self.params, self.all_lambda, self.recip_fn)
+
+            def one(state: State):
+                feplist = (build_fep_pairlist(
+                    state.x, state.box, self.system, rl, self.pert_idx,
+                    max_nbr=cfg.fep_max_nbr) if self.has_fep else None)
+                return delta_core(state.x, state.box, state.lam, feplist)
+
+        return jax.jit(jax.vmap(one))
+
     # -- exchange --------------------------------------------------------
     def _exchange(self, states: State, last_delta_h):
         """Neighbour swap using the last foreign-lambda energies:
@@ -141,7 +173,9 @@ class EnsembleRunner:
         du_fwd = last_delta_h[idx, partner]        # U_pl(x_i) - U_li(x_i)
         delta = beta * (du_fwd + du_fwd[partner])
         lo = jnp.minimum(idx, partner)
-        key = jax.random.fold_in(states.rng[0], int(np.random.randint(1 << 30)))
+        # counter-based: reproducible + checkpoint-consistent (no np.random)
+        self._exchange_count += 1
+        key = jax.random.fold_in(states.rng[0], self._exchange_count)
         u = jax.random.uniform(key, (L,))
         accept = (u[lo] < jnp.exp(-jnp.clip(delta, -50.0, 50.0))) & has_partner
         src = jnp.where(accept, partner, idx)
@@ -178,15 +212,13 @@ class EnsembleRunner:
             done += seg
             since_exchange += seg
             if self.config.exchange and since_exchange >= nex:
-                dh = np.asarray(log.delta_h)            # (L, seg, L)
-                valid = ~np.isnan(dh[0, :, 0])
-                if valid.any():
-                    last = np.where(valid)[0][-1]
-                    states, n_acc = self._exchange(
-                        states, jnp.asarray(dh[:, last, :]))
-                    if self.mesh is not None:
-                        states = jax.device_put(
-                            states, NamedSharding(self.mesh, P(ENS_AXIS)))
-                    n_acc_total += n_acc
+                if self._delta_final is None:
+                    self._delta_final = self._build_delta_final()
+                dh_now = self._delta_final(states)      # (L, L) at NOW
+                states, n_acc = self._exchange(states, dh_now)
+                if self.mesh is not None:
+                    states = jax.device_put(
+                        states, NamedSharding(self.mesh, P(ENS_AXIS)))
+                n_acc_total += n_acc
                 since_exchange = 0
         return states, logs, n_acc_total

@@ -50,11 +50,14 @@ struct Writer {
     u32(u);
   }
   void xdr_string(const char* s) {
-    // GROMACS writes strings as (len+1) then opaque bytes padded to 4
-    int32_t n = static_cast<int32_t>(strlen(s)) + 1;
-    i32(n);
-    size_t pad = (4 - (n % 4)) % 4;
-    ok &= fwrite(s, 1, n, f) == static_cast<size_t>(n);
+    // GROMACS (gmxfio_xdr.cpp gmx_fio_do_string) writes an outer int
+    // slen = strlen+1, then libc xdr_string which itself emits
+    // u32(strlen) + the unpadded bytes padded to a 4-byte boundary.
+    int32_t len = static_cast<int32_t>(strlen(s));
+    i32(len + 1);
+    u32(static_cast<uint32_t>(len));
+    size_t pad = (4 - (len % 4)) % 4;
+    ok &= fwrite(s, 1, len, f) == static_cast<size_t>(len);
     const char zeros[4] = {0, 0, 0, 0};
     if (pad) ok &= fwrite(zeros, 1, pad, f) == pad;
   }
@@ -83,9 +86,10 @@ struct Reader {
     return v;
   }
   void skip_string() {
-    int32_t n = i32();
-    size_t pad = (4 - (n % 4)) % 4;
-    ok &= fseek(f, n + pad, SEEK_CUR) == 0;
+    (void)i32();  // outer slen = strlen+1 (gmx_fio_do_string)
+    int32_t len = i32();  // xdr_string's own length word
+    size_t pad = (4 - (len % 4)) % 4;
+    ok &= fseek(f, len + pad, SEEK_CUR) == 0;
   }
   void f32_array_swapped(float* out, size_t n) {
     std::vector<uint32_t> buf(n);

@@ -5,6 +5,22 @@ from gromacs_fep_gpu_tpu.io.trrio import (read_trr_frame, scan_trr,
                                           write_trr_frame)
 
 
+def test_trr_header_wire_format(tmp_path):
+    """Exact on-disk XDR layout of the frame header so GROMACS tools can
+    parse it: magic i32(1993), then gmx_fio_do_string = outer i32(strlen+1)
+    + xdr_string's u32(strlen) + unpadded bytes (gmxfio_xdr.cpp:388,420)."""
+    import struct
+    path = str(tmp_path / "one.trr")
+    x = np.zeros((2, 3), np.float32)
+    write_trr_frame(path, x, np.eye(3, dtype=np.float32))
+    raw = open(path, "rb").read()
+    magic, slen, inner = struct.unpack(">iII", raw[:12])
+    assert magic == 1993
+    assert slen == len("GMX_trn_file") + 1
+    assert inner == len("GMX_trn_file")
+    assert raw[12:24] == b"GMX_trn_file"
+
+
 def test_trr_roundtrip(tmp_path):
     path = str(tmp_path / "traj.trr")
     rng = np.random.RandomState(0)
