@@ -40,7 +40,13 @@ class MoleculeType:
     rbdihs: List[Tuple] = dataclasses.field(default_factory=list)
     idihs: List[Tuple] = dataclasses.field(default_factory=list)
     posres: List[Tuple] = dataclasses.field(default_factory=list)
+    dihres: List[Tuple] = dataclasses.field(default_factory=list)
+    angres: List[Tuple] = dataclasses.field(default_factory=list)
+    restrbonds: List[Tuple] = dataclasses.field(default_factory=list)
     pairs14: List[Tuple] = dataclasses.field(default_factory=list)
+    # unresolved 1-4 pair rows (ai, aj, (c6,c12)A, (c6,c12)B); consumed by
+    # the grompp transforms in io/topio.py which bake charges+fudge in
+    pairs_raw: List[Tuple] = dataclasses.field(default_factory=list)
     # constraints
     settle: Optional[Tuple[int, int, int, float, float]] = None  # (O,H1,H2,dOH,dHH)
     constraints: List[Tuple] = dataclasses.field(default_factory=list)  # (i,j,lenA[,lenB])
@@ -51,6 +57,8 @@ class MoleculeType:
     # explicit extra exclusions beyond bond graph
     extra_exclusions: List[Tuple[int, int]] = dataclasses.field(default_factory=list)
     nrexcl: int = 3
+    # per-atom names (for h-bond constraint detection); optional
+    atom_names: Optional[List[str]] = None
 
     @property
     def n_atoms(self) -> int:
@@ -58,7 +66,10 @@ class MoleculeType:
 
     def bond_graph_edges(self) -> List[Tuple[int, int]]:
         edges = [(int(b[0][0]), int(b[0][1])) for b in self.bonds]
-        edges += [(int(c[0]), int(c[1])) for c in self.constraints]
+        # constraints funct 2 (5-tuple marker) generate no exclusions
+        # (reference: toppush.cpp push_bond bGenerateExclusions for F_CONSTR)
+        edges += [(int(c[0]), int(c[1])) for c in self.constraints
+                  if len(c) <= 4]
         # virtual sites inherit connectivity from their first constructor
         for row in self.vsites2 + self.vsites3 + self.vsites3out:
             edges.append((int(row[0][0]), int(row[0][1])))
@@ -141,6 +152,7 @@ def _pad_rows(rows: List[Tuple], k: int, p: int, pad_to: Optional[int] = None
 _TERM_SHAPES = {
     "bonds": (2, 2), "angles": (3, 2), "ub": (3, 4), "pdihs": (4, 3),
     "rbdihs": (4, 6), "idihs": (4, 2), "posres": (1, 6),
+    "dihres": (4, 3), "angres": (4, 3), "restrbonds": (2, 4),
 }
 
 

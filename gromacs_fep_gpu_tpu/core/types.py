@@ -244,7 +244,8 @@ class FepLambdas:
 class FepParams:
     """Static FEP settings (reference: t_lambda, inputrec.h:114-166)."""
     enabled: bool = False
-    init_lambda_state: int = 0
+    init_lambda_state: int = -1        # index into all_lambda (-1 = unset)
+    init_lambda: float = -1.0          # scalar lambda (-1 = unset)
     delta_lambda: float = 0.0          # slow growth d(lambda)/d(step)
     sc_alpha: float = 0.0
     sc_power: int = 1                  # 1 or 2
@@ -254,6 +255,7 @@ class FepParams:
     softcore: SoftcoreType = SoftcoreType.BEUTLER
     nstdhdl: int = 100
     calc_foreign: bool = True          # compute all foreign-lambda energies
+    calc_lambda_neighbors: int = -1    # -1 = all, n = +-n neighbors
     # Gapsys parameters
     sc_gapsys_scale_linpoint_lj: float = 0.85
     sc_gapsys_scale_linpoint_q: float = 0.3

@@ -1,0 +1,147 @@
+"""grompp-lite: assemble (System, MdParams, State) from mdp + top + gro.
+
+This is the preprocessing front end tying together io/mdpio.py (readir
+analogue), io/topio.py (topio/toppush analogue) and io/groio.py, applying
+the grompp-level transforms in the reference order
+(reference: src/gromacs/gmxpreprocess/grompp.cpp:1869 gmx_grompp):
+couple-moltype conversion, h-bond constraint conversion, position-restraint
+reference coordinates, PME grid determination (fft/calcgrid.cpp), and the
+initial lambda vector (mdlib/freeenergyparameters.cpp).
+"""
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from ..core.types import (CoulombType, FepCoupling, MdParams, State, System,
+                          make_state)
+from .groio import read_gro
+from .mdpio import mdp_extras, mdp_to_params
+from .topio import parse_top, system_from_top
+
+# fft/calcgrid.cpp grid-size tables
+_GRID_INIT = [6, 8, 10, 12, 14, 16, 20, 24, 25, 28, 32, 36, 40, 42, 44]
+_GRID_BASE = [45, 48, 50, 52, 54, 56, 60, 64, 70, 72, 75, 80, 81, 84]
+
+
+def gromacs_fft_dim(nmin: int) -> int:
+    """Smallest GROMACS-approved FFT size >= nmin
+    (reference: fft/calcgrid.cpp:100-152 calcFftGrid)."""
+    if _GRID_INIT[-1] >= nmin:
+        for g in _GRID_INIT:
+            if g >= nmin:
+                return g
+    fac2 = 1
+    while fac2 * _GRID_BASE[-1] < nmin:
+        fac2 *= 2
+    best = None
+    for base in reversed(_GRID_BASE):
+        attempt = fac2 * base
+        if ((attempt % 4 == 0 and attempt != 140) or attempt == 90) \
+                and attempt >= nmin:
+            best = attempt
+    return best if best is not None else fac2 * _GRID_BASE[-1]
+
+
+def gromacs_pme_grid(box: np.ndarray, spacing: float, pme_order: int = 4
+                     ) -> Tuple[int, int, int]:
+    """PME grid dims exactly as grompp computes them
+    (reference: grompp.cpp:2518 calcFftGrid with minimalPmeGridSize,
+    ewald/pme.cpp:457: min = 2*(order-1); spacing measured along the box
+    VECTORS, not the cartesian axes)."""
+    min_size = 2 * (pme_order - 1)
+    dims = []
+    for d in range(3):
+        length = float(np.linalg.norm(box[d]))
+        nmin = max(int(length / spacing + 0.999), min_size)
+        dims.append(gromacs_fft_dim(nmin))
+    return tuple(dims)
+
+
+def initial_lambda_vector(fep, all_lambda: Optional[np.ndarray]
+                          ) -> np.ndarray:
+    """(7,) lambda vector at step 0
+    (reference: mdlib/freeenergyparameters.cpp currentGlobalLambda +
+    interpolatedLambdas)."""
+    n = 0 if all_lambda is None else all_lambda.shape[1]
+    if fep.init_lambda_state > -1:
+        g = (fep.init_lambda_state / (n - 1)) if n > 1 else 0.0
+    elif fep.init_lambda > -1:
+        g = fep.init_lambda
+    else:
+        g = 0.0
+    g = max(g, 0.0)
+    if n == 0:
+        return np.full((int(FepCoupling.COUNT),), g, np.float64)
+    gc = min(g, 1.0)
+    left = int(math.floor(gc * (n - 1)))
+    right = left if left == n - 1 else left + 1
+    frac = gc * (n - 1) - left
+    return (all_lambda[:, left]
+            + frac * (all_lambda[:, right] - all_lambda[:, left]))
+
+
+@dataclasses.dataclass
+class Preprocessed:
+    """The tpr analogue: everything mdrun needs."""
+    system: System
+    params: MdParams
+    state: State
+    all_lambda: Optional[np.ndarray]
+    separate_dvdl: List[bool]
+    extras: Dict[str, object]
+    atom_names: List[str]
+    res_names: List[str]
+
+
+def preprocess(mdp_text: str, top_text: str, gro_path: str,
+               include_dirs: Optional[List[str]] = None,
+               seed: int = 1993) -> Preprocessed:
+    """The gmx_grompp analogue (in-memory tpr)."""
+    params, all_lambda = mdp_to_params(mdp_text)
+    extras = mdp_extras(mdp_text)
+    names, resnames, x, v, box = read_gro(gro_path)
+
+    system = system_from_top(
+        top_text, include_dirs=include_dirs,
+        couple_moltype=extras["couple_moltype"],
+        couple_lam0=extras["couple_lam0"],
+        couple_lam1=extras["couple_lam1"],
+        couple_intramol=extras["couple_intramol"],
+        constraints=extras["constraints"],
+        defines=extras["defines"],
+        epsilon_r=params.epsilon_r)
+    if system.n_atoms != x.shape[0]:
+        raise ValueError(f"topology has {system.n_atoms} atoms, "
+                         f"coordinates {x.shape[0]}")
+
+    # position-restraint reference coordinates from the input conformation
+    # (reference: gmxpreprocess/grompp.cpp gen_posres)
+    if "posres" in system.bonded:
+        import jax.numpy as jnp
+        il = system.bonded["posres"]
+        ai = np.asarray(il.atoms[:, 0])
+        pa = np.asarray(il.params_a).copy()
+        pb = np.asarray(il.params_b).copy()
+        pa[:, 0:3] = x[ai]
+        pb[:, 0:3] = x[ai]
+        system.bonded["posres"] = il.replace(params_a=jnp.asarray(pa),
+                                             params_b=jnp.asarray(pb))
+
+    if params.coulomb == CoulombType.PME and params.pme_grid is None:
+        params = params.replace(
+            pme_grid=gromacs_pme_grid(box, params.fourier_spacing,
+                                      params.pme_order))
+
+    lam0 = initial_lambda_vector(params.fep, all_lambda)
+    fep_state = max(params.fep.init_lambda_state, 0)
+    state = make_state(x, v, box, lam=lam0.astype(np.float32),
+                       fep_state=fep_state, seed=seed)
+    return Preprocessed(system=system, params=params, state=state,
+                        all_lambda=all_lambda,
+                        separate_dvdl=extras["separate_dvdl"],
+                        extras=extras, atom_names=list(names),
+                        res_names=list(resnames))

@@ -75,17 +75,82 @@ def _lambda_vector(kv: Dict[str, str]):
     return out
 
 
+def mdp_extras(text: str) -> Dict[str, object]:
+    """Grompp-level keys that shape the topology/system rather than the
+    run parameters (reference: readir.cpp couple-moltype :2544-2588,
+    constraints conversion topshake.cpp, separate_dvdl :1811-1846)."""
+    kv = parse_mdp(text)
+    comp_keys = ["fep-lambdas", "mass-lambdas", "coul-lambdas", "vdw-lambdas",
+                 "bonded-lambdas", "restraint-lambdas", "temperature-lambdas"]
+    present = [bool(kv.get(k, "").split()) for k in comp_keys]
+    # separate_dvdl: true for every component with its own lambda array,
+    # Temperature never; with scalar init-lambda only, the generic Fep
+    # component is separate (readir.cpp:1811-1846)
+    separate = list(present)
+    separate[int(FepCoupling.TEMPERATURE)] = False
+    init_lambda = float(kv.get("init-lambda", "-1") or -1)
+    if not any(present) and init_lambda >= 0:
+        separate[int(FepCoupling.FEP)] = True
+    defines = {}
+    for tok in kv.get("define", "").split():
+        if tok.startswith("-D"):
+            body = tok[2:]
+            name, _, val = body.partition("=")
+            defines[name] = val or "1"
+    return {
+        "separate_dvdl": separate,
+        "couple_moltype": kv.get("couple-moltype", "").strip() or None,
+        "couple_lam0": kv.get("couple-lambda0", "vdw-q").lower(),
+        "couple_lam1": kv.get("couple-lambda1", "vdw-q").lower(),
+        "couple_intramol": kv.get("couple-intramol", "no").lower() == "yes",
+        "constraints": kv.get("constraints", "none").lower(),
+        "defines": defines,
+        "verlet_buffer_tolerance": float(kv.get("verlet-buffer-tolerance",
+                                                "0.005")),
+        "nstcalcenergy": int(kv.get("nstcalcenergy", "100")),
+        "gen_vel": kv.get("gen-vel", "no").lower() == "yes",
+        "gen_temp": float(kv.get("gen-temp", "300")),
+        "gen_seed": int(kv.get("gen-seed", "-1")),
+        "simulated_tempering": kv.get("simulated-tempering",
+                                      "no").lower() == "yes",
+        "nstexpanded": int(kv.get("nstexpanded", "-1")),
+        "lmc_stats": kv.get("lmc-stats", "no").lower(),
+        "lmc_move": kv.get("lmc-move", "no").lower(),
+        "lmc_seed": int(kv.get("lmc-seed", "-1")),
+        "sim_temp_low": float(kv.get("sim-temp-low", "300")),
+        "sim_temp_high": float(kv.get("sim-temp-high", "300")),
+        "simulated_tempering_scaling": kv.get("simulated-tempering-scaling",
+                                              "geometric").lower(),
+        "wl_scale": float(kv.get("wl-scale", "0.8")),
+        "wl_ratio": float(kv.get("wl-ratio", "0.8")),
+        "init_wl_delta": float(kv.get("init-wl-delta", "1.0")),
+    }
+
+
 def mdp_to_params(text: str) -> Tuple[MdParams, Optional[np.ndarray]]:
     """Returns (MdParams, all_lambda or None)."""
     kv = parse_mdp(text)
 
+    def _lookup(key):
+        # mdp keys treat '-', '_' and nothing interchangeably
+        # (e.g. coulombtype / coulomb-type / coulomb_type)
+        if key in kv:
+            return kv[key]
+        flat = key.replace("-", "")
+        for k, v in kv.items():
+            if k.replace("-", "") == flat:
+                return v
+        return None
+
     def get(key, default, cast=float):
-        return cast(kv[key]) if key in kv else default
+        v = _lookup(key)
+        return cast(v) if v is not None else default
 
     def gete(key, table, default):
-        if key not in kv:
+        v = _lookup(key)
+        if v is None:
             return default
-        v = kv[key].lower()
+        v = v.lower()
         if v not in table:
             warnings.warn(f"mdp: unsupported {key} = {v}, keeping default")
             return default
@@ -93,18 +158,45 @@ def mdp_to_params(text: str) -> Tuple[MdParams, Optional[np.ndarray]]:
 
     all_lambda = _lambda_vector(kv)
     sc_alpha = get("sc-alpha", 0.0)
+    sc_coul = kv.get("sc-coul", "no").lower() == "yes"
+    # bOneLambda: a single global lambda controls everything (scalar
+    # init-lambda, or only fep-lambdas given) -> soft-core must also act on
+    # Coulomb or the simultaneously vanishing LJ would leave bare charges
+    # (reference: readir.cpp:1890-1893 forces bScCoul = TRUE)
+    comp_specific = ["mass-lambdas", "coul-lambdas", "vdw-lambdas",
+                     "bonded-lambdas", "restraint-lambdas",
+                     "temperature-lambdas"]
+    one_lambda = not any(kv.get(k, "").split() for k in comp_specific)
+    if one_lambda and sc_alpha > 0:
+        sc_coul = True
     fep_on = kv.get("free-energy", "no").lower() in ("yes", "expanded")
+    # simulated tempering also drives the lambda machinery
+    # (reference: readir.cpp bSimTemp handling)
+    if kv.get("simulated-tempering", "no").lower() == "yes":
+        fep_on = True
     fep = FepParams(
         enabled=fep_on,
-        init_lambda_state=get("init-lambda-state", 0, int),
+        init_lambda_state=get("init-lambda-state", -1, int),
+        init_lambda=get("init-lambda", -1.0),
         delta_lambda=get("delta-lambda", 0.0),
         sc_alpha=sc_alpha,
         sc_power=get("sc-power", 1, int),
         sc_sigma=get("sc-sigma", 0.3),
-        sc_coul=kv.get("sc-coul", "no").lower() == "yes",
+        sc_sigma_min=get("sc-sigma", 0.3),   # grompp sets sc_sigma_min = sc_sigma
+        sc_coul=sc_coul,
         softcore=gete("sc-function", _SC, SoftcoreType.BEUTLER),
         nstdhdl=get("nstdhdl", 100, int),
+        calc_lambda_neighbors=get("calc-lambda-neighbors", -1, int),
     )
+    vdw_modifier = gete("vdw-modifier", _VMOD, VdwModifier.POTENTIAL_SHIFT)
+    # Verlet scheme reinterprets legacy vdw-type = shift/switch as the
+    # corresponding modifier on a plain cutoff (reference: readir.cpp)
+    vdwtype = (_lookup("vdwtype") or "cut-off").lower()
+    if vdwtype == "shift":
+        vdw_modifier = VdwModifier.FORCE_SWITCH
+    elif vdwtype == "switch":
+        vdw_modifier = VdwModifier.POTENTIAL_SWITCH
+
     params = MdParams(
         dt=get("dt", 0.001),
         nsteps=get("nsteps", 0, int),
@@ -114,7 +206,7 @@ def mdp_to_params(text: str) -> Tuple[MdParams, Optional[np.ndarray]]:
         rlist=get("rlist", 1.05),
         nstlist=get("nstlist", 10, int),
         coulomb=gete("coulombtype", _COUL, CoulombType.REACTION_FIELD),
-        vdw_modifier=gete("vdw-modifier", _VMOD, VdwModifier.POTENTIAL_SHIFT),
+        vdw_modifier=vdw_modifier,
         epsilon_r=get("epsilon-r", 1.0),
         epsilon_rf=get("epsilon-rf", 0.0),
         rvdw_switch=get("rvdw-switch", 0.9),

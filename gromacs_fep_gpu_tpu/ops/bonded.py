@@ -143,6 +143,61 @@ def posres_energy(x, box, il: InteractionList, lam) -> jnp.ndarray:
     return jnp.sum(il.mask * 0.5 * jnp.sum(k * dx * dx, -1))
 
 
+def dihres_energy(x, box, il: InteractionList, lam) -> jnp.ndarray:
+    """Flat-bottom dihedral restraints: V = 1/2 k max(|dphi| - dphi0, 0)^2
+    with phi0/dphi0/k all lambda-interpolated
+    (reference: listed_forces/bonded.cpp dihres())."""
+    if il.n == 0:
+        return jnp.zeros((), x.dtype)
+    phi = dihedral_angle(x, box, il.atoms)
+    p = _interp(il.params_a, il.params_b, lam)
+    phi0, dphi0, kfac = p[:, 0] * DEG2RAD, p[:, 1] * DEG2RAD, p[:, 2]
+    dp = phi - phi0
+    dp = dp - 2.0 * jnp.pi * jnp.round(dp / (2.0 * jnp.pi))
+    ddp = jnp.sign(dp) * jnp.maximum(jnp.abs(dp) - dphi0, 0.0)
+    return jnp.sum(il.mask * 0.5 * kfac * ddp * ddp)
+
+
+def angres_energy(x, box, il: InteractionList, lam) -> jnp.ndarray:
+    """Angle restraints between vectors j-i and l-k:
+    V = k (1 - cos(mult (theta - theta0))), theta0 in degrees
+    (reference: bonded.cpp low_angres + dopdihs_min)."""
+    if il.n == 0:
+        return jnp.zeros((), x.dtype)
+    ai, aj, ak, al = (il.atoms[:, 0], il.atoms[:, 1], il.atoms[:, 2],
+                      il.atoms[:, 3])
+    rij = _bond_vec(x, box, aj, ai)
+    rkl = _bond_vec(x, box, al, ak)
+    cos_th = jnp.sum(rij * rkl, -1) * jax.lax.rsqrt(
+        jnp.sum(rij * rij, -1) * jnp.sum(rkl * rkl, -1) + 1e-32)
+    th = jnp.arccos(jnp.clip(cos_th, -1.0 + 1e-7, 1.0 - 1e-7))
+    th0 = _interp(il.params_a[:, 0], il.params_b[:, 0], lam) * DEG2RAD
+    k = _interp(il.params_a[:, 1], il.params_b[:, 1], lam)
+    mult = il.params_a[:, 2]
+    return jnp.sum(il.mask * k * (1.0 - jnp.cos(mult * (th - th0))))
+
+
+def restrbond_energy(x, box, il: InteractionList, lam) -> jnp.ndarray:
+    """Flat-bottom restraint bonds (bonds funct 10): zero in [low, up1],
+    harmonic outside, linear beyond up2; params (low, up1, up2, k) per
+    state (reference: bonded.cpp restraint_bonds())."""
+    if il.n == 0:
+        return jnp.zeros((), x.dtype)
+    ai, aj = il.atoms[:, 0], il.atoms[:, 1]
+    p = _interp(il.params_a, il.params_b, lam)
+    low, up1, up2, k = p[:, 0], p[:, 1], p[:, 2], p[:, 3]
+    dx = _bond_vec(x, box, ai, aj)
+    r = jnp.sqrt(jnp.sum(dx * dx, -1) + 1e-32)
+    v_low = 0.5 * k * (r - low) ** 2
+    v_up1 = 0.5 * k * (r - up1) ** 2
+    # beyond up2 the potential continues linearly with slope k*(up2-up1)
+    v_up2 = 0.5 * k * (up2 - up1) * (2.0 * r - up2 - up1)
+    v = jnp.where(r < low, v_low,
+                  jnp.where(r <= up1, 0.0,
+                            jnp.where(r <= up2, v_up1, v_up2)))
+    return jnp.sum(il.mask * v)
+
+
 # term registry: name -> (arity k, n params p, energy fn)
 TERMS = {
     "bonds": (2, 2, bond_energy),
@@ -152,6 +207,9 @@ TERMS = {
     "rbdihs": (4, 6, rbdih_energy),
     "idihs": (4, 2, idih_energy),
     "posres": (1, 6, posres_energy),
+    "dihres": (4, 3, dihres_energy),
+    "angres": (4, 3, angres_energy),
+    "restrbonds": (2, 4, restrbond_energy),
 }
 
 # energy-term channel each name accumulates into (EnergyTerms field)
@@ -163,4 +221,12 @@ TERM_CHANNEL = {
     "rbdihs": "dihedrals",
     "idihs": "impropers",
     "posres": "restraints",
+    "dihres": "restraints",
+    "angres": "restraints",
+    "restrbonds": "restraints",
 }
+
+# terms whose lambda dependence follows the RESTRAINT coupling component
+# (reference: ifunc.h IF_RESTRAINT-flagged types route dvdl to
+# FreeEnergyPerturbationCouplingType::Restraint)
+RESTRAINT_TERMS = frozenset({"posres", "dihres", "angres", "restrbonds"})

@@ -386,7 +386,10 @@ def make_cluster_force_fn(system: System, params: MdParams,
                               lj=terms.lj + e_lj,
                               dvdl=glam)
         if disp_e_fn is not None:
-            terms = terms.replace(dispcorr=disp_e_fn(box))
+            e_dc, dvdl_dc = disp_e_fn(box, lam[FepCoupling.VDW])
+            terms = terms.replace(
+                dispcorr=e_dc,
+                dvdl=terms.dvdl.at[FepCoupling.VDW].add(dvdl_dc))
         return f, terms
 
     return force_fn

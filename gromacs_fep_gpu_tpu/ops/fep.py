@@ -205,9 +205,10 @@ def softcore_pair_energies(
     c6 = jnp.stack([pair.c6_a, pair.c6_b])
     c12 = jnp.stack([pair.c12_a, pair.c12_b])
 
-    # sigma^6 per state
+    # sigma^6 per state; the minimum clamp is only active with sc-coul
+    # (reference: interaction_const.cpp:55 sigma6Minimum = bScCoul ? ... : 0)
     sigma6_def = fep.sc_sigma ** 6
-    sigma6_min = fep.sc_sigma_min ** 6
+    sigma6_min = fep.sc_sigma_min ** 6 if fep.sc_coul else 0.0
     have_lj = (c6 > 0) & (c12 > 0)
     sigma6 = jnp.where(have_lj,
                        jnp.maximum(c12 / jnp.where(c6 > 0, c6, 1.0), sigma6_min),
@@ -255,9 +256,15 @@ def softcore_pair_energies(
     rinv6 = jnp.minimum(rpinv_v, MAX_RINV_SIX)
     mask_v = (r_v < params.rvdw).astype(dtype) * ((c6 != 0) | (c12 != 0)) * inc
     v_v = c12 * rinv6 * rinv6 - c6 * rinv6
-    if params.vdw_modifier == VdwModifier.POTENTIAL_SHIFT:
-        rcinv6 = 1.0 / params.rvdw ** 6
-        v_v = v_v - (c12 * rcinv6 * rcinv6 - c6 * rcinv6)
+    if params.vdw_modifier in (VdwModifier.POTENTIAL_SHIFT,
+                               VdwModifier.FORCE_SWITCH):
+        # the FEP kernel applies only the constant potential shift (cpot),
+        # even under force-switch — no switching polynomial on perturbed
+        # pairs (reference: nb_free_energy.cpp:344-345,912 uses
+        # dispersion_shift.cpot/repulsion_shift.cpot only)
+        from .nonbonded_ref import vdw_shift_constants
+        cp6, cp12 = vdw_shift_constants(params)
+        v_v = v_v + c12 * cp12 - c6 * cp6
     elif params.vdw_modifier == VdwModifier.POTENTIAL_SWITCH:
         v_v = v_v * _potential_switch(r_v, params.rvdw_switch, params.rvdw)
     v_v = v_v * mask_v

@@ -89,7 +89,7 @@ def dense_energy(x, box, lam, system: System, params: MdParams,
         if il.n == 0:
             continue
         _, _, fn = bonded_mod.TERMS[name]
-        lam_term = lam_r if name == "posres" else lam_b
+        lam_term = lam_r if name in bonded_mod.RESTRAINT_TERMS else lam_b
         e = fn(x, box, il, lam_term)
         ch = bonded_mod.TERM_CHANNEL[name]
         terms = terms.replace(**{ch: getattr(terms, ch) + e})
@@ -166,7 +166,10 @@ def make_dense_force_fn(system: System, params: MdParams,
         (_, terms), (gx, glam) = grad_fn(x, lam, box)
         terms = terms.replace(dvdl=glam)
         if disp_e_fn is not None:
-            terms = terms.replace(dispcorr=disp_e_fn(box))
+            e_dc, dvdl_dc = disp_e_fn(box, lam[FepCoupling.VDW])
+            terms = terms.replace(
+                dispcorr=e_dc,
+                dvdl=terms.dvdl.at[FepCoupling.VDW].add(dvdl_dc))
         return -gx, terms
 
     return force_fn

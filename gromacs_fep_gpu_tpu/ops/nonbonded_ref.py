@@ -44,6 +44,33 @@ def rf_constants(params: MdParams) -> Tuple[float, float]:
     return krf, crf
 
 
+def forceswitch_constants(p: float, rsw: float, rc: float):
+    """(c2, c3, cpot) for force-switched r^-p
+    (reference: mdtypes/interaction_const.cpp:216 force_switch_constants):
+    force/p = r^-(p+1) + c2 r^2 + c3 r^3 for r > rsw;
+    potential = r^-p + (p c2/3)(r-rsw)^3 + (p c3/4)(r-rsw)^4 + cpot."""
+    c2 = ((p + 1) * rsw - (p + 4) * rc) / (rc ** (p + 2) * (rc - rsw) ** 2)
+    c3 = -((p + 1) * rsw - (p + 3) * rc) / (rc ** (p + 2) * (rc - rsw) ** 3)
+    cpot = (-(rc ** -p) + p * c2 / 3 * (rc - rsw) ** 3
+            + p * c3 / 4 * (rc - rsw) ** 4)
+    return c2, c3, cpot
+
+
+def vdw_shift_constants(params: MdParams):
+    """Constant potential shifts (cpot) for dispersion/repulsion under the
+    active vdW modifier; this is all the FEP kernel applies even for
+    force-switch (reference: nb_free_energy.cpp:344-345 uses only
+    dispersion_shift.cpot / repulsion_shift.cpot)."""
+    rc = params.rvdw
+    if params.vdw_modifier == VdwModifier.POTENTIAL_SHIFT:
+        return -1.0 / rc ** 6, -1.0 / rc ** 12
+    if params.vdw_modifier == VdwModifier.FORCE_SWITCH:
+        _, _, cpot6 = forceswitch_constants(6.0, params.rvdw_switch, rc)
+        _, _, cpot12 = forceswitch_constants(12.0, params.rvdw_switch, rc)
+        return cpot6, cpot12
+    return 0.0, 0.0
+
+
 def ewald_beta(rc: float, rtol: float) -> float:
     """Ewald splitting parameter from cutoff + tolerance
     (reference: ewald/ewald_utils.h calc_ewaldcoeff_q bisection)."""
@@ -74,10 +101,13 @@ def _coulomb_pair_energy(qq, r, rinv, incut, excluded, params: MdParams,
         # included pairs: qq(1/r + krf r^2 - crf); excluded: qq(krf r^2 - crf)
         v = qq * (included * rinv + krf * r * r - crf) * incut
     elif params.coulomb == CoulombType.PME:
-        # short-range: qq erfc(br)/r inside cutoff; excluded pairs get the
-        # compensation -qq erf(br)/r at ANY distance (the reciprocal sum
-        # includes them).  erfc - 1 = -erf lets one expression cover both.
-        sr = qq * rinv * jax.lax.erfc(beta * r) * included * incut
+        # short-range: qq (erfc(br)/r - sh_ewald) inside cutoff (the
+        # potential-shift modifier, reference: nbnxm_cuda_kernel.cuh:642);
+        # excluded pairs get the compensation -qq erf(br)/r at ANY distance
+        # (the reciprocal sum includes them) but no shift.
+        import math
+        sh_ewald = math.erfc(beta * params.rcoulomb) / params.rcoulomb
+        sr = qq * (rinv * jax.lax.erfc(beta * r) - sh_ewald) * included * incut
         comp = -qq * rinv * jax.lax.erf(beta * r) * excluded
         v = sr + comp
     else:
@@ -92,6 +122,20 @@ def _lj_pair_energy(c6, c12, r2, rinv2, incut, params: MdParams):
         rcinv6 = 1.0 / params.rvdw**6
         vshift = c12 * rcinv6 * rcinv6 - c6 * rcinv6
         v = v - vshift
+    elif params.vdw_modifier == VdwModifier.FORCE_SWITCH:
+        # V_p = r^-p - (p c2/3) rs^3 - (p c3/4) rs^4 + cpot, rs = max(r-rsw,0)
+        # so that F/p = r^-(p+1) + c2 rs^2 + c3 rs^3 and V(rc) = 0
+        # (reference: interaction_const.cpp:216 force_switch_constants,
+        # nbnxm_cuda_kernel_utils.cuh calculate_force_switch_F_E)
+        c2d, c3d, cp6 = forceswitch_constants(6.0, params.rvdw_switch,
+                                              params.rvdw)
+        c2r, c3r, cp12 = forceswitch_constants(12.0, params.rvdw_switch,
+                                               params.rvdw)
+        r = r2 * jax.lax.rsqrt(jnp.maximum(r2, 1e-12))
+        rs = jnp.maximum(r - params.rvdw_switch, 0.0)
+        rs3 = rs * rs * rs
+        v = v + c12 * (-4.0 * c2r * rs3 - 3.0 * c3r * rs3 * rs + cp12) \
+              - c6 * (-2.0 * c2d * rs3 - 1.5 * c3d * rs3 * rs + cp6)
     elif params.vdw_modifier == VdwModifier.POTENTIAL_SWITCH:
         v = v * _potential_switch(jnp.sqrt(r2), params.rvdw_switch, params.rvdw)
     return v * incut
