@@ -73,23 +73,36 @@ def bar_profile(delta_h: np.ndarray, lambda_idx: np.ndarray,
     delta_h: (T, L) Delta H from each sample's own window to all windows;
     lambda_idx: (T,) the window each sample was generated in.
     Returns (dg_per_leg list, total dG, total error)."""
+    import warnings as _warnings
     kt = BOLTZ * temperature
     L = delta_h.shape[1]
-    t0 = int(len(lambda_idx) * skip_frac)
-    delta_h = delta_h[t0:]
-    lambda_idx = lambda_idx[t0:]
+    # discard the equilibration fraction per window, not of the
+    # concatenated series (files are stacked in window order)
+    keep = np.zeros(len(lambda_idx), bool)
+    for w in np.unique(lambda_idx):
+        rows = np.where(lambda_idx == w)[0]
+        keep[rows[int(len(rows) * skip_frac):]] = True
+    delta_h = delta_h[keep]
+    lambda_idx = lambda_idx[keep]
     legs = []
     total, var_total = 0.0, 0.0
+    n_done = 0
     for i in range(L - 1):
         at_i = delta_h[lambda_idx == i]
         at_j = delta_h[lambda_idx == i + 1]
         if len(at_i) == 0 or len(at_j) == 0:
-            raise ValueError(f"no samples in window {i} or {i+1}")
+            _warnings.warn(f"bar: no samples for leg {i}->{i+1}; skipped "
+                           "(simulate every lambda window for a total dG)")
+            legs.append((np.nan, np.nan))
+            continue
         fwd = at_i[:, i + 1] - at_i[:, i]
         rev = at_j[:, i] - at_j[:, i + 1]
         dg, err = bar(fwd, rev, kt)
         legs.append((dg, err))
         total += dg
+        n_done += 1
         if np.isfinite(err):
             var_total += err**2
+    if n_done == 0:
+        raise ValueError("bar: no lambda leg has samples on both sides")
     return legs, total, float(np.sqrt(var_total))

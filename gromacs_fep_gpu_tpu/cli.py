@@ -23,40 +23,39 @@ import numpy as np
 
 def cmd_grompp(args):
     from .io.groio import read_gro
-    from .io.mdpio import mdp_to_params
+    from .io.grompp import preprocess_arrays
 
     with open(args.f) as f:
         mdp_text = f.read()
     with open(args.p) as f:
         top_text = f.read()
     names, resnames, x, v, box = read_gro(args.c)
-    params, all_lambda = mdp_to_params(mdp_text)
-    # validate by building once
-    from .io.topio import system_from_top
-    system = system_from_top(top_text, include_dirs=[os.path.dirname(args.p)],
-                             couple_moltype=args.couple_moltype)
-    assert system.n_atoms == x.shape[0], \
-        f"topology has {system.n_atoms} atoms, coordinates {x.shape[0]}"
+    # validate by building once (full grompp transforms incl. couple-moltype,
+    # constraint conversion, defines)
+    pp = preprocess_arrays(mdp_text, top_text, names, resnames, x, v, box,
+                           include_dirs=[os.path.dirname(args.p)],
+                           couple_moltype_override=args.couple_moltype)
     with open(args.o, "wb") as f:   # np.savez would append .npz to a path
         np.savez(f, top=top_text, mdp=mdp_text, x=x,
                  v=(v if v is not None else np.zeros_like(x)), box=box,
                  couple_moltype=args.couple_moltype or "",
-                 names=names, resnames=resnames)
-    print(f"wrote {args.o} ({system.n_atoms} atoms)")
+                 names=names, resnames=resnames,
+                 include_dir=os.path.dirname(os.path.abspath(args.p)))
+    print(f"wrote {args.o} ({pp.system.n_atoms} atoms)")
 
 
 def _load_tpz(path):
-    from .io.mdpio import mdp_to_params
-    from .io.topio import system_from_top
-    from .core.types import make_state
+    from .io.grompp import preprocess_arrays
 
     data = np.load(path, allow_pickle=True)
-    params, all_lambda = mdp_to_params(str(data["mdp"]))
     cm = str(data["couple_moltype"]) or None
-    system = system_from_top(str(data["top"]), couple_moltype=cm)
-    state = make_state(data["x"], data["v"], data["box"],
-                       seed=params.ld_seed)
-    return system, params, all_lambda, state, data
+    inc = [str(data["include_dir"])] if "include_dir" in data else []
+    pp = preprocess_arrays(str(data["mdp"]), str(data["top"]),
+                           [str(n) for n in data["names"]],
+                           [str(r) for r in data["resnames"]],
+                           data["x"], data["v"], data["box"],
+                           include_dirs=inc, couple_moltype_override=cm)
+    return pp, data
 
 
 def cmd_mdrun(args):
@@ -69,7 +68,9 @@ def cmd_mdrun(args):
     from .md.runner import MdRunner, RunnerConfig, concat_logs
     from .ops.pme import pme_grid_size
 
-    system, params, all_lambda, state, data = _load_tpz(args.s)
+    pp, data = _load_tpz(args.s)
+    system, params, state, all_lambda = (pp.system, pp.params, pp.state,
+                                         pp.all_lambda)
     if args.nsteps is not None:
         params = params.replace(nsteps=args.nsteps)
     if params.coulomb == CoulombType.PME and params.pme_grid is None:
@@ -80,10 +81,6 @@ def cmd_mdrun(args):
     lam_arr = None
     if all_lambda is not None:
         lam_arr = jnp.asarray(all_lambda.T)   # (L, 7)
-        lam0 = lam_arr[params.fep.init_lambda_state]
-        state = state.replace(lam=lam0,
-                              fep_state=jnp.asarray(
-                                  params.fep.init_lambda_state, jnp.int32))
     if args.cpi and os.path.exists(args.cpi):
         state, _ = load_checkpoint(args.cpi, state)
         print(f"restarted from {args.cpi} at step {int(state.step)}")
@@ -135,7 +132,7 @@ def cmd_mdrun(args):
         write_dhdl_xvg(f"{deffnm}.dhdl.xvg", times[keep],
                        np.asarray(log.dvdl)[keep], dh[keep],
                        np.asarray(lam_arr),
-                       int(params.fep.init_lambda_state),
+                       max(int(params.fep.init_lambda_state), 0),
                        temperature=params.ref_t)
     save_checkpoint(f"{deffnm}.cpt", state)
     names = [str(n) for n in data["names"]]
@@ -176,7 +173,9 @@ def cmd_energy(args):
 
 
 def cmd_check(args):
-    system, params, all_lambda, state, _ = _load_tpz(args.s)
+    pp, _ = _load_tpz(args.s)
+    system, params, state, all_lambda = (pp.system, pp.params, pp.state,
+                                         pp.all_lambda)
     print(f"atoms: {system.n_atoms}")
     print(f"types: {system.n_types}")
     print(f"perturbed atoms: {int(np.asarray(system.perturbed).sum())}")

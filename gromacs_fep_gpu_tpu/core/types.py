@@ -328,11 +328,18 @@ class MdParams:
 
 @struct.dataclass
 class CouplingState:
-    """Thermostat/barostat auxiliary variables (reference: t_state entries)."""
+    """Thermostat/barostat auxiliary variables (reference: t_state entries).
+
+    ekinh_prev carries KE(v(t-3dt/2)) so the leapfrog thermostat can use
+    the half-step-average temperature exactly as compute_globals does
+    (reference: mdlib/tgroup.cpp ekinh/ekinh_old; md_support.cpp:110);
+    -1 means "not yet initialized" (first step uses the current KE twice).
+    """
     xi: Array            # Nose-Hoover xi (scalar for single group)
     vxi: Array           # Nose-Hoover velocity
     boxv: Array          # (3,3) Parrinello-Rahman box velocity
     therm_integral: Array  # v-rescale accumulated energy
+    ekinh_prev: Array    # previous half-step kinetic energy
 
 
 @struct.dataclass
@@ -359,6 +366,7 @@ def initial_coupling_state() -> CouplingState:
         vxi=jnp.zeros(()),
         boxv=jnp.zeros((3, 3)),
         therm_integral=jnp.zeros(()),
+        ekinh_prev=jnp.asarray(-1.0),
     )
 
 

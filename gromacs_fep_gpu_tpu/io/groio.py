@@ -11,7 +11,13 @@ def read_gro(path: str):
     """Returns (names, resnames, x (N,3), v (N,3) or None, box (3,3))."""
     with open(path) as f:
         lines = f.read().splitlines()
-    natoms = int(lines[1].split()[0])
+    try:
+        natoms = int(lines[1].split()[0])
+        if len(lines) < 3 + natoms:
+            raise ValueError(f"truncated: {natoms} atoms declared, "
+                             f"{len(lines)} lines")
+    except (ValueError, IndexError) as e:
+        raise ValueError(f"{path} is not a .gro file: {e}") from None
     names, resnames = [], []
     x = np.zeros((natoms, 3))
     v = np.zeros((natoms, 3))

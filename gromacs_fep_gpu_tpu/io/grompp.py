@@ -101,9 +101,21 @@ def preprocess(mdp_text: str, top_text: str, gro_path: str,
                include_dirs: Optional[List[str]] = None,
                seed: int = 1993) -> Preprocessed:
     """The gmx_grompp analogue (in-memory tpr)."""
+    names, resnames, x, v, box = read_gro(gro_path)
+    return preprocess_arrays(mdp_text, top_text, names, resnames, x, v, box,
+                             include_dirs, seed)
+
+
+def preprocess_arrays(mdp_text: str, top_text: str, names, resnames,
+                      x: np.ndarray, v: Optional[np.ndarray], box: np.ndarray,
+                      include_dirs: Optional[List[str]] = None,
+                      seed: int = 1993,
+                      couple_moltype_override: Optional[str] = None
+                      ) -> Preprocessed:
     params, all_lambda = mdp_to_params(mdp_text)
     extras = mdp_extras(mdp_text)
-    names, resnames, x, v, box = read_gro(gro_path)
+    if couple_moltype_override:
+        extras["couple_moltype"] = couple_moltype_override
 
     system = system_from_top(
         top_text, include_dirs=include_dirs,

@@ -36,6 +36,7 @@ class StepLog:
     terms: EnergyTerms
     constr_rmsd: jnp.ndarray
     delta_h: jnp.ndarray        # (L,) foreign-lambda U(l)-U(cur); (0,) if off
+    dekindl: jnp.ndarray        # dEkin/dlambda-mass (reference: F_DKDL)
 
 
 def degrees_of_freedom(system: System, params: MdParams) -> float:
@@ -112,23 +113,49 @@ def make_step_fn(system: System, params: MdParams, force_fn: Callable,
     from .vsites import construct_vsites, n_vsites, spread_vsite_forces
     has_vsites = n_vsites(system) > 0
 
+    def dekindl_of(v):
+        """dEkin/dlambda-mass at constant velocity
+        (reference: md_support.cpp:157)."""
+        dm = system.mass_b - system.mass_a
+        return 0.5 * jnp.sum(dm * jnp.sum(v * v, -1))
+
+    def constrain_velocities(x_ref, v, box, invmass, lam_b):
+        """Project velocities onto the constraint manifold by constraining
+        x + dt*v (reference: constr.cpp ConstraintVariable::Velocities)."""
+        xv = constr_mod.constrain(x_ref, x_ref + dt * v, box, system,
+                                  invmass, lam_b,
+                                  params.lincs_order, params.lincs_iter)
+        return (xv - x_ref) / dt
+
     def step(state: State, _=None) -> Tuple[State, StepLog]:
         lam = current_lambdas(state.step, state.lam, params)
         mass, invmass = masses_at_lambda(system, lam[FepCoupling.MASS])
+        lam_bonded = lam[FepCoupling.BONDED]
         key = jax.random.fold_in(state.rng, state.step.astype(jnp.int32))
         k_therm, k_sd, k_baro = jax.random.split(key, 3)
+        is_vv = params.integrator == IntegratorType.MD_VV
 
         f, terms = force_fn(state.x, state.box, lam)
         if has_vsites:
             f = spread_vsite_forces(state.x, f, system.vsites)
 
         # --- thermostat scale (applied in the update) ---
+        # Leapfrog uses the half-step-average T of the PREVIOUS step's
+        # compute_globals: 0.5*(KE(v(t-3dt/2)) + KE(v(t-dt/2))); VV uses the
+        # full-step KE(v(t)) (reference: md.cpp:1486 update_tcouple with
+        # ekind Th from tgroup.cpp; ekinh_prev carries the older half).
         v_scale = jnp.ones((), state.x.dtype)
         coupl = state.coupling
+        ekinh_cur = integ_mod.kinetic_energy(state.v, mass)
         if params.tcoupl != TcouplType.NO:
             do_t = (state.step % params.nsttcouple) == 0
             dt_c = params.nsttcouple * dt
-            ekin_half = integ_mod.kinetic_energy(state.v, mass)
+            if is_vv:
+                ekin_half = ekinh_cur
+            else:
+                ekinh_old = jnp.where(coupl.ekinh_prev < 0, ekinh_cur,
+                                      coupl.ekinh_prev)
+                ekin_half = 0.5 * (ekinh_old + ekinh_cur)
             t_cur = integ_mod.temperature(ekin_half, ndf)
             ekin_ref = 0.5 * ndf * BOLTZ * params.ref_t
             if params.tcoupl == TcouplType.BERENDSEN:
@@ -148,8 +175,11 @@ def make_step_fn(system: System, params: MdParams, force_fn: Callable,
                     xi=jnp.where(do_t, xi_n, coupl.xi),
                     vxi=jnp.where(do_t, vxi_n, coupl.vxi))
             v_scale = jnp.where(do_t, s, 1.0)
+        coupl = coupl.replace(ekinh_prev=ekinh_cur)
 
         # --- integrate ---
+        constr_rmsd = jnp.zeros((), state.x.dtype)
+        constr_vir_diag = jnp.zeros((3,), state.x.dtype)
         if params.integrator == IntegratorType.MD:
             x_new, v_new = integ_mod.leapfrog(state.x, state.v, f, invmass,
                                               dt, v_scale)
@@ -158,20 +188,20 @@ def make_step_fn(system: System, params: MdParams, force_fn: Callable,
                 state.x, state.v * v_scale, f, invmass, dt, params.tau_t,
                 params.ref_t, k_sd)
         elif params.integrator == IntegratorType.MD_VV:
-            # full vv step needs forces at t+dt; do kick-drift-kick with the
-            # same forces (OK for testing; modular path refines this)
-            xh, vh = integ_mod.velocity_verlet_1(state.x, state.v * v_scale,
-                                                 f, invmass, dt)
-            x_new, v_new = xh, vh
+            # kick (f(t)) - drift - constrain - recompute f(t+dt) - kick -
+            # constrain velocities (reference: md.cpp vv path +
+            # update_vv.cpp integrateVVFirstStep/SecondStep)
+            x_new, vh = integ_mod.velocity_verlet_1(state.x,
+                                                    state.v * v_scale,
+                                                    f, invmass, dt)
+            v_new = vh
         else:
             raise NotImplementedError(params.integrator)
 
-        # --- constraints ---
-        constr_rmsd = jnp.zeros((), state.x.dtype)
-        constr_vir_diag = jnp.zeros((3,), state.x.dtype)
+        # --- constraints on positions ---
         if has_constraints:
             x_c = constr_mod.constrain(state.x, x_new, state.box, system,
-                                       invmass, lam[FepCoupling.MASS],
+                                       invmass, lam_bonded,
                                        params.lincs_order, params.lincs_iter)
             dv = (x_c - x_new) / dt
             v_new = v_new + dv
@@ -182,19 +212,39 @@ def make_step_fn(system: System, params: MdParams, force_fn: Callable,
             constr_vir_diag = -0.5 * jnp.sum(x_c * f_c, axis=0)
             x_new = x_c
 
+        # --- VV second half: forces at t+dt, second kick, constrain v ---
+        if is_vv:
+            f2, _ = force_fn(x_new, state.box, lam)
+            if has_vsites:
+                f2 = spread_vsite_forces(x_new, f2, system.vsites)
+            v_new = integ_mod.velocity_verlet_2(v_new, f2, invmass, dt)
+            if has_constraints:
+                v_new = constrain_velocities(x_new, v_new, state.box,
+                                             invmass, lam_bonded)
+
         # --- rebuild virtual-site positions from the moved atoms ---
         if has_vsites:
             x_new = construct_vsites(x_new, system.vsites)
+
+        # --- kinetic energy for output, BEFORE COM removal (the
+        # compute_globals reduction sees the pre-stopcm velocities);
+        # VV reports the full-step KE(v(t)) with the frame at time t ---
+        if is_vv:
+            ekin = ekinh_cur
+            # GROMACS's initial compute_globals for vv leaves F_DKDL unset,
+            # so the frame-0 dVremain/dl carries no kinetic term (verified
+            # against the transformAtoB refdata); match that convention
+            dekindl = jnp.where(state.step == 0, 0.0, dekindl_of(state.v))
+        else:
+            ekin = integ_mod.kinetic_energy_halfstep_avg(state.v, v_new, mass)
+            dekindl = 0.5 * (dekindl_of(state.v) + dekindl_of(v_new))
+        temp = integ_mod.temperature(ekin, ndf)
 
         # --- COM motion removal ---
         if params.nstcomm > 0:
             do_com = (state.step % params.nstcomm) == 0
             v_new = jnp.where(do_com, integ_mod.remove_com_motion(v_new, mass),
                               v_new)
-
-        # --- kinetic energy / temperature (half-step averaged) ---
-        ekin = integ_mod.kinetic_energy_halfstep_avg(state.v, v_new, mass)
-        temp = integ_mod.temperature(ekin, ndf)
 
         # --- pressure coupling ---
         box_new = state.box
@@ -255,7 +305,8 @@ def make_step_fn(system: System, params: MdParams, force_fn: Callable,
             coupling=coupl)
         log = StepLog(epot=terms.epot, ekin=ekin, temp=temp, pres=pres,
                       lam=lam, dvdl=terms.dvdl, terms=terms,
-                      constr_rmsd=constr_rmsd, delta_h=delta_h)
+                      constr_rmsd=constr_rmsd, delta_h=delta_h,
+                      dekindl=dekindl)
         return new_state, log
 
     return step

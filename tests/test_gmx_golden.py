@@ -1,0 +1,91 @@
+"""GROMACS-golden FEP parity: run the reference's FEP acceptance systems
+(src/testutils/simulationdatabase/freeenergy/*) for their full 20 steps and
+compare the per-frame Potential and dV/dl terms against the recorded
+double-precision refdata shipped with the reference
+(src/programs/mdrun/tests/refdata/*FreeEnergyReferenceTest*_d.xml;
+runner semantics: src/programs/mdrun/tests/freeenergy.cpp:91-165).
+
+The comparison runs our full MD chain — grompp-lite, dense force oracle,
+PME, LINCS/SETTLE, leapfrog or velocity-verlet, Berendsen coupling, COM
+removal — in float64 on the CPU backend (a subprocess: x64 is a global
+flag and the rest of the suite runs fp32).
+
+Tolerances: Potential rel 5e-5; dV/dl terms max(1e-3 rel, 0.015 abs) —
+trajectory (Lyapunov) divergence from sub-ulp force differences dominates
+by frame 20; frame-0 values match to ~1e-6 rel.
+"""
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+SYSTEMS = [
+    "coulandvdwtogether",
+    "coulandvdwsequential_coul",
+    "coulandvdwsequential_vdw",
+    "vdwalone",
+    "relative",
+    "relative-position-restraints",
+    "restraints",
+    "transformAtoB",
+]
+
+_DRIVER = r"""
+import json, sys, warnings
+warnings.simplefilter("ignore")
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+import numpy as np
+from gromacs_fep_gpu_tpu.validate.golden import load_case, load_refdata
+from gromacs_fep_gpu_tpu.validate.runner import run_case
+
+name = sys.argv[1]
+ref = load_refdata(name, "d")
+got = run_case(load_case(name))
+out = {}
+for term, vals in ref.items():
+    g = got[term][: len(vals)]
+    out[term] = {"ref": list(map(float, vals)), "got": list(map(float, g))}
+print("GOLDEN_JSON " + json.dumps(out))
+"""
+
+
+def _run_driver(name):
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["JAX_ENABLE_X64"] = "1"
+    env.pop("XLA_FLAGS", None)
+    proc = subprocess.run(
+        [sys.executable, "-c", _DRIVER, name],
+        capture_output=True, text=True, env=env,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        timeout=1200)
+    assert proc.returncode == 0, proc.stderr[-4000:]
+    for line in proc.stdout.splitlines():
+        if line.startswith("GOLDEN_JSON "):
+            return json.loads(line[len("GOLDEN_JSON "):])
+    raise AssertionError("driver produced no result:\n" + proc.stdout[-2000:])
+
+
+@pytest.mark.parametrize("name", SYSTEMS)
+def test_golden_fep_system(name):
+    if not os.path.isdir("/root/reference/src/testutils/simulationdatabase"):
+        pytest.skip("reference tree not available")
+    result = _run_driver(name)
+    assert "Potential" in result
+    for term, data in result.items():
+        ref = np.array(data["ref"])
+        got = np.array(data["got"])
+        if term == "Potential":
+            tol = 5e-5 * np.abs(ref)
+        else:
+            tol = np.maximum(1e-3 * np.abs(ref), 0.015)
+        err = np.abs(got - ref)
+        worst = int(np.argmax(err - tol))
+        assert (err <= tol).all(), (
+            f"{name}/{term}: frame {worst}: ref={ref[worst]} got={got[worst]} "
+            f"err={err[worst]:.3e} tol={tol[worst]:.3e}")
