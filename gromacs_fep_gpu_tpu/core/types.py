@@ -263,6 +263,26 @@ class FepParams:
 
 
 @dataclasses.dataclass(frozen=True)
+class ExpandedParams:
+    """Expanded-ensemble / simulated-tempering MC settings
+    (reference: mdtypes/inputrec.h t_expanded + t_simtemp;
+    readir.cpp:2590-2640)."""
+    nstexpanded: int = 100
+    lmc_stats: str = "no"              # no | wang-landau
+    lmc_move: str = "no"               # gibbs | metropolized-gibbs | metropolis | barker
+    lmc_seed: int = -1
+    wl_scale: float = 0.8
+    wl_ratio: float = 0.8
+    init_wl_delta: float = 1.0
+    weight_equil_wl_delta: float = -1.0
+    mc_temp: float = -1.0              # defaults to ref_t
+    sim_temp: bool = False
+    sim_temp_low: float = 300.0
+    sim_temp_high: float = 300.0
+    sim_temp_scale: str = "geometric"
+
+
+@dataclasses.dataclass(frozen=True)
 class MdParams:
     """Static run parameters — the t_inputrec analogue.  Hashable and held
     out of the pytree so that jit specializes on it."""
@@ -317,6 +337,7 @@ class MdParams:
     nstxout: int = 0          # TRR coordinate frames every N steps (0 = off)
 
     fep: FepParams = FepParams()
+    expanded: Optional[ExpandedParams] = None
 
     def replace(self, **kw) -> "MdParams":
         return dataclasses.replace(self, **kw)
@@ -354,6 +375,9 @@ class State:
     step: Array          # () int64
     rng: Array           # jax PRNG key
     coupling: CouplingState
+    # expanded-ensemble weight history (md/expanded.py DfHist); None when
+    # expanded ensemble is off (reference: t_state::dfhist)
+    dfhist: Optional[Any] = None
 
     @property
     def n_atoms(self) -> int:

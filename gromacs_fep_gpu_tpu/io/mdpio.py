@@ -9,9 +9,9 @@ from typing import Dict, Optional, Tuple
 
 import numpy as np
 
-from ..core.types import (CoulombType, FepParams, IntegratorType, MdParams,
-                          PcouplType, SoftcoreType, TcouplType, VdwModifier,
-                          FepCoupling)
+from ..core.types import (CoulombType, ExpandedParams, FepParams,
+                          IntegratorType, MdParams, PcouplType, SoftcoreType,
+                          TcouplType, VdwModifier, FepCoupling)
 
 _COUL = {"cut-off": CoulombType.CUTOFF, "cutoff": CoulombType.CUTOFF,
          "reaction-field": CoulombType.REACTION_FIELD, "pme": CoulombType.PME}
@@ -197,6 +197,30 @@ def mdp_to_params(text: str) -> Tuple[MdParams, Optional[np.ndarray]]:
     elif vdwtype == "switch":
         vdw_modifier = VdwModifier.POTENTIAL_SWITCH
 
+    expanded = None
+    sim_temp = kv.get("simulated-tempering", "no").lower() == "yes"
+    if kv.get("free-energy", "no").lower() == "expanded" or sim_temp:
+        ref_t_val = float(kv.get("ref-t", "300").split()[0])
+        expanded = ExpandedParams(
+            nstexpanded=get("nstexpanded", 100, int),
+            lmc_stats=kv.get("lmc-stats", "no").lower(),
+            lmc_move=kv.get("lmc-move", "no").lower(),
+            lmc_seed=get("lmc-seed", -1, int),
+            wl_scale=get("wl-scale", 0.8),
+            wl_ratio=get("wl-ratio", 0.8),
+            init_wl_delta=get("init-wl-delta", 1.0),
+            weight_equil_wl_delta=(
+                get("weight-equil-wl-delta", 0.001)
+                if kv.get("lmc-weights-equil", "no").lower() == "wl-delta"
+                else -1.0),
+            mc_temp=get("mc-temp", ref_t_val),
+            sim_temp=sim_temp,
+            sim_temp_low=get("sim-temp-low", 300.0),
+            sim_temp_high=get("sim-temp-high", 300.0),
+            sim_temp_scale=kv.get("simulated-tempering-scaling",
+                                  "geometric").lower(),
+        )
+
     params = MdParams(
         dt=get("dt", 0.001),
         nsteps=get("nsteps", 0, int),
@@ -229,5 +253,6 @@ def mdp_to_params(text: str) -> Tuple[MdParams, Optional[np.ndarray]]:
         nstcomm=get("nstcomm", 100, int),
         nstxout=get("nstxout", 0, int),
         fep=fep,
+        expanded=expanded,
     )
     return params, all_lambda

@@ -1,116 +1,167 @@
 """Expanded-ensemble dynamics: Monte-Carlo moves in lambda space with
-Wang-Landau weight adaptation (reference: src/gromacs/mdlib/expanded.cpp
-:1571 ExpandedEnsembleDynamics, expanded_internal.cpp; history in
-mdtypes/df_history.h).
+Wang-Landau weight adaptation, bit-compatible with the reference
+(reference: src/gromacs/mdlib/expanded.cpp — expandedEnsembleUpdateLambdaState
+:1331, ChooseNewLambda :852, UpdateWeights WL branch, CheckHistogramRatios;
+history layout mdtypes/df_history.h; simulated tempering
+simulatedTemperingUpdateTemperature :1520).
 
-The state lives in a small DfHistory pytree; one `expanded_step` performs
-a Metropolis(-ized Gibbs) jump between lambda states using the
-foreign-lambda energy vector that the force pass already produced — on
-TPU the energies of ALL windows are available every nstdhdl step from the
-vmapped foreign pass, so full-Gibbs moves cost nothing extra (the
-reference computes the same vector serially).
+The MC runs inside the jitted step using the GROMACS ThreeFry2x64 stream
+(utils/gmx_rng.py), so with identical seeds the lambda-state trajectory
+reproduces the reference exactly (verified against the `expanded` and
+`simtemp` systems of the FEP golden matrix).
 """
 from __future__ import annotations
 
-import enum
-from typing import Tuple
+import dataclasses
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import struct
 
 from ..core.units import BOLTZ
-
-
-class LmcMove(enum.Enum):
-    METROPOLIS = "metropolis"        # nearest-neighbour jump
-    BARKER = "barker"
-    GIBBS = "metropolized-gibbs"     # global jump
+from ..utils.gmx_rng import DOMAIN_EXPANDED_ENSEMBLE, gmx_uniform_pair
 
 
 @struct.dataclass
-class DfHistory:
-    """Wang-Landau bookkeeping (reference: mdtypes/df_history.h)."""
-    weights: jnp.ndarray     # (L,) log-weights (dimensionless, beta*g)
-    counts: jnp.ndarray      # (L,) visit counts
-    wl_delta: jnp.ndarray    # () current WL increment
-    n_at_lam: jnp.ndarray    # (L,) histogram since last flatness reset
+class DfHist:
+    """Free-energy-weight history (reference: mdtypes/df_history.h)."""
+    sum_weights: jnp.ndarray   # (L,) current log-weights
+    wl_histo: jnp.ndarray      # (L,) Wang-Landau visit histogram
+    wl_delta: jnp.ndarray      # () current WL increment
+    n_at_lam: jnp.ndarray      # (L,) total visits
+    equil: jnp.ndarray         # () bool: weights equilibrated
 
     @staticmethod
-    def init(n_lambda: int, wl_delta: float = 1.0) -> "DfHistory":
+    def init(n_lambda: int, init_wl_delta: float = 1.0,
+             init_weights=None) -> "DfHist":
         z = jnp.zeros((n_lambda,))
-        return DfHistory(weights=z, counts=z, wl_delta=jnp.asarray(wl_delta),
-                         n_at_lam=z)
+        w = z if init_weights is None else jnp.asarray(init_weights)
+        return DfHist(sum_weights=w, wl_histo=z,
+                      wl_delta=jnp.asarray(float(init_wl_delta)),
+                      n_at_lam=z, equil=jnp.asarray(False))
 
 
-def wang_landau_update(hist: DfHistory, fep_state, wl_scale: float = 0.8,
-                       flatness_ratio: float = 0.8) -> DfHistory:
-    """Penalize the visited state by wl_delta (so over-sampled states lose
-    probability); shrink wl_delta when the visit histogram is flat
-    (reference: expanded.cpp UpdateWeights WL branch).  At convergence
-    w_l = beta U_l + const, i.e. flat sampling."""
-    weights = hist.weights.at[fep_state].add(-hist.wl_delta)
-    n_at = hist.n_at_lam.at[fep_state].add(1.0)
-    mean = jnp.mean(n_at)
-    flat = (jnp.min(n_at) > flatness_ratio * mean) & (mean > 0)
-    return DfHistory(
-        weights=weights,
-        counts=hist.counts.at[fep_state].add(1.0),
-        wl_delta=jnp.where(flat, hist.wl_delta * wl_scale, hist.wl_delta),
-        n_at_lam=jnp.where(flat, jnp.zeros_like(n_at), n_at))
+def simulated_tempering_temperatures(n: int, low: float, high: float,
+                                     scale: str,
+                                     temperature_lambdas=None) -> np.ndarray:
+    """(reference: gmxpreprocess/readir.cpp getSimTemps)."""
+    i = np.arange(n, dtype=np.float64)
+    if scale == "linear":
+        tl = np.asarray(temperature_lambdas, np.float64)
+        return low + (high - low) * tl
+    if scale == "geometric":
+        return low * (high / low) ** (i / max(n - 1, 1))
+    if scale == "exponential":
+        tl = np.asarray(temperature_lambdas, np.float64)
+        return low + (high - low) * (np.expm1(tl) / np.expm1(1.0))
+    raise ValueError(scale)
 
 
-def expanded_step(fep_state, u_all, hist: DfHistory, temperature: float,
-                  key, move: LmcMove = LmcMove.GIBBS,
-                  use_wl: bool = True) -> Tuple[jnp.ndarray, DfHistory]:
-    """One lambda-space MC move.
+def _first_index_leq(cum, r):
+    """First i with r <= cum[i] (the reference's subtract-walk)."""
+    hit = r <= cum
+    return jnp.argmax(hit)
 
-    u_all: (L,) potential energies of the current configuration at every
-    lambda window (from the foreign-lambda pass).  Returns (new_state,
-    updated history).  Acceptance uses log pi_l = -beta U_l + w_l
-    (reference: expanded.cpp CalculateAcceptance*).
-    """
-    beta = 1.0 / (BOLTZ * temperature)
-    L = u_all.shape[0]
-    logw = -beta * u_all + hist.weights
-    k1, k2 = jax.random.split(key)
 
-    if move == LmcMove.GIBBS:
-        # metropolized Gibbs: propose from the conditional distribution
-        # excluding the current state, accept with the metropolization
-        # factor (reference: expanded.cpp lmc-gibbs path)
-        logp = logw - jax.scipy.special.logsumexp(logw)
-        p = jnp.exp(logp)
-        p_prop = p.at[fep_state].set(0.0)
-        norm = jnp.sum(p_prop)
-        p_prop = jnp.where(norm > 0, p_prop / jnp.maximum(norm, 1e-30),
-                           jnp.ones((L,)) / L)
-        new = jax.random.choice(k1, L, p=p_prop)
-        # metropolize: accept with min(1, (1-p_i)/(1-p_j))
-        ratio = (1.0 - p[fep_state]) / jnp.maximum(1.0 - p[new], 1e-30)
-        accept = jax.random.uniform(k2) < jnp.minimum(1.0, ratio)
-        new_state = jnp.where(accept, new, fep_state)
+def expanded_step_gmx(fep_state, dfhist: DfHist, delta_h, epot, step,
+                      lmc_seed: int, lmc_move: str, lmc_stats: str,
+                      wl_scale: float, wl_ratio: float,
+                      weight_equil_wl_delta: float,
+                      mc_temp: float,
+                      sim_temps=None) -> Tuple[jnp.ndarray, DfHist]:
+    """One lambda-space MC move, matching expandedEnsembleUpdateLambdaState.
+
+    delta_h: (L,) U(lambda_i; x) - U(lambda_cur; x); epot: current
+    potential (only used for simulated tempering); sim_temps: (L,)
+    per-state temperatures for simulated tempering, None otherwise.
+    Returns (new_state, updated history)."""
+    L = delta_h.shape[0]
+    dtype = delta_h.dtype
+    cur = fep_state
+
+    # visit count (expanded.cpp:1356)
+    n_at_lam = dfhist.n_at_lam.at[cur].add(1.0)
+
+    # scaled energies (expanded.cpp:1374-1407)
+    if sim_temps is not None:
+        temps = jnp.asarray(sim_temps, dtype)
+        scaled = (delta_h / (temps * BOLTZ)
+                  + epot * (1.0 / temps - 1.0 / temps[cur]) / BOLTZ)
     else:
-        # nearest-neighbour move
-        up = jax.random.uniform(k1) < 0.5
-        prop = jnp.clip(fep_state + jnp.where(up, 1, -1), 0, L - 1)
-        dlw = logw[prop] - logw[fep_state]
-        if move == LmcMove.BARKER:
+        scaled = delta_h / (mc_temp * BOLTZ)
+    weighted = dfhist.sum_weights - scaled
+    weighted = weighted - jnp.max(weighted)
+
+    # --- Wang-Landau weight update (UpdateWeights, WL branch); uses the
+    # PRE-update weights for the move below ---
+    equil = dfhist.equil
+    if weight_equil_wl_delta > 0:
+        newly_done = (~equil) & (dfhist.wl_delta < weight_equil_wl_delta)
+    else:
+        newly_done = jnp.asarray(False)
+    equil_next = equil | newly_done
+    do_wl = (lmc_stats in ("wang-landau", "wl"))
+    if do_wl:
+        upd = (~equil_next).astype(dtype)
+        sum_weights = dfhist.sum_weights.at[cur].add(-dfhist.wl_delta * upd)
+        wl_histo = dfhist.wl_histo.at[cur].add(upd)
+        # flatness check (CheckHistogramRatios with wl_ratio)
+        nmean = jnp.mean(wl_histo)
+        flat = (nmean > 0) & jnp.all(wl_histo / jnp.maximum(nmean, 1e-30)
+                                     >= wl_ratio) & (upd > 0)
+        wl_delta = jnp.where(flat, dfhist.wl_delta * wl_scale,
+                             dfhist.wl_delta)
+        wl_histo = jnp.where(flat, jnp.zeros_like(wl_histo), wl_histo)
+    else:
+        sum_weights, wl_histo, wl_delta = (dfhist.sum_weights,
+                                           dfhist.wl_histo, dfhist.wl_delta)
+    n_at_lam = jnp.where(newly_done, jnp.zeros_like(n_at_lam), n_at_lam)
+
+    # --- choose the new lambda (ChooseNewLambda) ---
+    r1, r2 = gmx_uniform_pair(lmc_seed, DOMAIN_EXPANDED_ENSEMBLE,
+                              step, 0, dtype=dtype)
+    # Gibbs probabilities over the full range (gibbs-delta-lambda = -1)
+    w = weighted - jnp.max(weighted)
+    e = jnp.exp(w)
+    p_k = e / jnp.sum(e)
+
+    if lmc_move == "gibbs":
+        lamnew = _first_index_leq(jnp.cumsum(p_k), r1)
+    elif lmc_move in ("metropolized-gibbs", "metropolis-gibbs"):
+        remainder = 1.0 - p_k
+        rem_cur = remainder[cur]
+        q = jnp.where(jnp.arange(L) == cur, 0.0,
+                      p_k / jnp.maximum(rem_cur, 1e-300))
+        trial = _first_index_leq(jnp.cumsum(q), r1)
+        tprob = jnp.minimum(1.0, rem_cur
+                            / jnp.maximum(remainder[trial], 1e-300))
+        accept = r2 < tprob
+        lamnew = jnp.where((rem_cur <= 0) | (~accept), cur, trial)
+    elif lmc_move in ("metropolis", "barker"):
+        # nearest-neighbour move (reference: ChooseNewLambda Metropolis
+        # branch: r1 picks the direction, r2 the acceptance)
+        up = r1 >= 0.5
+        prop = jnp.clip(cur + jnp.where(up, 1, -1), 0, L - 1)
+        dlw = weighted[prop] - weighted[cur]
+        if lmc_move == "barker":
             p_acc = 1.0 / (1.0 + jnp.exp(-dlw))
         else:
             p_acc = jnp.minimum(1.0, jnp.exp(jnp.clip(dlw, -50.0, 50.0)))
-        accept = (jax.random.uniform(k2) < p_acc) & (prop != fep_state)
-        new_state = jnp.where(accept, prop, fep_state)
-
-    if use_wl:
-        hist = wang_landau_update(hist, new_state)
+        accept = (r2 < p_acc) & (prop != cur)
+        lamnew = jnp.where(accept, prop, cur)
     else:
-        hist = hist.replace(counts=hist.counts.at[new_state].add(1.0))
-    return new_state.astype(jnp.int32), hist
+        raise ValueError(f"lmc-move {lmc_move} unsupported")
+
+    hist = DfHist(sum_weights=sum_weights, wl_histo=wl_histo,
+                  wl_delta=wl_delta, n_at_lam=n_at_lam, equil=equil_next)
+    return lamnew.astype(jnp.int32), hist
 
 
-def free_energy_estimate(hist: DfHistory, temperature: float) -> jnp.ndarray:
-    """dG_l - dG_0 from the converged WL weights (kJ/mol): at flat
-    sampling -beta U_l + w_l = const, so F_l - F_0 = kT (w_l - w_0)."""
+def free_energy_estimate(hist: DfHist, temperature: float) -> jnp.ndarray:
+    """dG_l - dG_0 from the converged weights (kJ/mol): at flat sampling
+    sum_weights[l] = beta dG_l + const (expanded.cpp: weighted_lamee =
+    sum_weights - beta dU must be state-independent)."""
     kt = BOLTZ * temperature
-    return kt * (hist.weights - hist.weights[0])
+    return kt * (hist.sum_weights - hist.sum_weights[0])

@@ -58,11 +58,14 @@ def masses_at_lambda(system: System, lam_mass):
 
 def current_lambdas(step, lam0, params: MdParams):
     """Per-step lambda vector incl. slow growth
-    (reference: mdlib/freeenergyparameters.cpp:155 currentLambdas)."""
+    (reference: mdlib/freeenergyparameters.cpp:155 currentLambdas).
+
+    lam0 is the PREVIOUS step's lambda (State.lam accumulates), so slow
+    growth advances by delta_lambda once per step (none at step 0)."""
     if params.fep.delta_lambda == 0.0:
         return lam0
-    return jnp.clip(lam0 + params.fep.delta_lambda * step.astype(lam0.dtype),
-                    0.0, 1.0)
+    dl = jnp.where(step > 0, params.fep.delta_lambda, 0.0)
+    return jnp.clip(lam0 + dl, 0.0, 1.0)
 
 
 def make_pressure_fn(energy_epot_fn: Callable,
@@ -96,10 +99,14 @@ def make_step_fn(system: System, params: MdParams, force_fn: Callable,
                  energy_epot_fn: Optional[Callable] = None,
                  compute_pressure: bool = False,
                  foreign_delta_fn: Optional[Callable] = None,
-                 n_foreign: int = 0):
+                 n_foreign: int = 0,
+                 all_lambda=None):
     """force_fn(x, box, lam) -> (f, EnergyTerms).
     foreign_delta_fn(x, box, lam) -> (n_foreign,) Delta-H vector, evaluated
-    every fep.nstdhdl steps (reference: mdebin_bar.cpp Delta-H collection)."""
+    every fep.nstdhdl steps (reference: mdebin_bar.cpp Delta-H collection)
+    and at expanded-ensemble MC steps.
+    all_lambda: (7, L) per-component lambda matrix; required for expanded
+    ensemble / simulated tempering (params.expanded is not None)."""
     ndf = degrees_of_freedom(system, params)
     dt = params.dt
     has_constraints = constr_mod.n_constraints(system) > 0
@@ -112,6 +119,18 @@ def make_step_fn(system: System, params: MdParams, force_fn: Callable,
 
     from .vsites import construct_vsites, n_vsites, spread_vsite_forces
     has_vsites = n_vsites(system) > 0
+
+    # expanded ensemble / simulated tempering setup
+    exp = params.expanded
+    has_expanded = exp is not None and all_lambda is not None \
+        and exp.nstexpanded > 0 and exp.lmc_move not in ("no", "")
+    sim_temps = None
+    if has_expanded and exp.sim_temp:
+        from .expanded import simulated_tempering_temperatures
+        sim_temps = simulated_tempering_temperatures(
+            int(jnp.asarray(all_lambda).shape[1]), exp.sim_temp_low,
+            exp.sim_temp_high, exp.sim_temp_scale,
+            jnp.asarray(all_lambda)[int(FepCoupling.TEMPERATURE)])
 
     def dekindl_of(v):
         """dEkin/dlambda-mass at constant velocity
@@ -139,6 +158,63 @@ def make_step_fn(system: System, params: MdParams, force_fn: Callable,
         if has_vsites:
             f = spread_vsite_forces(state.x, f, system.vsites)
 
+        # --- foreign-lambda energies at x(t): frame-consistent with the
+        # reference (enerd of step t feeds both the dhdl output and the
+        # expanded-ensemble MC, md.cpp:1323) ---
+        delta_h = jnp.zeros((0,), state.x.dtype)
+        dh_vec = None
+        if foreign_delta_fn is not None and n_foreign > 0:
+            do_dhdl = (state.step % params.fep.nstdhdl) == 0
+            need = do_dhdl
+            if has_expanded:
+                need = need | (((state.step % exp.nstexpanded) == 0)
+                               & (state.step > 0))
+            dh_vec = jax.lax.cond(
+                need,
+                lambda: foreign_delta_fn(state.x, state.box, lam),
+                lambda: jnp.full((n_foreign,), jnp.nan, state.x.dtype))
+            delta_h = jnp.where(do_dhdl, dh_vec,
+                                jnp.full((n_foreign,), jnp.nan,
+                                         state.x.dtype))
+
+        # --- expanded-ensemble / simulated-tempering lambda MC: happens
+        # before the update; the new lambda state takes effect next step
+        # (md.cpp:1323-1338, fep_state assigned after output :1991);
+        # simulated tempering rescales v and the thermostat reference
+        # temperature immediately ---
+        fep_state_next = state.fep_state
+        lam_next_vec = lam
+        dfhist_next = state.dfhist
+        v_in = state.v
+        tstate_idx = state.fep_state
+        if has_expanded:
+            from .expanded import expanded_step_gmx
+            assert dh_vec is not None, \
+                "expanded ensemble requires foreign_delta_fn"
+            do_mc = ((state.step % exp.nstexpanded) == 0) & (state.step > 0)
+            lamnew_raw, hist_new = expanded_step_gmx(
+                state.fep_state, state.dfhist, jnp.nan_to_num(dh_vec),
+                terms.epot, state.step, exp.lmc_seed, exp.lmc_move,
+                exp.lmc_stats, exp.wl_scale, exp.wl_ratio,
+                exp.weight_equil_wl_delta,
+                exp.mc_temp if exp.mc_temp > 0 else params.ref_t,
+                sim_temps=sim_temps)
+            lamnew = jnp.where(do_mc, lamnew_raw, state.fep_state)
+            dfhist_next = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(do_mc, a, b), hist_new, state.dfhist)
+            fep_state_next = lamnew
+            lam_next_vec = jnp.where(
+                do_mc, jnp.asarray(all_lambda, lam.dtype)[:, lamnew], lam)
+            if sim_temps is not None:
+                ts = jnp.asarray(sim_temps, state.x.dtype)
+                sc = jnp.sqrt(ts[lamnew] / ts[state.fep_state])
+                v_in = jnp.where(do_mc, state.v * sc, state.v)
+                tstate_idx = lamnew
+
+        ref_t_eff = params.ref_t
+        if sim_temps is not None:
+            ref_t_eff = jnp.asarray(sim_temps, state.x.dtype)[tstate_idx]
+
         # --- thermostat scale (applied in the update) ---
         # Leapfrog uses the half-step-average T of the PREVIOUS step's
         # compute_globals: 0.5*(KE(v(t-3dt/2)) + KE(v(t-dt/2))); VV uses the
@@ -157,9 +233,9 @@ def make_step_fn(system: System, params: MdParams, force_fn: Callable,
                                       coupl.ekinh_prev)
                 ekin_half = 0.5 * (ekinh_old + ekinh_cur)
             t_cur = integ_mod.temperature(ekin_half, ndf)
-            ekin_ref = 0.5 * ndf * BOLTZ * params.ref_t
+            ekin_ref = 0.5 * ndf * BOLTZ * ref_t_eff
             if params.tcoupl == TcouplType.BERENDSEN:
-                s = coupling_mod.berendsen_lambda(t_cur, params.ref_t, dt_c,
+                s = coupling_mod.berendsen_lambda(t_cur, ref_t_eff, dt_c,
                                                   params.tau_t)
             elif params.tcoupl == TcouplType.V_RESCALE:
                 s, d_int = coupling_mod.vrescale_lambda(
@@ -181,18 +257,18 @@ def make_step_fn(system: System, params: MdParams, force_fn: Callable,
         constr_rmsd = jnp.zeros((), state.x.dtype)
         constr_vir_diag = jnp.zeros((3,), state.x.dtype)
         if params.integrator == IntegratorType.MD:
-            x_new, v_new = integ_mod.leapfrog(state.x, state.v, f, invmass,
+            x_new, v_new = integ_mod.leapfrog(state.x, v_in, f, invmass,
                                               dt, v_scale)
         elif params.integrator == IntegratorType.SD:
             x_new, v_new = integ_mod.langevin_sd(
-                state.x, state.v * v_scale, f, invmass, dt, params.tau_t,
-                params.ref_t, k_sd)
+                state.x, v_in * v_scale, f, invmass, dt, params.tau_t,
+                ref_t_eff, k_sd)
         elif params.integrator == IntegratorType.MD_VV:
             # kick (f(t)) - drift - constrain - recompute f(t+dt) - kick -
             # constrain velocities (reference: md.cpp vv path +
             # update_vv.cpp integrateVVFirstStep/SecondStep)
             x_new, vh = integ_mod.velocity_verlet_1(state.x,
-                                                    state.v * v_scale,
+                                                    v_in * v_scale,
                                                     f, invmass, dt)
             v_new = vh
         else:
@@ -212,9 +288,12 @@ def make_step_fn(system: System, params: MdParams, force_fn: Callable,
             constr_vir_diag = -0.5 * jnp.sum(x_c * f_c, axis=0)
             x_new = x_c
 
-        # --- VV second half: forces at t+dt, second kick, constrain v ---
+        # --- VV second half: forces at t+dt, second kick, constrain v.
+        # The reference computes this force at the START of step t+1, i.e.
+        # with the lambda of step t+1 — after an expanded-ensemble switch
+        # that is the NEW lambda (md.cpp vv ordering) ---
         if is_vv:
-            f2, _ = force_fn(x_new, state.box, lam)
+            f2, _ = force_fn(x_new, state.box, lam_next_vec)
             if has_vsites:
                 f2 = spread_vsite_forces(x_new, f2, system.vsites)
             v_new = integ_mod.velocity_verlet_2(v_new, f2, invmass, dt)
@@ -290,19 +369,10 @@ def make_step_fn(system: System, params: MdParams, force_fn: Callable,
         else:
             pres = jnp.zeros((), state.x.dtype)
 
-        # --- foreign-lambda Delta H (every nstdhdl steps) ---
-        if foreign_delta_fn is not None and n_foreign > 0:
-            do_dhdl = (state.step % params.fep.nstdhdl) == 0
-            delta_h = jax.lax.cond(
-                do_dhdl,
-                lambda: foreign_delta_fn(x_new, box_new, lam),
-                lambda: jnp.full((n_foreign,), jnp.nan, state.x.dtype))
-        else:
-            delta_h = jnp.zeros((0,), state.x.dtype)
-
         new_state = state.replace(
-            x=x_new, v=v_new, box=box_new, lam=lam, step=state.step + 1,
-            coupling=coupl)
+            x=x_new, v=v_new, box=box_new, lam=lam_next_vec,
+            fep_state=fep_state_next, dfhist=dfhist_next,
+            step=state.step + 1, coupling=coupl)
         log = StepLog(epot=terms.epot, ekin=ekin, temp=temp, pres=pres,
                       lam=lam, dvdl=terms.dvdl, terms=terms,
                       constr_rmsd=constr_rmsd, delta_h=delta_h,

@@ -29,6 +29,10 @@ def make_lambda_energy_fn(system: System, params: MdParams,
     potential.  Differences across lambdas equal full-potential
     differences because everything else cancels."""
     beta = get_beta(params)
+    disp_e_fn = None
+    if params.dispcorr:
+        from .dispcorr import make_dispersion_correction
+        disp_e_fn, _ = make_dispersion_correction(system, params)
 
     def e_lambda(x, box, lam, feplist: Optional[FepPairlist]):
         lam_c, lam_v = lam[FepCoupling.COUL], lam[FepCoupling.VDW]
@@ -42,13 +46,17 @@ def make_lambda_energy_fn(system: System, params: MdParams,
             if il.n == 0:
                 continue
             _, _, fn = bonded_mod.TERMS[name]
-            lam_term = lam_r if name == "posres" else lam_b
+            lam_term = (lam_r if name in bonded_mod.RESTRAINT_TERMS
+                        else lam_b)
             e = e + fn(x, box, il, lam_term)
         if system.pairs14.n > 0:
             e14c, e14l = pairs14_energy(x, box, system, lam_c, lam_v, params)
             e = e + e14c + e14l
         if pme_recip_fn is not None:
             e = e + pme_recip_fn(x, box, lam_c)
+        if disp_e_fn is not None:
+            e_dc, _ = disp_e_fn(box, lam[FepCoupling.VDW])
+            e = e + e_dc
         return e
 
     return e_lambda

@@ -121,13 +121,51 @@ def run_case(case: GoldenCase, nsteps: Optional[int] = None
     state = pp.state.replace(x=x, v=v, lam=lam)
 
     force_fn = build_force_fn(pp)
-    step_fn = make_step_fn(pp.system, pp.params, force_fn)
+
+    # expanded ensemble / simulated tempering need the foreign-lambda
+    # energies and the weight history in the state
+    foreign_fn = None
+    n_foreign = 0
+    all_lambda = None
+    if pp.params.expanded is not None and pp.all_lambda is not None:
+        from ..md.expanded import DfHist
+        from ..ops.forces import dense_energy, get_beta
+        from ..core.types import CoulombType
+        from ..ops.pme import make_pme_recip_fn
+
+        all_lambda = jnp.asarray(pp.all_lambda, x.dtype)
+        n_foreign = all_lambda.shape[1]
+        recip = None
+        if pp.params.coulomb == CoulombType.PME:
+            recip = make_pme_recip_fn(pp.system, pp.params)
+        beta = get_beta(pp.params)
+
+        def epot_at(xx, box, l7):
+            terms = dense_energy(xx, box, l7, pp.system, pp.params, beta,
+                                 recip)
+            return terms.epot
+
+        def foreign_fn(xx, box, lam_cur):
+            e_cur = epot_at(xx, box, lam_cur)
+            e_all = jax.vmap(lambda l: epot_at(xx, box, l))(all_lambda.T)
+            return e_all - e_cur
+
+        state = state.replace(
+            dfhist=cast_pytree_f64(DfHist.init(
+                n_foreign, pp.params.expanded.init_wl_delta)))
+
+    step_fn = make_step_fn(pp.system, pp.params, force_fn,
+                           foreign_delta_fn=foreign_fn,
+                           n_foreign=n_foreign, all_lambda=all_lambda)
 
     @jax.jit
     def segment(st):
-        return jax.lax.scan(step_fn, st, length=nsteps + 1)
+        def body(s, _):
+            s2, log = step_fn(s)
+            return s2, (log, s2.fep_state)
+        return jax.lax.scan(body, st, length=nsteps + 1)
 
-    _, logs = segment(state)
+    _, (logs, fep_states) = segment(state)
 
     ma = np.asarray(pp.system.mass_a, np.float64)
     mb = np.asarray(pp.system.mass_b, np.float64)
@@ -141,4 +179,7 @@ def run_case(case: GoldenCase, nsteps: Optional[int] = None
         out["Potential"] = float(epot_all[t])
         for k, val in out.items():
             frames.setdefault(k, []).append(val)
-    return {k: np.array(v) for k, v in frames.items()}
+    result = {k: np.array(v) for k, v in frames.items()}
+    # post-step lambda state per frame (expanded ensemble MC trajectory)
+    result["fep_state"] = np.asarray(fep_states, np.int64)[:nsteps + 1]
+    return result

@@ -31,7 +31,23 @@ SYSTEMS = [
     "relative-position-restraints",
     "restraints",
     "transformAtoB",
+    "simtemp",
+    "expanded",
 ]
+
+# Per-frame energy comparison is limited for the 100-step expanded run:
+# trajectory chaos decorrelates any two correct implementations within
+# ~60 steps (the reference's own test uses a looser tolerance there,
+# freeenergy.cpp:117 longEnergyTolerance).  The strong assertion is the
+# discrete Wang-Landau/metropolized-Gibbs lambda-state trajectory, which
+# must match the reference's MC decisions exactly (same ThreeFry stream).
+MAX_FRAMES = {}
+
+# Post-step lambda states every 5 steps of the `expanded` system, recorded
+# from the reference double build (gmx_d mdrun on the shipped tpr inputs;
+# sim.log MC-lambda tables, converted to post-step 0-indexed states).
+EXPANDED_STATES_EVERY5 = [4, 8, 8, 8, 7, 7, 7, 8, 8, 6, 7, 6, 6, 8, 8, 7,
+                          7, 7, 3, 5, 5]
 
 _DRIVER = r"""
 import json, sys, warnings
@@ -50,6 +66,7 @@ out = {}
 for term, vals in ref.items():
     g = got[term][: len(vals)]
     out[term] = {"ref": list(map(float, vals)), "got": list(map(float, g))}
+out["fep_state"] = list(map(int, got["fep_state"]))
 print("GOLDEN_JSON " + json.dumps(out))
 """
 
@@ -77,10 +94,19 @@ def test_golden_fep_system(name):
         pytest.skip("reference tree not available")
     result = _run_driver(name)
     assert "Potential" in result
+    nmax = MAX_FRAMES.get(name)
     for term, data in result.items():
-        ref = np.array(data["ref"])
-        got = np.array(data["got"])
-        if term == "Potential":
+        if term == "fep_state":
+            continue
+        ref = np.array(data["ref"])[:nmax]
+        got = np.array(data["got"])[:nmax]
+        if name == "expanded":
+            # 101-frame run: slightly looser for Lyapunov growth (the
+            # reference's own expanded gate is looser too,
+            # freeenergy.cpp:117 longEnergyTolerance)
+            tol = (5e-5 * np.abs(ref) if term == "Potential"
+                   else np.maximum(2e-3 * np.abs(ref), 0.05))
+        elif term == "Potential":
             tol = 5e-5 * np.abs(ref)
         else:
             tol = np.maximum(1e-3 * np.abs(ref), 0.015)
@@ -89,3 +115,8 @@ def test_golden_fep_system(name):
         assert (err <= tol).all(), (
             f"{name}/{term}: frame {worst}: ref={ref[worst]} got={got[worst]} "
             f"err={err[worst]:.3e} tol={tol[worst]:.3e}")
+    if name == "expanded":
+        states = result["fep_state"][0::5]
+        assert states == EXPANDED_STATES_EVERY5, (
+            f"lambda-state MC trajectory diverged from the reference: "
+            f"{states} != {EXPANDED_STATES_EVERY5}")
