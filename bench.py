@@ -45,6 +45,9 @@ def main():
         pme_grid=grid,
         tcoupl=TcouplType.V_RESCALE, ref_t=300.0, nsttcouple=10,
         nstcomm=100,
+        # energies every 100 steps like the reference's default
+        # (nstcalcenergy); in between the force-only kernels run
+        nstcalcenergy=100,
         fep=FepParams(enabled=True, sc_alpha=0.5, sc_coul=True, sc_sigma=0.3))
     state = state.replace(lam=state.lam.at[2].set(0.5).at[3].set(0.5))
 

@@ -335,6 +335,10 @@ class MdParams:
 
     # output
     nstxout: int = 0          # TRR coordinate frames every N steps (0 = off)
+    # energies/dvdl computed every N steps (1 = every step; the reference
+    # defaults to 100 and runs force-only kernels in between,
+    # nbnxm_cuda.cu F vs VF kernel tables).  Non-energy frames log NaN.
+    nstcalcenergy: int = 1
 
     fep: FepParams = FepParams()
     expanded: Optional[ExpandedParams] = None

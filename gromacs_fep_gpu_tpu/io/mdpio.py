@@ -252,6 +252,7 @@ def mdp_to_params(text: str) -> Tuple[MdParams, Optional[np.ndarray]]:
         lincs_iter=get("lincs-iter", 2, int),
         nstcomm=get("nstcomm", 100, int),
         nstxout=get("nstxout", 0, int),
+        nstcalcenergy=get("nstcalcenergy", 1, int),
         fep=fep,
         expanded=expanded,
     )

@@ -44,6 +44,9 @@ class RunnerConfig:
     use_pallas: bool = False    # Pallas supercluster kernel for the NB loop
     super_nnbr: int = 384       # supercluster list capacity (pallas path)
     pallas_interpret: bool = False
+    # "cluster": per-i-cluster j streams (tight lists, default);
+    # "super": one shared j stream per 64-atom supercluster
+    pallas_mode: str = "super"
 
 
 class MdRunner:
@@ -138,7 +141,9 @@ class MdRunner:
             nlist = build_cluster_pairlist(
                 state.x, state.box, self.system, rl, nnbr=cfg.nnbr,
                 cell_size=cfg.cell_size,
-                super_nnbr=cfg.super_nnbr if cfg.use_pallas else None)
+                super_nnbr=(cfg.super_nnbr
+                            if cfg.use_pallas and cfg.pallas_mode == "super"
+                            else None))
             feplist = None
             fep_ovf = jnp.zeros((), jnp.int32)
             if self.has_fep:
@@ -158,13 +163,23 @@ class MdRunner:
                                s_ovf, s_max])
             prep = None
             if cfg.use_pallas:
-                from ..ops.pallas_nb import pallas_prepare
-                prep = pallas_prepare(nlist, self.system.nbfp)
+                if cfg.pallas_mode == "super":
+                    from ..ops.pallas_nb import pallas_prepare
+                    prep = pallas_prepare(nlist, self.system.nbfp)
+                else:
+                    from ..ops.pallas_nb import pallas_prepare_cl
+                    prep = pallas_prepare_cl(nlist, self.system.nbfp)
             return nlist, feplist, prep, flags
 
         def scan(state: State, nlist, feplist, prep):
             bound_force = lambda x, box, lam: force_fn(x, box, lam, nlist,
                                                        feplist, prep)
+            bound_force_noener = None
+            if not cfg.use_dense and self.params.nstcalcenergy > 1:
+                bound_force_noener = (
+                    lambda x, box, lam: force_fn(x, box, lam, nlist,
+                                                 feplist, prep,
+                                                 need_energy=False))
 
             def epot_fn(x, box, lam):
                 _, terms = force_fn(x, box, lam, nlist, feplist, prep)
@@ -176,7 +191,12 @@ class MdRunner:
                 compute_pressure=compute_pressure,
                 foreign_delta_fn=(foreign_factory(feplist)
                                   if foreign_factory else None),
-                n_foreign=n_foreign)
+                n_foreign=n_foreign,
+                all_lambda=(self.all_lambda.T
+                            if (self.all_lambda is not None
+                                and self.params.expanded is not None)
+                            else None),
+                force_fn_noener=bound_force_noener)
             state_out, log = jax.lax.scan(step_fn, state, length=seg_len)
             return state_out, log
 
@@ -217,6 +237,12 @@ class MdRunner:
         if n_vsites(self.system) > 0:
             state = state.replace(
                 x=construct_vsites(state.x, self.system.vsites))
+        if (self.params.expanded is not None and self.all_lambda is not None
+                and state.dfhist is None):
+            from .expanded import DfHist
+            state = state.replace(dfhist=DfHist.init(
+                int(self.all_lambda.shape[0]),
+                self.params.expanded.init_wl_delta))
         if self.config.cell_size is None and not self.config.use_dense:
             vol = float(np.prod(np.diag(np.asarray(state.box))))
             n = max(self.system.n_atoms, 1)

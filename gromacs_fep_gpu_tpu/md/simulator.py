@@ -100,7 +100,8 @@ def make_step_fn(system: System, params: MdParams, force_fn: Callable,
                  compute_pressure: bool = False,
                  foreign_delta_fn: Optional[Callable] = None,
                  n_foreign: int = 0,
-                 all_lambda=None):
+                 all_lambda=None,
+                 force_fn_noener: Optional[Callable] = None):
     """force_fn(x, box, lam) -> (f, EnergyTerms).
     foreign_delta_fn(x, box, lam) -> (n_foreign,) Delta-H vector, evaluated
     every fep.nstdhdl steps (reference: mdebin_bar.cpp Delta-H collection)
@@ -154,7 +155,23 @@ def make_step_fn(system: System, params: MdParams, force_fn: Callable,
         k_therm, k_sd, k_baro = jax.random.split(key, 3)
         is_vv = params.integrator == IntegratorType.MD_VV
 
-        f, terms = force_fn(state.x, state.box, lam)
+        # energies (and the dvdl backward pass) are only needed every
+        # nstcalcenergy steps; in between the force-only kernel flavor
+        # runs (reference: do_md nstcalcenergy + F/VF kernel split)
+        do_ener = jnp.asarray(True)
+        if force_fn_noener is not None and params.nstcalcenergy > 1:
+            do_ener = (state.step % params.nstcalcenergy) == 0
+            if params.fep.enabled:
+                do_ener = do_ener | ((state.step % params.fep.nstdhdl) == 0)
+            if has_expanded:
+                do_ener = do_ener | (((state.step % exp.nstexpanded) == 0)
+                                     & (state.step > 0))
+            f, terms = jax.lax.cond(
+                do_ener,
+                lambda: force_fn(state.x, state.box, lam),
+                lambda: force_fn_noener(state.x, state.box, lam))
+        else:
+            f, terms = force_fn(state.x, state.box, lam)
         if has_vsites:
             f = spread_vsite_forces(state.x, f, system.vsites)
 
@@ -293,7 +310,8 @@ def make_step_fn(system: System, params: MdParams, force_fn: Callable,
         # with the lambda of step t+1 — after an expanded-ensemble switch
         # that is the NEW lambda (md.cpp vv ordering) ---
         if is_vv:
-            f2, _ = force_fn(x_new, state.box, lam_next_vec)
+            f2, _ = (force_fn_noener if force_fn_noener is not None
+                     else force_fn)(x_new, state.box, lam_next_vec)
             if has_vsites:
                 f2 = spread_vsite_forces(x_new, f2, system.vsites)
             v_new = integ_mod.velocity_verlet_2(v_new, f2, invmass, dt)
@@ -373,7 +391,9 @@ def make_step_fn(system: System, params: MdParams, force_fn: Callable,
             x=x_new, v=v_new, box=box_new, lam=lam_next_vec,
             fep_state=fep_state_next, dfhist=dfhist_next,
             step=state.step + 1, coupling=coupl)
-        log = StepLog(epot=terms.epot, ekin=ekin, temp=temp, pres=pres,
+        epot_log = jnp.where(do_ener, terms.epot,
+                             jnp.asarray(jnp.nan, state.x.dtype))
+        log = StepLog(epot=epot_log, ekin=ekin, temp=temp, pres=pres,
                       lam=lam, dvdl=terms.dvdl, terms=terms,
                       constr_rmsd=constr_rmsd, delta_h=delta_h,
                       dekindl=dekindl)

@@ -231,9 +231,15 @@ def cluster_nb_kernel(x, box, nlist: ClusterPairlist, nbfp, params: MdParams,
                         ).astype(x.dtype)                      # (block, T, J)
             rows_c6 = nbfp[:, :, 0][ti]                        # (block, 8, T)
             rows_c12 = nbfp[:, :, 1][ti]
+            # HIGHEST precision: the default matmul precision truncates
+            # fp32 operands to bf16 on the MXU, which corrupts the LJ
+            # parameters at the 1e-3 level (observed as a 0.75% LJ energy
+            # error at 12k atoms)
             c6 = jnp.einsum('bit,btj->bij', rows_c6, onehot_j,
+                            precision=jax.lax.Precision.HIGHEST,
                             preferred_element_type=x.dtype)
             c12 = jnp.einsum('bit,btj->bij', rows_c12, onehot_j,
+                             precision=jax.lax.Precision.HIGHEST,
                              preferred_element_type=x.dtype)
         rinv6 = jnp.minimum(rinv2 * rinv2 * rinv2, 1e15)
         rinv12 = rinv6 * rinv6
@@ -335,7 +341,8 @@ def make_cluster_force_fn(system: System, params: MdParams,
         # XLA kernel (same physics, slower)
         use_pallas = False
     if use_pallas:
-        from .pallas_nb import pallas_cluster_forces
+        from .pallas_nb import (PallasPrepCl, pallas_cluster_forces,
+                                pallas_cluster_forces_cl)
     disp_e_fn = None
     if params.dispcorr:
         from .dispcorr import make_dispersion_correction
@@ -355,7 +362,8 @@ def make_cluster_force_fn(system: System, params: MdParams,
             if il.n == 0:
                 continue
             _, _, fn = bonded_mod.TERMS[name]
-            lam_term = lam_r if name == "posres" else lam_b
+            lam_term = (lam_r if name in bonded_mod.RESTRAINT_TERMS
+                        else lam_b)
             e = fn(x, box, il, lam_term)
             ch = bonded_mod.TERM_CHANNEL[name]
             terms = terms.replace(**{ch: getattr(terms, ch) + e})
@@ -367,20 +375,36 @@ def make_cluster_force_fn(system: System, params: MdParams,
         return terms.epot, terms
 
     grad_other = jax.value_and_grad(other_energy, argnums=(0, 1), has_aux=True)
+    grad_other_f = jax.grad(other_energy, argnums=0, has_aux=True)
 
     def force_fn(x, box, lam, nlist: ClusterPairlist,
-                 feplist: Optional[FepPairlist] = None, prep=None):
+                 feplist: Optional[FepPairlist] = None, prep=None,
+                 need_energy: bool = True):
+        """need_energy=False runs the force-only kernel flavor and skips
+        the dV/dlambda backward pass (the reference computes energies only
+        at nstcalcenergy steps; F vs VF kernels in nbnxm_cuda.cu)."""
         if use_pallas:
-            f_sorted, e_coul, e_lj = pallas_cluster_forces(
-                x, box, nlist, system.nbfp, params, beta,
-                interpret=pallas_interpret, prep=prep)
+            if prep is None or isinstance(prep, PallasPrepCl):
+                f_sorted, e_coul, e_lj = pallas_cluster_forces_cl(
+                    x, box, nlist, system.nbfp, params, beta,
+                    interpret=pallas_interpret, prep=prep,
+                    compute_energy=need_energy)
+            else:
+                f_sorted, e_coul, e_lj = pallas_cluster_forces(
+                    x, box, nlist, system.nbfp, params, beta,
+                    interpret=pallas_interpret, prep=prep,
+                    compute_energy=need_energy)
         else:
             f_sorted, e_coul, e_lj = cluster_nb_kernel(
                 x, box, nlist, system.nbfp, params, beta, block,
                 lj_mode=lj_mode)
         f_cluster = f_sorted[nlist.inv_perm]                  # gather, no scatter
 
-        (_, terms), (gx, glam) = grad_other(x, lam, box, feplist)
+        if need_energy:
+            (_, terms), (gx, glam) = grad_other(x, lam, box, feplist)
+        else:
+            gx, terms = grad_other_f(x, lam, box, feplist)
+            glam = jnp.full((int(FepCoupling.COUNT),), jnp.nan, x.dtype)
         f = f_cluster - gx
         terms = terms.replace(coulomb=terms.coulomb + e_coul,
                               lj=terms.lj + e_lj,
@@ -389,7 +413,8 @@ def make_cluster_force_fn(system: System, params: MdParams,
             e_dc, dvdl_dc = disp_e_fn(box, lam[FepCoupling.VDW])
             terms = terms.replace(
                 dispcorr=e_dc,
-                dvdl=terms.dvdl.at[FepCoupling.VDW].add(dvdl_dc))
+                dvdl=(terms.dvdl if not need_energy
+                      else terms.dvdl.at[FepCoupling.VDW].add(dvdl_dc)))
         return f, terms
 
     return force_fn

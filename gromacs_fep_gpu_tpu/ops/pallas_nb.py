@@ -45,7 +45,7 @@ from .pairlist import CLUSTER, ClusterPairlist
 R2_FLOOR = 1e-6
 TWO_OVER_SQRT_PI = 1.1283791670955126
 BI = 8          # i-clusters per supercluster/program (64 atoms)
-GJ = 16         # j-clusters per inner iteration (128 atoms -> lane dim)
+GJ = 64         # j-clusters per inner iteration (512 lanes = 4 vregs per op)
 
 
 def _erfc_poly(x):
@@ -59,8 +59,38 @@ def _erfc_poly(x):
     return poly * jnp.exp(-x * x)
 
 
+def _pmecorr_f(z2):
+    """Rational fit of the Ewald force correction
+    d/dr[-erf(br)/r] expressed so that F/r = qq (1/r^3 + b^3 pmecorrF(b^2 r^2));
+    coefficients from the reference's analytical Ewald kernels
+    (nbnxm_cuda_kernel_utils.cuh pmecorrF) — one polynomial replaces
+    erfc + exp in the force-only kernel flavor."""
+    FN = (-1.7357322914161492954e-8, 1.4703624142580877519e-6,
+          -0.000053401640219807709149, 0.0010054721316683106153,
+          -0.019278317264888380590, 0.069670166153766424023,
+          -0.75225204789749321333)
+    FD = (0.0011193462567257629232, 0.014866955030185295499,
+          0.11583842382862377919, 0.50736591960530292870, 1.0)
+    z4 = z2 * z2
+    poly_fd0 = FD[0] * z4 + FD[2]
+    poly_fd1 = FD[1] * z4 + FD[3]
+    poly_fd0 = poly_fd0 * z4 + FD[4]
+    poly_fd0 = poly_fd1 * z2 + poly_fd0
+    poly_fn0 = FN[0] * z4 + FN[2]
+    poly_fn1 = FN[1] * z4 + FN[3]
+    poly_fn0 = poly_fn0 * z4 + FN[4]
+    poly_fn1 = poly_fn1 * z4 + FN[5]
+    poly_fn0 = poly_fn0 * z4 + FN[6]
+    poly_fn0 = poly_fn1 * z2 + poly_fn0
+    return poly_fn0 / poly_fd0
+
+
 def _make_kernel(n_groups: int, n_excl: int, params: MdParams, beta,
-                 epsfac: float, bi: int = BI):
+                 epsfac: float, bi: int = BI, compute_energy: bool = True):
+    """compute_energy=False builds the force-only flavor (the reference's
+    F vs VF CUDA kernel split, nbnxm_cuda.cu kernel tables): energies and
+    the erfc/exp evaluations drop out of the hot loop; the Ewald force
+    uses the pmecorrF rational polynomial instead."""
     rc2 = params.rcoulomb ** 2
     rv2 = params.rvdw ** 2
     rcinv6 = 1.0 / params.rvdw ** 6
@@ -99,6 +129,9 @@ def _make_kernel(n_groups: int, n_excl: int, params: MdParams, beta,
         bx = box_ref[0, 0]
         by = box_ref[0, 1]
         bz = box_ref[0, 2]
+        ibx = 1.0 / bx
+        iby = 1.0 / by
+        ibz = 1.0 / bz
 
         def j_group(g, acc):
             fx, fy, fz, e_c, e_lj = acc
@@ -116,9 +149,9 @@ def _make_kernel(n_groups: int, n_excl: int, params: MdParams, beta,
             dx = xi_x - xj
             dy = xi_y - yj
             dz = xi_z - zj
-            dx = dx - jnp.floor(dx / bx + 0.5) * bx
-            dy = dy - jnp.floor(dy / by + 0.5) * by
-            dz = dz - jnp.floor(dz / bz + 0.5) * bz
+            dx = dx - jnp.floor(dx * ibx + 0.5) * bx
+            dy = dy - jnp.floor(dy * iby + 0.5) * by
+            dz = dz - jnp.floor(dz * ibz + 0.5) * bz
             r2 = jnp.maximum(dx * dx + dy * dy + dz * dz, R2_FLOOR)
             rinv = jax.lax.rsqrt(r2)
             rinv2 = rinv * rinv
@@ -136,32 +169,43 @@ def _make_kernel(n_groups: int, n_excl: int, params: MdParams, beta,
             c12 = s12i * s12j
             rinv6 = jnp.minimum(rinv2 * rinv2 * rinv2, 1e15)
             rinv12 = rinv6 * rinv6
-            e_lj_pair = (c12 * rinv12 - c6 * rinv6
-                         - (c12 * rcinv6 * rcinv6 - c6 * rcinv6)) * in_v
             f_lj = (12.0 * c12 * rinv12 - 6.0 * c6 * rinv6) * rinv2 * in_v
+            if compute_energy:
+                e_lj_pair = (c12 * rinv12 - c6 * rinv6
+                             - (c12 * rcinv6 * rcinv6 - c6 * rcinv6)) * in_v
 
             qq = epsfac * qi * qj
             if params.coulomb == CoulombType.REACTION_FIELD:
-                e_c_pair = qq * (incl * rinv + krf * r2 - crf) * in_c
                 f_c = qq * (incl * rinv2 * rinv - 2.0 * krf) * in_c
+                if compute_energy:
+                    e_c_pair = qq * (incl * rinv + krf * r2 - crf) * in_c
             elif params.coulomb == CoulombType.PME:
-                br = beta * (r2 * rinv)
-                erfc_t = _erfc_poly(br)
-                gauss = jnp.exp(-br * br)
-                e_c_pair = qq * rinv * (erfc_t - (1.0 - incl)) * in_c
-                f_c = (qq * rinv2 * ((incl - (1.0 - erfc_t)) * rinv
-                                     + beta * TWO_OVER_SQRT_PI * gauss)
-                       * in_c)
+                if compute_energy:
+                    br = beta * (r2 * rinv)
+                    erfc_t = _erfc_poly(br)
+                    gauss = jnp.exp(-br * br)
+                    e_c_pair = qq * rinv * (erfc_t - (1.0 - incl)) * in_c
+                    f_c = (qq * rinv2 * ((incl - (1.0 - erfc_t)) * rinv
+                                         + beta * TWO_OVER_SQRT_PI * gauss)
+                           * in_c)
+                else:
+                    # force-only: one rational polynomial, no erfc/exp
+                    f_c = (qq * (incl * rinv2 * rinv
+                                 + (beta * beta * beta)
+                                 * _pmecorr_f((beta * beta) * r2))
+                           * in_c)
             else:
-                e_c_pair = qq * incl * (rinv - 1.0 / params.rcoulomb) * in_c
                 f_c = qq * incl * rinv2 * rinv * in_c
+                if compute_energy:
+                    e_c_pair = qq * incl * (rinv - 1.0 / params.rcoulomb) * in_c
 
             fscal = f_lj + f_c
             fx = fx + jnp.sum(fscal * dx, axis=2)
             fy = fy + jnp.sum(fscal * dy, axis=2)
             fz = fz + jnp.sum(fscal * dz, axis=2)
-            e_c = e_c + jnp.sum(e_c_pair)
-            e_lj = e_lj + jnp.sum(e_lj_pair)
+            if compute_energy:
+                e_c = e_c + jnp.sum(e_c_pair)
+                e_lj = e_lj + jnp.sum(e_lj_pair)
             return fx, fy, fz, e_c, e_lj
 
         z = jnp.zeros((bi, CLUSTER), jnp.float32)
@@ -176,6 +220,324 @@ def _make_kernel(n_groups: int, n_excl: int, params: MdParams, beta,
         e_ref[0, 0, 1] = e_lj
 
     return kernel
+
+
+def _make_kernel_cl(n_groups: int, n_excl: int, params: MdParams, beta,
+                    epsfac: float, compute_energy: bool = True):
+    """Packed per-i-cluster j-stream kernel with a 2D (supercluster,
+    j-group) grid: each grid step works on one (8 i-atoms x 8 clusters x
+    128 j-atoms) tile whose j lanes are each i-CLUSTER's own next 16
+    j-clusters — per-cluster list tightness at full VPU tile shape, with
+    Pallas double-buffering the j streams across grid steps.  The TPU
+    equivalent of the reference's per-i-cluster imask pruning
+    (nbnxm_cuda_kernel.cuh:415-417): far tiles are never in the stream.
+    Groups beyond a supercluster's count are skipped via pl.when."""
+    rc2 = params.rcoulomb ** 2
+    rv2 = params.rvdw ** 2
+    rcinv6 = 1.0 / params.rvdw ** 6
+    if params.coulomb == CoulombType.REACTION_FIELD:
+        krf, crf = rf_constants(params)
+    SB = 8
+
+    def kernel(box_ref,                      # SMEM (1, 3) box diagonal
+               ng_ref,                       # SMEM (1, 1, 1) i32 max groups
+               ix_ref, iy_ref, iz_ref,       # VMEM (1, 8, SB) [atom, cluster]
+               iq_ref, is6_ref, is12_ref,    # VMEM (1, 8, SB)
+               ipv_ref,                      # VMEM (1, 8, SB)
+               iex_ref,                      # VMEM (1, 8, K*SB) i32 k-major
+               jx_ref, jy_ref, jz_ref,       # VMEM (1, 1, SB, 128) group block
+               jq_ref, js6_ref, js12_ref,    # VMEM (1, 1, SB, 128)
+               jpv_ref, jid_ref,             # VMEM (1, 1, SB, 128)
+               fx_ref, fy_ref, fz_ref,       # out VMEM (1, 8, SB) accum
+               e_ref):                       # out SMEM (1, 1, 2) accum
+        pid = pl.program_id(0)
+        g = pl.program_id(1)
+        c0 = pid * SB
+
+        @pl.when(g == 0)
+        def _init():
+            z = jnp.zeros((1, CLUSTER, SB), jnp.float32)
+            fx_ref[...] = z
+            fy_ref[...] = z
+            fz_ref[...] = z
+            e_ref[0, 0, 0] = 0.0
+            e_ref[0, 0, 1] = 0.0
+
+        @pl.when(g < ng_ref[0, 0, 0])
+        def _body():
+            def col(ref):
+                return ref[0, :, :][:, :, None]          # (8, SB, 1)
+
+            xi_x = col(ix_ref)
+            xi_y = col(iy_ref)
+            xi_z = col(iz_ref)
+            qi = col(iq_ref)
+            s6i = col(is6_ref)
+            s12i = col(is12_ref)
+            pvi = col(ipv_ref)
+            iid = (c0 * CLUSTER
+                   + jax.lax.broadcasted_iota(jnp.int32, (CLUSTER, SB, 1), 1)
+                   * CLUSTER
+                   + jax.lax.broadcasted_iota(jnp.int32, (CLUSTER, SB, 1), 0))
+
+            bx = box_ref[0, 0]
+            by = box_ref[0, 1]
+            bz = box_ref[0, 2]
+
+            xj = jx_ref[0]                                # (1, SB, 128)
+            yj = jy_ref[0]
+            zj = jz_ref[0]
+            qj = jq_ref[0]
+            s6j = js6_ref[0]
+            s12j = js12_ref[0]
+            pvj = jpv_ref[0]
+            jid = jid_ref[0]
+
+            dx = xi_x - xj
+            dy = xi_y - yj
+            dz = xi_z - zj
+            dx = dx - jnp.floor(dx * (1.0 / bx) + 0.5) * bx
+            dy = dy - jnp.floor(dy * (1.0 / by) + 0.5) * by
+            dz = dz - jnp.floor(dz * (1.0 / bz) + 0.5) * bz
+            r2 = jnp.maximum(dx * dx + dy * dy + dz * dz, R2_FLOOR)
+            rinv = jax.lax.rsqrt(r2)
+            rinv2 = rinv * rinv
+
+            pairm = pvi * pvj * (iid != jid)
+            exm = jnp.zeros(r2.shape, jnp.bool_)
+            for k in range(n_excl):
+                ei_k = iex_ref[0, :, k * SB:(k + 1) * SB][:, :, None]
+                exm = exm | (ei_k == jid)
+            incl = 1.0 - exm.astype(r2.dtype)
+            in_c = jnp.where(r2 < rc2, pairm, 0.0)
+            in_v = jnp.where(r2 < rv2, pairm * incl, 0.0)
+
+            c6 = s6i * s6j
+            c12 = s12i * s12j
+            rinv6 = jnp.minimum(rinv2 * rinv2 * rinv2, 1e15)
+            rinv12 = rinv6 * rinv6
+            f_lj = (12.0 * c12 * rinv12 - 6.0 * c6 * rinv6) * rinv2 * in_v
+
+            qq = epsfac * qi * qj
+            if params.coulomb == CoulombType.REACTION_FIELD:
+                f_c = qq * (incl * rinv2 * rinv - 2.0 * krf) * in_c
+            elif params.coulomb == CoulombType.PME:
+                if compute_energy:
+                    br = beta * (r2 * rinv)
+                    erfc_t = _erfc_poly(br)
+                    gauss = jnp.exp(-br * br)
+                    f_c = (qq * rinv2
+                           * ((incl - (1.0 - erfc_t)) * rinv
+                              + beta * TWO_OVER_SQRT_PI * gauss) * in_c)
+                else:
+                    f_c = (qq * (incl * rinv2 * rinv
+                                 + (beta * beta * beta)
+                                 * _pmecorr_f((beta * beta) * r2))
+                           * in_c)
+            else:
+                f_c = qq * incl * rinv2 * rinv * in_c
+
+            fscal = f_lj + f_c
+            fx_ref[...] += jnp.sum(fscal * dx, axis=2)[None]
+            fy_ref[...] += jnp.sum(fscal * dy, axis=2)[None]
+            fz_ref[...] += jnp.sum(fscal * dz, axis=2)[None]
+            if compute_energy:
+                e_lj_pair = (c12 * rinv12 - c6 * rinv6
+                             - (c12 * rcinv6 * rcinv6 - c6 * rcinv6)) * in_v
+                if params.coulomb == CoulombType.REACTION_FIELD:
+                    e_c_pair = qq * (incl * rinv + krf * r2 - crf) * in_c
+                elif params.coulomb == CoulombType.PME:
+                    e_c_pair = qq * rinv * (erfc_t - (1.0 - incl)) * in_c
+                else:
+                    e_c_pair = (qq * incl
+                                * (rinv - 1.0 / params.rcoulomb) * in_c)
+                e_ref[0, 0, 0] += jnp.sum(e_c_pair)
+                e_ref[0, 0, 1] += jnp.sum(e_lj_pair)
+
+    return kernel
+
+
+@_struct.dataclass
+class PallasPrepCl:
+    """Per-rebuild data for the packed per-cluster-stream kernel."""
+    iq: jnp.ndarray       # (S, 8, 8)
+    is6: jnp.ndarray
+    is12: jnp.ndarray
+    ipv: jnp.ndarray
+    iex: jnp.ndarray      # (S, 8, K*8) i32
+    nbr2: jnp.ndarray     # (S, n_groups, 8, 16) i32 j-cluster ids
+    ng: jnp.ndarray       # (S, 1, 1) i32 max group count in the program
+    jq: jnp.ndarray       # (S, n_groups*8, 128)
+    js6: jnp.ndarray
+    js12: jnp.ndarray
+    jpv: jnp.ndarray
+    jid: jnp.ndarray
+
+
+def pallas_prepare_cl(nlist: ClusterPairlist, nbfp) -> PallasPrepCl:
+    """Build the packed per-cluster streams from the per-cluster lists."""
+    from .cluster_nb import lj_table_mode
+    import numpy as _np
+    if not isinstance(nbfp, jax.core.Tracer):
+        assert lj_table_mode(_np.asarray(nbfp)) == "geometric", (
+            "Pallas kernel requires a geometric-combination LJ table")
+    SB = 8
+    n = nlist.inv_perm.shape[0]
+    n_pad = nlist.n_pad
+    C = nlist.n_clusters
+    S = -(-C // SB)
+    C_pad = S * SB
+    nnbr = nlist.nbr.shape[1]
+    K = nlist.excl.shape[1]
+    ncl = C_pad + 1   # trailing dummy cluster for padded neighbour id C
+    extra = ncl * CLUSTER - n_pad
+    nnbr_pad = -(-nnbr // GJ) * GJ
+    n_groups = nnbr_pad // GJ
+
+    def plane(a, fill=0.0):
+        pad = jnp.full((extra,), fill, a.dtype)
+        return jnp.concatenate([a, pad]).reshape(ncl, CLUSTER)
+
+    diag6 = jnp.sqrt(jnp.maximum(jnp.diagonal(nbfp[:, :, 0]), 0.0))
+    diag12 = jnp.sqrt(jnp.maximum(jnp.diagonal(nbfp[:, :, 1]), 0.0))
+    valid = (nlist.perm < n).astype(jnp.float32)
+    pv = valid * (1.0 - nlist.pert)
+
+    q = plane(nlist.q_a)
+    s6 = plane(diag6[nlist.t_a])
+    s12 = plane(diag12[nlist.t_a])
+    pvp = plane(pv)
+    excl = jnp.concatenate(
+        [nlist.excl, jnp.full((extra, K), -1, jnp.int32)])
+    # k-major with clusters on lanes: (S, 8_atom, K*SB_cluster)
+    iex = (excl[:C_pad * CLUSTER]
+           .reshape(S, SB, CLUSTER, K)
+           .transpose(0, 2, 3, 1)
+           .reshape(S, CLUSTER, K * SB))
+
+    # (C_pad, nnbr_pad) padded ids -> packed (S, n_groups, SB, GJ)
+    nbr_p = jnp.pad(jnp.where(nlist.nbr >= 0, nlist.nbr, C),
+                    ((0, C_pad - C), (0, nnbr_pad - nnbr)),
+                    constant_values=C)
+    count = jnp.sum(nbr_p != C, axis=1)                      # (C_pad,)
+    ng = jnp.max((-(-count // GJ)).reshape(S, SB),
+                 axis=1).astype(jnp.int32).reshape(S, 1, 1)
+    nbr2 = nbr_p.reshape(S, SB, n_groups, GJ).transpose(0, 2, 1, 3)
+
+    def jgather(pl2d):
+        return pl2d[nbr2].reshape(S, n_groups * SB, GJ * CLUSTER)
+
+    jid = (nbr2[..., None] * CLUSTER
+           + jnp.arange(CLUSTER, dtype=jnp.int32)
+           ).reshape(S, n_groups * SB, GJ * CLUSTER)
+
+    def i3(a):
+        # (1, 8_atom, SB_cluster): atoms on sublanes, clusters on lanes
+        return a[:C_pad].reshape(S, SB, CLUSTER).transpose(0, 2, 1)
+
+    return PallasPrepCl(iq=i3(q), is6=i3(s6), is12=i3(s12), ipv=i3(pvp),
+                        iex=iex, nbr2=nbr2, ng=ng,
+                        jq=jgather(q), js6=jgather(s6), js12=jgather(s12),
+                        jpv=jgather(pvp), jid=jid)
+
+
+def pallas_cluster_forces_cl(x, box, nlist: ClusterPairlist, nbfp,
+                             params: MdParams, beta,
+                             prep: Optional[PallasPrepCl] = None,
+                             interpret: bool = False,
+                             compute_energy: bool = True):
+    """(f_sorted (n_pad, 3), e_coul, e_lj) via the packed
+    per-cluster-stream kernel (tight lists, full (8,8,128) tiles)."""
+    if prep is None:
+        prep = pallas_prepare_cl(nlist, nbfp)
+    SB = 8
+    n = nlist.inv_perm.shape[0]
+    n_pad = nlist.n_pad
+    C = nlist.n_clusters
+    S = prep.iq.shape[0]
+    C_pad = S * SB
+    K = nlist.excl.shape[1]
+    ncl = C_pad + 1
+    extra = ncl * CLUSTER - n_pad
+    n_groups = prep.jq.shape[1] // SB
+
+    xs = jnp.where((nlist.perm < n)[:, None],
+                   x[jnp.minimum(nlist.perm, n - 1)],
+                   1e4 + jnp.arange(n_pad, dtype=x.dtype)[:, None])
+    dummy = 2e4 + jnp.arange(extra, dtype=x.dtype)[:, None] * jnp.ones(3)
+    xs = jnp.concatenate([xs, dummy])
+    xx = xs[:, 0].reshape(ncl, CLUSTER)
+    xy = xs[:, 1].reshape(ncl, CLUSTER)
+    xz = xs[:, 2].reshape(ncl, CLUSTER)
+
+    def jgather(pl2d):
+        return pl2d[prep.nbr2].reshape(S, n_groups * SB, GJ * CLUSTER)
+
+    jx = jgather(xx)
+    jy = jgather(xy)
+    jz = jgather(xz)
+    box_diag = jnp.stack([box[0, 0], box[1, 1], box[2, 2]]).reshape(1, 3)
+
+    epsfac = float(ONE_4PI_EPS0 / params.epsilon_r)
+    kernel = _make_kernel_cl(n_groups, K, params, beta, epsfac,
+                             compute_energy=compute_energy)
+
+    iblk = lambda w: pl.BlockSpec((1, CLUSTER, w), lambda i, g: (i, 0, 0),
+                                  memory_space=pltpu.VMEM)
+    jrow = lambda: pl.BlockSpec((1, 1, SB, GJ * CLUSTER),
+                                lambda i, g: (i, g, 0, 0),
+                                memory_space=pltpu.VMEM)
+
+    def i3x(a):
+        return a[:C_pad].reshape(S, SB, CLUSTER).transpose(0, 2, 1)
+
+    fx, fy, fz, e = pl.pallas_call(
+        kernel,
+        grid=(S, n_groups),
+        in_specs=[
+            pl.BlockSpec((1, 3), lambda i, g: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, 1), lambda i, g: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+            iblk(SB), iblk(SB), iblk(SB),
+            iblk(SB), iblk(SB), iblk(SB),
+            iblk(SB),
+            iblk(K * SB),
+            jrow(), jrow(), jrow(),
+            jrow(), jrow(), jrow(), jrow(), jrow(),
+        ],
+        out_specs=[
+            iblk(SB), iblk(SB), iblk(SB),
+            pl.BlockSpec((1, 1, 2), lambda i, g: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((S, CLUSTER, SB), jnp.float32),
+            jax.ShapeDtypeStruct((S, CLUSTER, SB), jnp.float32),
+            jax.ShapeDtypeStruct((S, CLUSTER, SB), jnp.float32),
+            jax.ShapeDtypeStruct((S, 1, 2), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")),
+        interpret=interpret,
+    )(box_diag, prep.ng,
+      i3x(xx), i3x(xy), i3x(xz),
+      prep.iq, prep.is6, prep.is12, prep.ipv, prep.iex,
+      jx.reshape(S, n_groups, SB, GJ * CLUSTER),
+      jy.reshape(S, n_groups, SB, GJ * CLUSTER),
+      jz.reshape(S, n_groups, SB, GJ * CLUSTER),
+      prep.jq.reshape(S, n_groups, SB, GJ * CLUSTER),
+      prep.js6.reshape(S, n_groups, SB, GJ * CLUSTER),
+      prep.js12.reshape(S, n_groups, SB, GJ * CLUSTER),
+      prep.jpv.reshape(S, n_groups, SB, GJ * CLUSTER),
+      prep.jid.reshape(S, n_groups, SB, GJ * CLUSTER))
+
+    # outputs are (S, 8_atom, SB_cluster): untranspose to atom-major order
+    def unt(a):
+        return a.transpose(0, 2, 1).reshape(-1)[:n_pad]
+
+    f_sorted = jnp.stack([unt(fx), unt(fy), unt(fz)], axis=-1)
+    return f_sorted, 0.5 * jnp.sum(e[:, 0, 0]), 0.5 * jnp.sum(e[:, 0, 1])
 
 
 @_struct.dataclass
@@ -270,10 +632,13 @@ def pallas_prepare(nlist: ClusterPairlist, nbfp, bi: int = 8) -> PallasPrep:
 def pallas_cluster_forces(x, box, nlist: ClusterPairlist, nbfp,
                           params: MdParams, beta: Optional[float],
                           interpret: bool = False,
-                          prep: Optional[PallasPrep] = None):
+                          prep: Optional[PallasPrep] = None,
+                          compute_energy: bool = True):
     """(f_sorted (n_pad, 3), e_coul, e_lj) via the Pallas supercluster
     kernel.  Requires nlist built with super_nnbr and a geometric LJ
-    table; energies use the 0.5 full-list convention like the XLA twin."""
+    table; energies use the 0.5 full-list convention like the XLA twin.
+    compute_energy=False runs the cheaper force-only kernel flavor and
+    returns zero energies (the reference's F kernels)."""
     if prep is None:
         prep = pallas_prepare(nlist, nbfp)
     bi = prep.bi
@@ -289,16 +654,24 @@ def pallas_cluster_forces(x, box, nlist: ClusterPairlist, nbfp,
     xy = xs[:, 1].reshape(ncl, CLUSTER)
     xz = xs[:, 2].reshape(ncl, CLUSTER)
 
-    def jgather(pl2d):
-        return pl2d[prep.nbr2].reshape(S, n_groups, GJ * CLUSTER)
+    # ONE packed row-gather for all three coordinate planes: the gather
+    # cost is per-ROW (measured ~0.26 ns/element for 32-byte rows), so
+    # packing x|y|z into 96-byte rows cuts the per-step gather time 3x
+    packed = jnp.concatenate([xx, xy, xz], axis=1)        # (ncl, 24)
+    gathered = packed[prep.nbr2]                          # (S, nnbr_pad, 24)
 
-    jx = jgather(xx)
-    jy = jgather(xy)
-    jz = jgather(xz)
+    def plane(d):
+        return gathered[:, :, d * CLUSTER:(d + 1) * CLUSTER].reshape(
+            S, n_groups, GJ * CLUSTER)
+
+    jx = plane(0)
+    jy = plane(1)
+    jz = plane(2)
     box_diag = jnp.stack([box[0, 0], box[1, 1], box[2, 2]]).reshape(1, 3)
 
     epsfac = float(ONE_4PI_EPS0 / params.epsilon_r)
-    kernel = _make_kernel(n_groups, K, params, beta, epsfac, bi=bi)
+    kernel = _make_kernel(n_groups, K, params, beta, epsfac, bi=bi,
+                          compute_energy=compute_energy)
 
     iblk = lambda w: pl.BlockSpec((1, bi, w), lambda i: (i, 0, 0),
                                   memory_space=pltpu.VMEM)

@@ -90,7 +90,7 @@ def _bspline_moduli(K: int, order: int) -> np.ndarray:
     bad = mag2 < 1e-10
     if bad.any():
         b2[bad] = 0.5 * (np.roll(b2, 1)[bad] + np.roll(b2, -1)[bad])
-    return b2.astype(np.float32)
+    return b2
 
 
 def _spline_data(x, box, grid_shape, order: int):
@@ -124,6 +124,50 @@ def spread_charges_scatter(x, box, charges, grid_shape, order: int = 4):
     return grid
 
 
+def make_dft_matrices(grid_shape):
+    """Per-axis DFT matrices (cos, -sin) for the matmul-FFT.
+
+    XLA's native FFT lowers poorly on TPU for the small PME grids (42^3
+    measured ~1 ms); a dense DFT is ~60 MFLOP here and rides the MXU in
+    microseconds.  The reference reaches the same conclusion from the
+    other side: its GPU FFTs go through tuned vendor libraries
+    (fft/gpu_3dfft_*.cpp) rather than naive kernels."""
+    mats = []
+    for K in grid_shape:
+        k = np.arange(K)
+        ang = 2.0 * np.pi * np.outer(k, k) / K
+        # keep double-precision hosts; cast to the grid dtype at use time
+        mats.append((np.cos(ang), -np.sin(ang)))
+    return mats
+
+
+def _axis_dft(re, im, cos_np, sin_np, axis):
+    """Apply one complex DFT along `axis` via real matmuls."""
+    dt = re.dtype
+    hi = jax.lax.Precision.HIGHEST
+    cos_m = jnp.asarray(cos_np, dt)
+    sin_m = jnp.asarray(sin_np, dt)
+    re_m = jnp.moveaxis(re, axis, -1)
+    re2 = jnp.matmul(re_m, cos_m.T, precision=hi, preferred_element_type=dt)
+    im2 = jnp.matmul(re_m, sin_m.T, precision=hi, preferred_element_type=dt)
+    if im is not None:
+        im_m = jnp.moveaxis(im, axis, -1)
+        re2 = re2 - jnp.matmul(im_m, sin_m.T, precision=hi,
+                               preferred_element_type=dt)
+        im2 = im2 + jnp.matmul(im_m, cos_m.T, precision=hi,
+                               preferred_element_type=dt)
+    return jnp.moveaxis(re2, -1, axis), jnp.moveaxis(im2, -1, axis)
+
+
+def matmul_fft3(grid, dft_mats):
+    """(re, im) of the 3D DFT of a real grid, all matmuls."""
+    re, im = grid, None
+    for axis in range(3):
+        re, im = _axis_dft(re, im, dft_mats[axis][0], dft_mats[axis][1],
+                           axis)
+    return re, im
+
+
 def spread_charges(x, box, charges, grid_shape, order: int = 4,
                    chunk: int = 8192):
     """MXU-formulated charge spread: per-axis dense one-hot weight rows
@@ -150,7 +194,8 @@ def spread_charges(x, box, charges, grid_shape, order: int = 4,
 
     if n <= chunk:
         u = (oh[1][:, :, None] * oh[2][:, None, :]).reshape(n, K2 * K3)
-        grid = jnp.dot(qwx.T, u, preferred_element_type=x.dtype)
+        grid = jnp.dot(qwx.T, u, precision=jax.lax.Precision.HIGHEST,
+                       preferred_element_type=x.dtype)
         return grid.reshape(grid_shape)
 
     # chunk over atoms to bound the (chunk, K2*K3) intermediate
@@ -163,7 +208,8 @@ def spread_charges(x, box, charges, grid_shape, order: int = 4,
     def body(acc, args):
         a, b, c = args
         u = (b[:, :, None] * c[:, None, :]).reshape(chunk, K2 * K3)
-        return acc + jnp.dot(a.T, u, preferred_element_type=x.dtype), None
+        return acc + jnp.dot(a.T, u, precision=jax.lax.Precision.HIGHEST,
+                             preferred_element_type=x.dtype), None
 
     grid0 = jnp.zeros((K1, K2 * K3), x.dtype)
     grid, _ = jax.lax.scan(body, grid0, (qwx_p, oh1_p, oh2_p))
@@ -171,27 +217,29 @@ def spread_charges(x, box, charges, grid_shape, order: int = 4,
 
 
 def make_influence_function(grid_shape, order: int):
-    """Static per-wavevector factors split from the box-dependent part."""
+    """Static per-wavevector factors split from the box-dependent part
+    (full spectrum: the FFT is a matmul-DFT over all K modes)."""
     b2 = [_bspline_moduli(K, order) for K in grid_shape]
     K1, K2, K3 = grid_shape
     m1 = np.fft.fftfreq(K1) * K1
     m2 = np.fft.fftfreq(K2) * K2
-    m3 = np.fft.rfftfreq(K3) * K3
+    m3 = np.fft.fftfreq(K3) * K3
     bb = (b2[0][np.abs(np.rint(m1)).astype(int) % K1][:, None, None]
           * b2[1][np.abs(np.rint(m2)).astype(int) % K2][None, :, None]
           * b2[2][np.abs(np.rint(m3)).astype(int) % K3][None, None, :])
-    return (jnp.asarray(m1, jnp.float32), jnp.asarray(m2, jnp.float32),
-            jnp.asarray(m3, jnp.float32), jnp.asarray(bb, jnp.float32))
+    return (m1, m2, m3, bb)   # numpy; cast to the grid dtype at use time
 
 
 def reciprocal_energy(x, box, charges, grid_shape, beta, order: int = 4,
-                      influence=None):
+                      influence=None, dft_mats=None):
     """SPME reciprocal energy (no self/net-charge terms)."""
     if influence is None:
         influence = make_influence_function(grid_shape, order)
-    m1, m2, m3, bb = influence
+    if dft_mats is None:
+        dft_mats = make_dft_matrices(grid_shape)
+    m1, m2, m3, bb = (jnp.asarray(a, x.dtype) for a in influence)
     grid = spread_charges(x, box, charges, grid_shape, order)
-    q_hat = jnp.fft.rfftn(grid)
+    q_re, q_im = matmul_fft3(grid, dft_mats)
 
     # reciprocal lattice vectors a*_j = columns of box^-1 (no 2pi);
     # |m_vec|^2 = m^T G m with metric G = binv^T binv
@@ -208,15 +256,7 @@ def reciprocal_energy(x, box, charges, grid_shape, beta, order: int = 4,
                      jnp.exp(-(jnp.pi ** 2) * mm / (beta ** 2))
                      / jnp.where(mm > 1e-10, mm, 1.0),
                      0.0)
-    # rfft halves the last axis; double-count interior planes
-    K3 = grid_shape[2]
-    nfreq = m3.shape[0]
-    dup = jnp.ones((nfreq,), x.dtype) * 2.0
-    dup = dup.at[0].set(1.0)
-    if K3 % 2 == 0:
-        dup = dup.at[-1].set(1.0)
-    e = jnp.sum(pref * bb * (q_hat.real ** 2 + q_hat.imag ** 2)
-                * dup[None, None, :])
+    e = jnp.sum(pref * bb * (q_re * q_re + q_im * q_im))
     return ONE_4PI_EPS0 * e / (2.0 * jnp.pi * vol)
 
 
@@ -235,7 +275,19 @@ def make_pme_recip_fn(system: System, params: MdParams,
                       grid_shape: Optional[Tuple[int, int, int]] = None):
     """Returns recip_fn(x, box, lam_c) -> energy with FEP dual-state mixing
     (reference: pme.cpp:1152-1228).  Includes self/net-charge terms so the
-    total Coulomb = short-range (pair) + exclusion corrections + this."""
+    total Coulomb = short-range (pair) + exclusion corrections + this.
+
+    Instead of the reference's two full grids (A and B charges,
+    pme_gpu_internal.cpp:1222 ngrids=2), the lambda mix is computed on ONE
+    grid of mixed charges plus an exact small correction: with
+    dq = qB - qA and E[q] quadratic in q,
+
+        (1-l) E[qA] + l E[qB] = E[(1-l) qA + l qB] + l(1-l) E[dq]
+
+    holds exactly for every quadratic functional (grid energy, Ewald self,
+    net-charge).  E[dq] involves only the perturbed atoms and is evaluated
+    as an exact reciprocal k-sum at the grid's own resolution — one full
+    spread+FFT saved per step."""
     beta = ewald_beta(params.rcoulomb, params.ewald_rtol)
     if grid_shape is None:
         if params.pme_grid is not None:
@@ -245,18 +297,32 @@ def make_pme_recip_fn(system: System, params: MdParams,
                              "set params.pme_grid or pass grid_shape")
     order = params.pme_order
     influence = make_influence_function(grid_shape, order)
+    dft_mats = make_dft_matrices(grid_shape)
     qa, qb = system.charge_a, system.charge_b
-    fep_q = bool(np.asarray(jnp.any(qa != qb)))
+    dq_np = np.asarray(qb) - np.asarray(qa)
+    pert = np.nonzero(dq_np != 0.0)[0]
+    fep_q = pert.size > 0
+    pert_idx = jnp.asarray(pert, jnp.int32)
+    dq_pert = jnp.asarray(dq_np[pert], jnp.float32)
+    kmax = min(max(grid_shape) // 2, 32)
 
     def recip_fn(x, box, lam_c):
         vol = pbc_mod.box_volume(box)
-        e_a = (reciprocal_energy(x, box, qa, grid_shape, beta, order, influence)
-               + self_energy(qa, beta) + net_charge_energy(qa, beta, vol))
         if not fep_q:
-            return e_a
-        e_b = (reciprocal_energy(x, box, qb, grid_shape, beta, order, influence)
-               + self_energy(qb, beta) + net_charge_energy(qb, beta, vol))
-        return (1.0 - lam_c) * e_a + lam_c * e_b
+            return (reciprocal_energy(x, box, qa, grid_shape, beta, order,
+                                      influence, dft_mats)
+                    + self_energy(qa, beta)
+                    + net_charge_energy(qa, beta, vol))
+        qmix = (1.0 - lam_c) * qa + lam_c * qb
+        e_mix = (reciprocal_energy(x, box, qmix, grid_shape, beta, order,
+                                   influence, dft_mats)
+                 + self_energy(qmix, beta)
+                 + net_charge_energy(qmix, beta, vol))
+        dq = dq_pert.astype(x.dtype)
+        e_dd = (ewald_reciprocal_exact(x[pert_idx], box, dq, beta, kmax)
+                + self_energy(dq, beta)
+                + net_charge_energy(dq, beta, vol))
+        return e_mix + lam_c * (1.0 - lam_c) * e_dd
 
     return recip_fn
 
