@@ -27,7 +27,6 @@ from ..core.types import CoulombType, MdParams, State, System
 from ..ops.cluster_nb import make_cluster_force_fn
 from ..ops.forces import make_dense_force_fn
 from ..ops.pairlist import build_cluster_pairlist, build_fep_pairlist
-from ..ops.pme import make_pme_recip_fn
 from ..utils.timing import Wallcycle
 from .simulator import StepLog, make_step_fn
 from .verletbuf import effective_rlist
@@ -67,10 +66,13 @@ class MdRunner:
         self.has_fep = self.pert_idx.size > 0
 
         self.recip_fn = None
+        self.recip_force_fn = None
         if params.coulomb == CoulombType.PME:
             if params.pme_grid is None:
                 raise ValueError("set params.pme_grid (use pme.pme_grid_size)")
-            self.recip_fn = make_pme_recip_fn(system, params)
+            from ..ops.pme import make_pme_recip_pair
+            self.recip_fn, self.recip_force_fn = make_pme_recip_pair(
+                system, params)
 
         if self.config.use_pallas and not self.config.use_dense:
             # mirror make_cluster_force_fn's fallback conditions so the
@@ -91,7 +93,8 @@ class MdRunner:
                 system, params, self.recip_fn, has_fep=self.has_fep,
                 block=self.config.kernel_block,
                 use_pallas=self.config.use_pallas,
-                pallas_interpret=self.config.pallas_interpret)
+                pallas_interpret=self.config.pallas_interpret,
+                pme_recip_force_fn=self.recip_force_fn)
 
         self._chunk = None
         self._compiled_for = None

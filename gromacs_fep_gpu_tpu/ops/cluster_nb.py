@@ -323,7 +323,8 @@ def make_cluster_force_fn(system: System, params: MdParams,
                           has_fep: Optional[bool] = None,
                           block: int = 64,
                           use_pallas: bool = False,
-                          pallas_interpret: bool = False):
+                          pallas_interpret: bool = False,
+                          pme_recip_force_fn: Optional[Callable] = None):
     """Production force function: force_fn(x, box, lam, nlist, feplist)
     -> (f, EnergyTerms).  use_pallas routes the plain nonbonded kernel
     through the Pallas supercluster kernel (requires a geometric LJ table,
@@ -370,7 +371,7 @@ def make_cluster_force_fn(system: System, params: MdParams,
         if system.pairs14.n > 0:
             e14c, e14l = pairs14_energy(x, box, system, lam_c, lam_v, params)
             terms = terms.replace(coul14=e14c, lj14=e14l)
-        if pme_recip_fn is not None:
+        if pme_recip_fn is not None and pme_recip_force_fn is None:
             terms = terms.replace(coul_recip=pme_recip_fn(x, box, lam_c))
         return terms.epot, terms
 
@@ -406,6 +407,15 @@ def make_cluster_force_fn(system: System, params: MdParams,
             gx, terms = grad_other_f(x, lam, box, feplist)
             glam = jnp.full((int(FepCoupling.COUNT),), jnp.nan, x.dtype)
         f = f_cluster - gx
+        if pme_recip_force_fn is not None:
+            # PME reciprocal via the hand-written gather pass (energy,
+            # force, dvdl together) instead of AD through the spread
+            e_rec, f_rec, dvdl_rec = pme_recip_force_fn(
+                x, box, lam[FepCoupling.COUL])
+            f = f + f_rec
+            terms = terms.replace(coul_recip=e_rec)
+            if need_energy:
+                glam = glam.at[FepCoupling.COUL].add(dvdl_rec)
         terms = terms.replace(coulomb=terms.coulomb + e_coul,
                               lj=terms.lj + e_lj,
                               dvdl=glam)

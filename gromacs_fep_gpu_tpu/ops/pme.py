@@ -69,6 +69,16 @@ def bspline_weights(w: jnp.ndarray, order: int) -> jnp.ndarray:
     return m
 
 
+def bspline_dweights(w: jnp.ndarray, order: int) -> jnp.ndarray:
+    """d/du of M_order(w + j): M_{n}'(v) = M_{n-1}(v) - M_{n-1}(v - 1)
+    (reference: pme_spread.cpp bsplines dtheta recursion)."""
+    m = bspline_weights(w, order - 1)
+    pad = [(0, 0)] * (m.ndim - 1)
+    mp = jnp.pad(m, pad + [(0, 1)])      # M_{n-1}(w + j),     j = 0..order-1
+    ms = jnp.pad(m, pad + [(1, 0)])      # M_{n-1}(w + j - 1)
+    return mp - ms
+
+
 def _bspline_moduli(K: int, order: int) -> np.ndarray:
     """|b(m)|^-2 factors for the influence function (Essmann eq. 4.4;
     reference: ewald/pme_bsplines / pme_solve influence setup).
@@ -230,17 +240,10 @@ def make_influence_function(grid_shape, order: int):
     return (m1, m2, m3, bb)   # numpy; cast to the grid dtype at use time
 
 
-def reciprocal_energy(x, box, charges, grid_shape, beta, order: int = 4,
-                      influence=None, dft_mats=None):
-    """SPME reciprocal energy (no self/net-charge terms)."""
-    if influence is None:
-        influence = make_influence_function(grid_shape, order)
-    if dft_mats is None:
-        dft_mats = make_dft_matrices(grid_shape)
-    m1, m2, m3, bb = (jnp.asarray(a, x.dtype) for a in influence)
-    grid = spread_charges(x, box, charges, grid_shape, order)
-    q_re, q_im = matmul_fft3(grid, dft_mats)
-
+def _influence_scaled(box, influence, beta, dtype):
+    """(G, scale): per-mode factor G = pref*bb and the energy prefactor
+    so that E_grid = scale * sum(G * |Q^|^2)."""
+    m1, m2, m3, bb = (jnp.asarray(a, dtype) for a in influence)
     # reciprocal lattice vectors a*_j = columns of box^-1 (no 2pi);
     # |m_vec|^2 = m^T G m with metric G = binv^T binv
     binv = jnp.linalg.inv(box)
@@ -256,8 +259,86 @@ def reciprocal_energy(x, box, charges, grid_shape, beta, order: int = 4,
                      jnp.exp(-(jnp.pi ** 2) * mm / (beta ** 2))
                      / jnp.where(mm > 1e-10, mm, 1.0),
                      0.0)
-    e = jnp.sum(pref * bb * (q_re * q_re + q_im * q_im))
-    return ONE_4PI_EPS0 * e / (2.0 * jnp.pi * vol)
+    scale = ONE_4PI_EPS0 / (2.0 * jnp.pi * vol)
+    return pref * bb, scale
+
+
+def reciprocal_energy(x, box, charges, grid_shape, beta, order: int = 4,
+                      influence=None, dft_mats=None):
+    """SPME reciprocal energy (no self/net-charge terms)."""
+    if influence is None:
+        influence = make_influence_function(grid_shape, order)
+    if dft_mats is None:
+        dft_mats = make_dft_matrices(grid_shape)
+    grid = spread_charges(x, box, charges, grid_shape, order)
+    q_re, q_im = matmul_fft3(grid, dft_mats)
+    G, scale = _influence_scaled(box, influence, beta, x.dtype)
+    return scale * jnp.sum(G * (q_re * q_re + q_im * q_im))
+
+
+def reciprocal_energy_force(x, box, charges, grid_shape, beta,
+                            order: int = 4, influence=None, dft_mats=None):
+    """SPME reciprocal energy, forces, and dE/dq — hand-written gather
+    pass instead of AD through the spread (the pme_gather.cu analogue;
+    reference: ewald/pme_gather.cpp).
+
+    The potential grid is phi = dE/dQ = 2*scale*Re(DFT(G * conj(Q^)))
+    (E quadratic in the charge grid Q); per-atom forces then need only a
+    (N, 4*4) row gather of phi z-lines and three small contractions with
+    the B-spline (derivative) weights.  Numerically identical to the AD
+    transpose but skips rebuilding the (N, K2*K3) one-hot intermediate,
+    which dominates the AD backward's HBM traffic.
+
+    Returns (energy, forces, dE/dq)."""
+    if influence is None:
+        influence = make_influence_function(grid_shape, order)
+    if dft_mats is None:
+        dft_mats = make_dft_matrices(grid_shape)
+    n = x.shape[0]
+    K1, K2, K3 = grid_shape
+    hi = jax.lax.Precision.HIGHEST
+    grid = spread_charges(x, box, charges, grid_shape, order)
+    q_re, q_im = matmul_fft3(grid, dft_mats)
+    G, scale = _influence_scaled(box, influence, beta, x.dtype)
+    energy = scale * jnp.sum(G * (q_re * q_re + q_im * q_im))
+
+    # potential grid: one complex DFT of G * conj(Q^)
+    rr, ii = G * q_re, -(G * q_im)
+    for ax in range(3):
+        rr, ii = _axis_dft(rr, ii, dft_mats[ax][0], dft_mats[ax][1], ax)
+    phi = 2.0 * scale * rr
+
+    Kv = jnp.array(grid_shape)
+    binv = jnp.linalg.inv(box)
+    s = x @ binv
+    s = s - jnp.floor(s)
+    u = s * Kv.astype(x.dtype)
+    gi = jnp.floor(u).astype(jnp.int32)
+    w = u - gi.astype(x.dtype)
+    ws = [bspline_weights(w[:, d], order) for d in range(3)]
+    dws = [bspline_dweights(w[:, d], order) for d in range(3)]
+    jj = jnp.arange(order)
+    idx = [(gi[:, d:d + 1] - jj[None, :]) % grid_shape[d] for d in range(3)]
+
+    # z one-hots carry the z weights; the (x,y) support is a row gather
+    cells3 = jnp.arange(K3)
+    sel = (idx[2][:, :, None] == cells3[None, None, :])   # (n, order, K3)
+    ohz = jnp.sum(ws[2][:, :, None] * sel, axis=1)
+    dohz = jnp.sum(dws[2][:, :, None] * sel, axis=1)
+    flat = (idx[0][:, :, None] * K2 + idx[1][:, None, :]).reshape(
+        n, order * order)
+    rows = phi.reshape(K1 * K2, K3)[flat]                 # (n, o*o, K3)
+    pw = jnp.einsum('nrk,nk->nr', rows, ohz, precision=hi)
+    pdz = jnp.einsum('nrk,nk->nr', rows, dohz, precision=hi)
+    wxy = (ws[0][:, :, None] * ws[1][:, None, :]).reshape(n, order * order)
+    dxy = (dws[0][:, :, None] * ws[1][:, None, :]).reshape(n, order * order)
+    xdy = (ws[0][:, :, None] * dws[1][:, None, :]).reshape(n, order * order)
+    dEdu = jnp.stack([jnp.sum(dxy * pw, 1),
+                      jnp.sum(xdy * pw, 1),
+                      jnp.sum(wxy * pdz, 1)], axis=1) * charges[:, None]
+    forces = -(dEdu * Kv.astype(x.dtype)) @ binv.T
+    dEdq = jnp.sum(wxy * pw, 1)
+    return energy, forces, dEdq
 
 
 def self_energy(charges, beta):
@@ -325,6 +406,67 @@ def make_pme_recip_fn(system: System, params: MdParams,
         return e_mix + lam_c * (1.0 - lam_c) * e_dd
 
     return recip_fn
+
+
+def make_pme_recip_pair(system: System, params: MdParams,
+                        grid_shape: Optional[Tuple[int, int, int]] = None):
+    """(energy_fn, force_fn) pair for the production force path.
+
+    energy_fn(x, box, lam_c) -> E is the AD-able function from
+    make_pme_recip_fn (used for foreign energies and the strain-derivative
+    pressure path).  force_fn(x, box, lam_c) -> (E, F, dvdl_c) computes
+    the same physics with the hand-written gather pass
+    (reciprocal_energy_force) — the reference splits the same way into
+    pme_solve (energy/virial) and pme_gather (forces) kernels."""
+    energy_fn = make_pme_recip_fn(system, params, grid_shape)
+    beta = ewald_beta(params.rcoulomb, params.ewald_rtol)
+    if grid_shape is None:
+        grid_shape = params.pme_grid
+    order = params.pme_order
+    influence = make_influence_function(grid_shape, order)
+    dft_mats = make_dft_matrices(grid_shape)
+    qa, qb = system.charge_a, system.charge_b
+    dq_np = np.asarray(qb) - np.asarray(qa)
+    pert = np.nonzero(dq_np != 0.0)[0]
+    fep_q = pert.size > 0
+    pert_idx = jnp.asarray(pert, jnp.int32)
+    dq_pert = jnp.asarray(dq_np[pert], jnp.float32)
+    kmax = min(max(grid_shape) // 2, 32)
+
+    def _edd(xp, box, dq):
+        return ewald_reciprocal_exact(xp, box, dq, beta, kmax)
+
+    edd_and_grad = jax.value_and_grad(_edd)
+
+    def force_fn(x, box, lam_c):
+        vol = pbc_mod.box_volume(box)
+        if not fep_q:
+            e_grid, f, _ = reciprocal_energy_force(
+                x, box, qa, grid_shape, beta, order, influence, dft_mats)
+            e = (e_grid + self_energy(qa, beta)
+                 + net_charge_energy(qa, beta, vol))
+            return e, f, jnp.zeros((), x.dtype)
+        qmix = (1.0 - lam_c) * qa + lam_c * qb
+        e_grid, f, dEdq = reciprocal_energy_force(
+            x, box, qmix, grid_shape, beta, order, influence, dft_mats)
+        e = (e_grid + self_energy(qmix, beta)
+             + net_charge_energy(qmix, beta, vol))
+        dq = dq_pert.astype(x.dtype)
+        e_kk, g_kk = edd_and_grad(x[pert_idx], box, dq)
+        e_dd = (e_kk + self_energy(dq, beta)
+                + net_charge_energy(dq, beta, vol))
+        e = e + lam_c * (1.0 - lam_c) * e_dd
+        f = f.at[pert_idx].add(-lam_c * (1.0 - lam_c) * g_kk)
+        # dvdl: grid/self/netq through dq/dlam, plus the correction term
+        dvdl = jnp.sum(dEdq[pert_idx] * dq)
+        dvdl = dvdl - 2.0 * ONE_4PI_EPS0 * beta / jnp.sqrt(jnp.pi) * jnp.sum(
+            qmix[pert_idx] * dq)
+        dvdl = dvdl - ONE_4PI_EPS0 * jnp.pi / (beta ** 2 * vol) * (
+            jnp.sum(qmix) * jnp.sum(dq))
+        dvdl = dvdl + (1.0 - 2.0 * lam_c) * e_dd
+        return e, f, dvdl
+
+    return energy_fn, force_fn
 
 
 # -- plain Ewald (small systems / oracle) -----------------------------------
