@@ -60,6 +60,27 @@ def box_volume(box: jnp.ndarray) -> jnp.ndarray:
     return box[0, 0] * box[1, 1] * box[2, 2]
 
 
+def inv3(m: jnp.ndarray) -> jnp.ndarray:
+    """Closed-form 3x3 inverse (adjugate / det).
+
+    jnp.linalg.inv lowers to an LuDecomposition custom call on TPU —
+    f64-unsupported and far more expensive than nine fused multiplies
+    for the box matrices used here."""
+    a, b, c = m[0, 0], m[0, 1], m[0, 2]
+    d, e, f = m[1, 0], m[1, 1], m[1, 2]
+    g, h, i = m[2, 0], m[2, 1], m[2, 2]
+    A = e * i - f * h
+    B = f * g - d * i
+    C = d * h - e * g
+    det = a * A + b * B + c * C
+    adj = jnp.stack([
+        jnp.stack([A, c * h - b * i, b * f - c * e]),
+        jnp.stack([B, a * i - c * g, c * d - a * f]),
+        jnp.stack([C, b * g - a * h, a * e - b * d]),
+    ])
+    return adj / det
+
+
 def make_box(lx: float, ly: float, lz: float) -> jnp.ndarray:
     return jnp.diag(jnp.array([lx, ly, lz], dtype=jnp.float32))
 

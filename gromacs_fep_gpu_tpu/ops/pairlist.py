@@ -138,7 +138,7 @@ def sort_atoms_by_cell(x, box, cell_size: float):
     # cluster compactness (and thus pair-list tightness)
     raw = jnp.clip(diag / cell_size, 1.0, 255.0)
     ncell = jnp.exp2(jnp.ceil(jnp.log2(raw))).astype(jnp.int32)
-    frac = xw @ jnp.linalg.inv(box)
+    frac = xw @ pbc_mod.inv3(box)
     ic = jnp.clip((frac * ncell).astype(jnp.int32), 0, ncell - 1)
     key = _hilbert3(ic[:, 0], ic[:, 1], ic[:, 2])
     perm = jnp.argsort(key)
