@@ -69,7 +69,6 @@ def cluster_nb_kernel(x, box, nlist: ClusterPairlist, nbfp, params: MdParams,
     nnbr = nlist.nbr.shape[1]
     n_pad = nlist.n_pad
     n = nlist.inv_perm.shape[0]
-    T = nbfp.shape[0]
 
     block = max(1, min(block, C))
     Cb = (C + block - 1) // block
@@ -94,6 +93,41 @@ def cluster_nb_kernel(x, box, nlist: ClusterPairlist, nbfp, params: MdParams,
     excl_pad = jnp.concatenate(
         [nlist.excl, jnp.full((extra, nlist.excl.shape[1]), -1, jnp.int32)])
 
+    nbr_p = jnp.pad(nlist.nbr, ((0, Cp - C), (0, 0)), constant_values=C)
+    nbrm_p = jnp.pad(nlist.nbr_mask, ((0, Cp - C), (0, 0)))
+
+    if n_blocks is None:
+        off, n_blocks_eff, keep = None, Cb, n_pad
+    else:
+        off, n_blocks_eff, keep = block_offset, n_blocks, None
+    return cluster_nb_kernel_core(
+        xs_pad, qs_pad, ts_pad, pert_pad, valid_pad, excl_pad,
+        nbr_p, nbrm_p, box, nbfp, params, beta, block,
+        block_offset=off, n_blocks=n_blocks_eff, lj_mode=lj_mode,
+        n_keep=keep)
+
+
+def cluster_nb_kernel_core(xs_pad, qs_pad, ts_pad, pert_pad, valid_pad,
+                           excl_pad, nbr_p, nbrm_p, box, nbfp,
+                           params: MdParams, beta: Optional[float],
+                           block: int, block_offset=None,
+                           n_blocks: Optional[int] = None,
+                           lj_mode: str = "table",
+                           n_keep: Optional[int] = None):
+    """Pair-interaction core over pre-arranged padded row arrays.
+
+    xs_pad..excl_pad: (ncl*CLUSTER, ...) rows in cluster-sorted order,
+    where ncl includes any dummy clusters; nbr_p/nbrm_p: (Cp, nnbr)
+    cluster ids indexing into those rows (same id space as excl_pad's
+    exclusion ids).  Split from cluster_nb_kernel so the halo-exchange
+    spatial path (parallel/spatial.py) can feed [left | own | right]
+    concatenated blocks with locally remapped ids — the dd_move_x
+    analogue (reference: domdec/domdec.cpp:263)."""
+    total = xs_pad.shape[0]
+    nnbr = nbr_p.shape[1]
+    x = xs_pad
+    T = nbfp.shape[0]
+
     if lj_mode == "geometric":
         # comb-rule-1/3 fast path: c6_ij = s6_i s6_j with s6 = sqrt(c6_ii)
         diag6 = jnp.sqrt(jnp.maximum(jnp.diagonal(nbfp[:, :, 0]), 0.0))
@@ -107,9 +141,6 @@ def cluster_nb_kernel(x, box, nlist: ClusterPairlist, nbfp, params: MdParams,
     if params.coulomb == CoulombType.REACTION_FIELD:
         krf, crf = rf_constants(params)
     rcinv6 = 1.0 / params.rvdw**6
-
-    nbr_p = jnp.pad(nlist.nbr, ((0, Cp - C), (0, 0)), constant_values=C)
-    nbrm_p = jnp.pad(nlist.nbr_mask, ((0, Cp - C), (0, 0)))
 
     ids = jnp.arange(total, dtype=jnp.int32)
 
@@ -285,15 +316,12 @@ def cluster_nb_kernel(x, box, nlist: ClusterPairlist, nbfp, params: MdParams,
         e_c_tot = jnp.sum(e_c)
         return f_i.reshape(block * CLUSTER, 3), e_c_tot, e_lj
 
-    if n_blocks is None:
-        blocks = jnp.arange(Cb)
-        f_blocks, e_c, e_lj = jax.lax.map(one_block, blocks)
-        f_sorted = f_blocks.reshape(Cp * CLUSTER, 3)[:n_pad]
-        return f_sorted, 0.5 * jnp.sum(e_c), 0.5 * jnp.sum(e_lj)
     off = jnp.asarray(0 if block_offset is None else block_offset, jnp.int32)
     blocks = off + jnp.arange(n_blocks)
     f_blocks, e_c, e_lj = jax.lax.map(one_block, blocks)
     f_rows = f_blocks.reshape(n_blocks * block * CLUSTER, 3)
+    if n_keep is not None:
+        f_rows = f_rows[:n_keep]
     return f_rows, 0.5 * jnp.sum(e_c), 0.5 * jnp.sum(e_lj)
 
 

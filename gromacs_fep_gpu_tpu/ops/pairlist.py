@@ -128,8 +128,14 @@ def _hilbert3(ix, iy, iz, bits=8):
     return key
 
 
-def sort_atoms_by_cell(x, box, cell_size: float):
-    """Morton ordering of atoms (reference: nbnxm/grid.cpp cell sorting)."""
+def sort_atoms_by_cell(x, box, cell_size: float,
+                       slab_axis: Optional[int] = None):
+    """Morton ordering of atoms (reference: nbnxm/grid.cpp cell sorting).
+
+    slab_axis: when set, that axis becomes the primary sort key (slab-major
+    order) so contiguous cluster ranges form spatial slabs — required by
+    the ring-halo spatial decomposition (parallel/spatial.py), mirroring
+    the reference DD's per-dimension cell grids (domdec_setup.cpp)."""
     n = x.shape[0]
     xw = pbc_mod.wrap_into_box(x, box)
     diag = jnp.diag(box)
@@ -140,7 +146,15 @@ def sort_atoms_by_cell(x, box, cell_size: float):
     ncell = jnp.exp2(jnp.ceil(jnp.log2(raw))).astype(jnp.int32)
     frac = xw @ pbc_mod.inv3(box)
     ic = jnp.clip((frac * ncell).astype(jnp.int32), 0, ncell - 1)
-    key = _hilbert3(ic[:, 0], ic[:, 1], ic[:, 2])
+    if slab_axis is None:
+        key = _hilbert3(ic[:, 0], ic[:, 1], ic[:, 2])
+    else:
+        oth = [d for d in range(3) if d != slab_axis]
+        a, b = ic[:, oth[0]], ic[:, oth[1]]
+        m2 = jnp.zeros_like(a)
+        for bit in range(7, -1, -1):  # 2D Morton of the in-slab dims
+            m2 = (m2 << 2) | (((a >> bit) & 1) << 1) | ((b >> bit) & 1)
+        key = (ic[:, slab_axis] << 16) | m2
     perm = jnp.argsort(key)
     return perm
 
@@ -197,7 +211,8 @@ def _cluster_neighbors(bb_lo_i, bb_hi_i, bb_lo, bb_hi, box, rlist2, nnbr: int,
 def build_cluster_pairlist(x, box, system: System, rlist: float,
                            nnbr: int = 64,
                            cell_size: Optional[float] = None,
-                           super_nnbr: Optional[int] = None) -> ClusterPairlist:
+                           super_nnbr: Optional[int] = None,
+                           slab_axis: Optional[int] = None) -> ClusterPairlist:
     """Rebuild the cluster pair list (NS step analogue)."""
     n = system.n_atoms
     C = (n + CLUSTER - 1) // CLUSTER
@@ -210,7 +225,7 @@ def build_cluster_pairlist(x, box, system: System, rlist: float,
         vol = float(_np.prod(_np.diagonal(_np.asarray(box))))
         cell_size = max((CLUSTER * vol / max(n, 1)) ** (1.0 / 3.0), 0.15)
 
-    perm = sort_atoms_by_cell(x, box, cell_size)
+    perm = sort_atoms_by_cell(x, box, cell_size, slab_axis=slab_axis)
     perm = jnp.concatenate([perm, jnp.full((n_pad - n,), n, jnp.int32)])
     inv_perm = jnp.zeros((n,), jnp.int32).at[perm[:n]].set(
         jnp.arange(n, dtype=jnp.int32))

@@ -307,7 +307,17 @@ def reciprocal_energy_force(x, box, charges, grid_shape, beta,
     for ax in range(3):
         rr, ii = _axis_dft(rr, ii, dft_mats[ax][0], dft_mats[ax][1], ax)
     phi = 2.0 * scale * rr
+    forces, dEdq = phi_gather(x, box, charges, phi, grid_shape, order)
+    return energy, forces, dEdq
 
+
+def phi_gather(x, box, charges, phi, grid_shape, order: int = 4):
+    """Per-atom (forces, dE/dq) from the potential grid phi = dE/dQ: a
+    (N, order^2) row gather of phi z-lines plus three contractions with
+    the B-spline (derivative) weights."""
+    n = x.shape[0]
+    K1, K2, K3 = grid_shape
+    hi = jax.lax.Precision.HIGHEST
     Kv = jnp.array(grid_shape)
     binv = pbc_mod.inv3(box)
     s = x @ binv
@@ -338,7 +348,7 @@ def reciprocal_energy_force(x, box, charges, grid_shape, beta,
                       jnp.sum(wxy * pdz, 1)], axis=1) * charges[:, None]
     forces = -(dEdu * Kv.astype(x.dtype)) @ binv.T
     dEdq = jnp.sum(wxy * pw, 1)
-    return energy, forces, dEdq
+    return forces, dEdq
 
 
 def self_energy(charges, beta):

@@ -25,7 +25,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
 from ..core.types import MdParams, System
-from ..ops.cluster_nb import CLUSTER, cluster_nb_kernel
+from ..ops.cluster_nb import (CLUSTER, cluster_nb_kernel,
+                              cluster_nb_kernel_core)
 from ..ops.pairlist import ClusterPairlist
 from .mesh import SPATIAL_AXIS
 
@@ -65,3 +66,258 @@ def make_spatial_cluster_force(system: System, params: MdParams, mesh: Mesh,
         return f_sorted, e_c, e_lj
 
     return sharded
+
+
+# ---------------------------------------------------------------------------
+# Real halo exchange: positions sharded by cluster slab, one ppermute to
+# each ring neighbour per step (dd_move_x analogue, domdec.cpp:263).  With
+# the full (symmetric) pair list every device accumulates only its own
+# atoms' forces, so no reverse force halo (dd_move_f) is needed.
+# ---------------------------------------------------------------------------
+
+def halo_shard_geometry(nlist: ClusterPairlist, nsh: int, block: int):
+    """(per_shard, c_pad): clusters per shard (multiple of `block`) and the
+    padded cluster count c_pad = per_shard * nsh."""
+    C = nlist.n_clusters
+    per_shard = -(-C // nsh)
+    per_shard = -(-per_shard // block) * block
+    return per_shard, per_shard * nsh
+
+
+def halo_violations(nlist: ClusterPairlist, nsh: int, block: int):
+    """Number of listed pairs whose j-cluster lies outside the i-cluster's
+    ring neighbourhood {left, self, right} — nonzero means the slab is
+    thinner than the list cutoff and the halo path would MISS interactions
+    (the runner must fall back to replicated positions).  The reference
+    errors out the same way when a DD cell shrinks below the cutoff
+    (domdec.cpp check_grid_jump)."""
+    ps, c_pad = halo_shard_geometry(nlist, nsh, block)
+    ci = jnp.arange(nlist.nbr.shape[0], dtype=jnp.int32) // ps
+    sj = nlist.nbr // ps
+    ds = jnp.mod(sj - ci[:, None] + 1, nsh)
+    bad = (ds >= 3) & (nlist.nbr_mask > 0)
+    return jnp.sum(bad.astype(jnp.int32))
+
+
+def sort_state_arrays(x, nlist: ClusterPairlist, c_pad: int):
+    """Global positions -> cluster-sorted rows padded to c_pad clusters
+    (dummy rows far away), the layout make_halo_cluster_force shards."""
+    n = nlist.inv_perm.shape[0]
+    n_pad = nlist.n_pad
+    xs = jnp.where((nlist.perm < n)[:, None],
+                   x[jnp.minimum(nlist.perm, n - 1)],
+                   1e4 + jnp.arange(n_pad, dtype=x.dtype)[:, None])
+    extra = c_pad * CLUSTER - n_pad
+    dummy = (2e4 + jnp.arange(extra, dtype=x.dtype)[:, None]
+             * jnp.ones(3, x.dtype))
+    return jnp.concatenate([xs, dummy])
+
+
+def make_halo_cluster_force(system: System, params: MdParams, mesh: Mesh,
+                            beta, nlist: ClusterPairlist, block: int = 8):
+    """Returns halo_force(xs_sorted, box) -> (f_sorted, e_coul, e_lj).
+
+    xs_sorted: (c_pad*CLUSTER, 3) cluster-sorted padded positions (from
+    sort_state_arrays), sharded P('spatial') over rows.  Each device owns
+    a contiguous slab of clusters and receives only its ring neighbours'
+    blocks via jax.lax.ppermute — communication is 2 blocks/step over ICI
+    instead of a full allgather.  Requires halo_violations() == 0 for
+    this nlist/mesh combination.
+
+    Static per-rebuild data (charges, types, exclusions, neighbour ids)
+    is replicated; only positions move per step."""
+    import numpy as _np
+    from ..ops.cluster_nb import lj_table_mode
+    lj_mode = lj_table_mode(_np.asarray(system.nbfp))
+    nsh = mesh.shape[SPATIAL_AXIS]
+    ps, c_pad = halo_shard_geometry(nlist, nsh, block)
+    C = nlist.n_clusters
+    n_pad = nlist.n_pad
+    n = nlist.inv_perm.shape[0]
+    extra = c_pad * CLUSTER - n_pad
+    nnbr = nlist.nbr.shape[1]
+
+    zpad = jnp.zeros(extra, jnp.float32)
+    qs_pad = jnp.concatenate([nlist.q_a, zpad])
+    ts_pad = jnp.concatenate([nlist.t_a, jnp.zeros(extra, jnp.int32)])
+    pert_pad = jnp.concatenate([nlist.pert, zpad])
+    valid_pad = jnp.concatenate(
+        [(nlist.perm < n).astype(jnp.float32), zpad])
+    excl_pad = jnp.concatenate(
+        [nlist.excl, jnp.full((extra, nlist.excl.shape[1]), -1, jnp.int32)])
+    # nbr padded rows point at the (globally) out-of-range marker c_pad,
+    # masked off below via nbr_mask padding = 0
+    nbr_p = jnp.pad(nlist.nbr, ((0, c_pad - C), (0, 0)),
+                    constant_values=c_pad)
+    nbrm_p = jnp.pad(nlist.nbr_mask, ((0, c_pad - C), (0, 0)))
+
+    ring_fwd = [(i, (i + 1) % nsh) for i in range(nsh)]
+    ring_bwd = [(i, (i - 1) % nsh) for i in range(nsh)]
+    dummy_cl = 3 * ps          # cat-space dummy cluster index
+
+    def cat_remap(ids_cl, sid):
+        """Global cluster ids -> [left|own|right|dummy] cat-space ids."""
+        sj = ids_cl // ps
+        ds = jnp.mod(sj - sid + 1, nsh)
+        ok = (ds < 3) & (ids_cl < c_pad)
+        return jnp.where(ok, ds * ps + jnp.mod(ids_cl, ps), dummy_cl)
+
+    @partial(shard_map, mesh=mesh,
+             in_specs=(P(SPATIAL_AXIS), P()),
+             out_specs=(P(SPATIAL_AXIS), P(), P()),
+             check_vma=False)
+    def halo_force(xs, box):
+        sid = jax.lax.axis_index(SPATIAL_AXIS)
+        left = jax.lax.ppermute(xs, SPATIAL_AXIS, ring_fwd)
+        right = jax.lax.ppermute(xs, SPATIAL_AXIS, ring_bwd)
+        dummy = (3e4 + jnp.arange(CLUSTER, dtype=xs.dtype)[:, None]
+                 * jnp.ones(3, xs.dtype))
+        xcat = jnp.concatenate([left, xs, right, dummy])
+
+        def cat_rows(arr, fill):
+            """Static per-atom rows in cat order via the ring-contiguity
+            of [sid-1, sid, sid+1] slabs in the global sorted layout."""
+            arr2 = jnp.concatenate([arr, arr, arr])  # covers nsh in {1, 2}
+            start = jnp.mod(sid - 1, nsh) * ps * CLUSTER
+            sl = jax.lax.dynamic_slice(
+                arr2, (start,) + (0,) * (arr.ndim - 1),
+                (3 * ps * CLUSTER,) + arr.shape[1:])
+            tail = jnp.full((CLUSTER,) + arr.shape[1:], fill, arr.dtype)
+            return jnp.concatenate([sl, tail])
+
+        q_cat = cat_rows(qs_pad, 0.0)
+        t_cat = cat_rows(ts_pad, 0)
+        p_cat = cat_rows(pert_pad, 0.0)
+        v_cat = cat_rows(valid_pad, 0.0)
+
+        # own slab's neighbour list and exclusions, remapped to cat space
+        nbr_own = jax.lax.dynamic_slice(nbr_p, (sid * ps, 0), (ps, nnbr))
+        nbrm_own = jax.lax.dynamic_slice(nbrm_p, (sid * ps, 0), (ps, nnbr))
+        nbr_cat_own = cat_remap(nbr_own, sid)
+        excl_own = jax.lax.dynamic_slice(
+            excl_pad, (sid * ps * CLUSTER, 0),
+            (ps * CLUSTER, excl_pad.shape[1]))
+        e_ok = excl_own >= 0
+        e_cl = cat_remap(jnp.where(e_ok, excl_own, 0) // CLUSTER, sid)
+        excl_cat_own = jnp.where(
+            e_ok & (e_cl != dummy_cl),
+            e_cl * CLUSTER + jnp.mod(excl_own, CLUSTER), -1)
+
+        # place own rows in the middle of a cat-sized frame for the core's
+        # block indexing (i-blocks run over [ps, 2 ps))
+        filler_nbr = jnp.full((ps, nnbr), dummy_cl, jnp.int32)
+        nbr_cat = jnp.concatenate([filler_nbr, nbr_cat_own, filler_nbr])
+        zeros_m = jnp.zeros((ps, nnbr), nbrm_own.dtype)
+        nbrm_cat = jnp.concatenate([zeros_m, nbrm_own, zeros_m])
+        filler_e = jnp.full((ps * CLUSTER, excl_pad.shape[1]), -1, jnp.int32)
+        excl_cat = jnp.concatenate(
+            [filler_e, excl_cat_own,
+             jnp.full((ps * CLUSTER + CLUSTER, excl_pad.shape[1]), -1,
+                      jnp.int32)])
+
+        f_rows, e_c, e_lj = cluster_nb_kernel_core(
+            xcat, q_cat, t_cat, p_cat, v_cat, excl_cat,
+            nbr_cat, nbrm_cat, box, system.nbfp, params, beta,
+            block=block, block_offset=ps // block, n_blocks=ps // block,
+            lj_mode=lj_mode)
+        e_c = jax.lax.psum(e_c, SPATIAL_AXIS)
+        e_lj = jax.lax.psum(e_lj, SPATIAL_AXIS)
+        return f_rows, e_c, e_lj
+
+    return halo_force
+
+
+def make_sharded_pme(system: System, params: MdParams, mesh: Mesh,
+                     grid_shape=None):
+    """Sharded PME reciprocal: pme_fn(x, box, lam_c) -> (E, F, dvdl_c).
+
+    Each device spreads its own atom block to a full local charge grid;
+    one psum over ICI reduces the grids (the analogue of the reference's
+    pme grid overlap reduction, pme_gpu_internal.cpp grid gather); the
+    small matmul-DFT solve runs replicated; the force gather reads the
+    (replicated) potential grid for local atoms only.  Per-step
+    communication: one grid psum (42^3 fp32 = 296 kB) + the sharded
+    force rows, both on ICI."""
+    import numpy as _np
+    from ..core import pbc as pbc_mod
+    from ..ops import pme as pme_mod
+    from ..ops.nonbonded_ref import ewald_beta
+
+    beta = ewald_beta(params.rcoulomb, params.ewald_rtol)
+    if grid_shape is None:
+        grid_shape = params.pme_grid
+    order = params.pme_order
+    influence = pme_mod.make_influence_function(grid_shape, order)
+    dft_mats = pme_mod.make_dft_matrices(grid_shape)
+    nsh = mesh.shape[SPATIAL_AXIS]
+    n = int(system.n_atoms)
+    chunk = -(-n // nsh)
+    n_pad = chunk * nsh
+    qa = jnp.pad(jnp.asarray(system.charge_a), (0, n_pad - n))
+    qb = jnp.pad(jnp.asarray(system.charge_b), (0, n_pad - n))
+    dq_np = _np.asarray(system.charge_b) - _np.asarray(system.charge_a)
+    pert = _np.nonzero(dq_np != 0.0)[0]
+    fep_q = pert.size > 0
+    pert_idx = jnp.asarray(pert, jnp.int32)
+    dq_pert = jnp.asarray(dq_np[pert], jnp.float32)
+    kmax = min(max(grid_shape) // 2, 32)
+
+    @partial(shard_map, mesh=mesh,
+             in_specs=(P(SPATIAL_AXIS), P(), P()),
+             out_specs=(P(), P(SPATIAL_AXIS)),
+             check_vma=False)
+    def grid_part(x_blk, box, lam_c):
+        sid = jax.lax.axis_index(SPATIAL_AXIS)
+        qa_blk = jax.lax.dynamic_slice(qa, (sid * chunk,), (chunk,))
+        if fep_q:
+            qb_blk = jax.lax.dynamic_slice(qb, (sid * chunk,), (chunk,))
+            q_blk = (1.0 - lam_c) * qa_blk + lam_c * qb_blk
+        else:
+            q_blk = qa_blk
+        grid_local = pme_mod.spread_charges(x_blk, box, q_blk, grid_shape,
+                                            order)
+        grid = jax.lax.psum(grid_local, SPATIAL_AXIS)
+        q_re, q_im = pme_mod.matmul_fft3(grid, dft_mats)
+        G, scale = pme_mod._influence_scaled(box, influence, beta,
+                                             x_blk.dtype)
+        energy = scale * jnp.sum(G * (q_re * q_re + q_im * q_im))
+        rr, ii = G * q_re, -(G * q_im)
+        for ax in range(3):
+            rr, ii = pme_mod._axis_dft(rr, ii, dft_mats[ax][0],
+                                       dft_mats[ax][1], ax)
+        phi = 2.0 * scale * rr
+        f_blk, dEdq_blk = pme_mod.phi_gather(x_blk, box, q_blk, phi,
+                                             grid_shape, order)
+        return energy, jnp.concatenate([f_blk, dEdq_blk[:, None]], axis=1)
+
+    def pme_fn(x, box, lam_c):
+        x_pad = jnp.pad(x, ((0, n_pad - n), (0, 0)))
+        energy, fq = grid_part(x_pad, box, lam_c)
+        f_grid = fq[:n, :3]
+        dEdq = fq[:n, 3]
+        vol = pbc_mod.box_volume(box)
+        if not fep_q:
+            e = (energy + pme_mod.self_energy(qa[:n], beta)
+                 + pme_mod.net_charge_energy(qa[:n], beta, vol))
+            return e, f_grid, jnp.zeros((), x.dtype)
+        qmix = (1.0 - lam_c) * qa[:n] + lam_c * qb[:n]
+        e = (energy + pme_mod.self_energy(qmix, beta)
+             + pme_mod.net_charge_energy(qmix, beta, vol))
+        dq = dq_pert.astype(x.dtype)
+        e_kk, g_kk = jax.value_and_grad(
+            lambda xp: pme_mod.ewald_reciprocal_exact(xp, box, dq, beta,
+                                                      kmax))(x[pert_idx])
+        e_dd = (e_kk + pme_mod.self_energy(dq, beta)
+                + pme_mod.net_charge_energy(dq, beta, vol))
+        e = e + lam_c * (1.0 - lam_c) * e_dd
+        f = f_grid.at[pert_idx].add(-lam_c * (1.0 - lam_c) * g_kk)
+        from ..core.units import ONE_4PI_EPS0
+        dvdl = jnp.sum(dEdq[pert_idx] * dq)
+        dvdl = dvdl - 2.0 * ONE_4PI_EPS0 * beta / jnp.sqrt(jnp.pi) * jnp.sum(
+            qmix[pert_idx] * dq)
+        dvdl = dvdl - ONE_4PI_EPS0 * jnp.pi / (beta ** 2 * vol) * (
+            jnp.sum(qmix) * jnp.sum(dq))
+        dvdl = dvdl + (1.0 - 2.0 * lam_c) * e_dd
+        return e, f, dvdl
+
+    return pme_fn

@@ -35,6 +35,78 @@ def test_spatial_sharded_forces_match_single():
     np.testing.assert_allclose(np.asarray(f_sh), np.asarray(f_ref), atol=1e-4)
 
 
+def test_halo_exchange_forces_match_single():
+    """Real ppermute halo: sharded positions, ring neighbour exchange, per
+    -slab kernel — must reproduce the single-device kernel bit-for-bit-ish
+    (reference: domdec dd_move_x + nonbonded local/non-local split)."""
+    from gromacs_fep_gpu_tpu.ops.cluster_nb import cluster_nb_kernel
+    from gromacs_fep_gpu_tpu.parallel.spatial import (
+        halo_shard_geometry, halo_violations, make_halo_cluster_force,
+        sort_state_arrays)
+
+    assert len(jax.devices()) == 8
+    # slab thickness (box/8 = 0.4 nm) must exceed rlist for the ring halo
+    params = MdParams(rcoulomb=0.25, rvdw=0.25, rlist=0.3,
+                      coulomb=CoulombType.REACTION_FIELD)
+    system, state = water_box(8, spacing=0.4, seed=23)
+    nlist = build_cluster_pairlist(state.x, state.box, system, params.rlist,
+                                   nnbr=64, slab_axis=0)
+    mesh = make_mesh(n_ens=1, n_spatial=8)
+    block = 2
+    assert int(halo_violations(nlist, 8, block)) == 0
+    ps, c_pad = halo_shard_geometry(nlist, 8, block)
+    xs = sort_state_arrays(state.x, nlist, c_pad)
+
+    halo = make_halo_cluster_force(system, params, mesh, None, nlist,
+                                   block=block)
+    f_sh, ec_sh, el_sh = jax.jit(halo)(xs, state.box)
+
+    f_ref, ec_ref, el_ref = cluster_nb_kernel(
+        state.x, state.box, nlist, system.nbfp, params, None, block=block)
+    np.testing.assert_allclose(float(ec_sh), float(ec_ref), rtol=1e-5)
+    np.testing.assert_allclose(float(el_sh), float(el_ref), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(f_sh)[: nlist.n_pad],
+                               np.asarray(f_ref), atol=1e-4)
+
+
+def test_halo_violations_flags_thin_slabs():
+    """A big cutoff vs a thin slab must be detected, not silently wrong."""
+    from gromacs_fep_gpu_tpu.parallel.spatial import halo_violations
+    params = MdParams(rcoulomb=0.75, rvdw=0.75, rlist=0.8,
+                      coulomb=CoulombType.REACTION_FIELD)
+    system, state = water_box(3, spacing=0.4, seed=24)
+    nlist = build_cluster_pairlist(state.x, state.box, system, params.rlist,
+                                   nnbr=96)
+    # 8 slabs over a 1.2 nm box -> 0.15 nm slabs << rlist: must flag
+    assert int(halo_violations(nlist, 8, 2)) > 0
+
+
+def test_sharded_pme_matches_single_device():
+    from gromacs_fep_gpu_tpu.ops.pme import make_pme_recip_pair, pme_grid_size
+    from gromacs_fep_gpu_tpu.parallel.spatial import make_sharded_pme
+    from gromacs_fep_gpu_tpu.models.solvation import solvation_system
+
+    system, state = solvation_system(n_side=4, spacing=0.35, seed=5,
+                                     temperature=300.0)
+    box_l = 4 * 0.35
+    grid = pme_grid_size((box_l,) * 3, 0.12)
+    params = MdParams(coulomb=CoulombType.PME, rcoulomb=0.6, rvdw=0.6,
+                      rlist=0.65, pme_grid=grid,
+                      fep=FepParams(enabled=True, sc_alpha=0.5, sc_coul=True))
+    lam_c = jnp.float32(0.3)
+    _, force_fn = make_pme_recip_pair(system, params)
+    e_ref, f_ref, dvdl_ref = force_fn(state.x, state.box, lam_c)
+
+    mesh = make_mesh(n_ens=1, n_spatial=8)
+    pme_sh = make_sharded_pme(system, params, mesh)
+    e_sh, f_sh, dvdl_sh = jax.jit(pme_sh)(state.x, state.box, lam_c)
+    np.testing.assert_allclose(float(e_sh), float(e_ref), rtol=2e-5)
+    np.testing.assert_allclose(float(dvdl_sh), float(dvdl_ref),
+                               rtol=1e-4, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(f_sh), np.asarray(f_ref),
+                               atol=2e-3)
+
+
 def test_ensemble_vmap_step_sharded():
     params = MdParams(dt=0.001, coulomb=CoulombType.REACTION_FIELD,
                       rcoulomb=0.55, rvdw=0.55, nstcomm=0,
