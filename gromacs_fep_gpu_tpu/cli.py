@@ -145,6 +145,100 @@ def cmd_mdrun(args):
           f"{params.nsteps} steps, {system.n_atoms} atoms)")
 
 
+def cmd_ensemble(args):
+    """All lambda windows in lockstep with Hamiltonian replica exchange —
+    the `mdrun -multidir -replex` analogue (reference:
+    mdrun/replicaexchange.cpp, mdrunutility/multisim.h), as one
+    vmapped/sharded XLA program instead of MPI ranks."""
+    import jax
+    import jax.numpy as jnp
+    from .core.types import CoulombType
+    from .io.checkpoint import save_checkpoint
+    from .io.xvgio import write_dhdl_xvg
+    from .md.ensemble_runner import EnsembleConfig, EnsembleRunner
+    from .ops.pme import pme_grid_size
+    from .parallel.ensemble import stack_states
+
+    pp, data = _load_tpz(args.s)
+    system, params, state, all_lambda = (pp.system, pp.params, pp.state,
+                                         pp.all_lambda)
+    if all_lambda is None:
+        raise ValueError("ensemble needs a lambda ladder: set fep-lambdas "
+                         "(or coul/vdw/bonded-lambdas) in the mdp")
+    if args.nsteps is not None:
+        params = params.replace(nsteps=args.nsteps)
+    if params.coulomb == CoulombType.PME and params.pme_grid is None:
+        diag = tuple(float(v) for v in np.diag(data["box"]))
+        params = params.replace(pme_grid=pme_grid_size(
+            diag, params.fourier_spacing))
+
+    lam_arr = jnp.asarray(all_lambda.T)                 # (L, 7)
+    L = int(lam_arr.shape[0])
+    states = stack_states(state, lam_arr, seed=args.seed)
+
+    mesh = None
+    if len(jax.devices()) > 1:
+        from .parallel.mesh import make_mesh
+        n_dev = len(jax.devices())
+        n_ens = max(d for d in range(1, n_dev + 1)
+                    if L % d == 0 and n_dev % d == 0)
+        mesh = make_mesh(n_ens=n_ens, n_spatial=n_dev // n_ens)
+    use_pallas = args.fep == "tpu" or (args.fep == "auto"
+                                       and jax.default_backend() == "tpu")
+    cfg = EnsembleConfig(nstexchange=args.replex,
+                         exchange=args.replex > 0,
+                         use_pallas=use_pallas)
+    runner = EnsembleRunner(system, params, lam_arr, mesh=mesh, config=cfg)
+
+    t0 = time.time()
+    states, logs, n_acc = runner.run(states, params.nsteps)
+    jax.block_until_ready(states.x)
+    wall = time.time() - t0
+    # per-chunk log leaves are (L, seg, ...): windows lead, time second
+    log = jax.tree_util.tree_map(
+        lambda *xs: np.concatenate([np.asarray(x) for x in xs], axis=1),
+        *logs)
+
+    deffnm = args.deffnm
+    n_frames = log.epot.shape[1]
+    times = np.arange(n_frames) * params.dt
+    for i in range(L):
+        dh = np.asarray(log.delta_h)[i]
+        keep = ~np.isnan(dh[:, 0])
+        write_dhdl_xvg(f"{deffnm}.w{i}.dhdl.xvg", times[keep],
+                       np.asarray(log.dvdl)[i][keep], dh[keep],
+                       np.asarray(lam_arr), i, temperature=params.ref_t)
+        save_checkpoint(f"{deffnm}.w{i}.cpt",
+                        jax.tree_util.tree_map(lambda a, ii=i: a[ii], states))
+    n_attempts = (params.nsteps // max(args.replex, 1)
+                  if args.replex > 0 else 0)
+    if n_attempts:
+        print(f"replica exchange: {n_acc} swaps accepted in "
+              f"{n_attempts} attempts x {L - 1} pairs "
+              f"(rate {n_acc / max(n_attempts * (L // 2), 1):.2f})")
+    ns_day = (params.nsteps * params.dt / 1000.0 / max(wall, 1e-9) * 86400.0)
+    print(f"\nPerformance: {ns_day:10.3f} ns/day/window x {L} windows "
+          f"({wall:.1f} s wall, {params.nsteps} steps, "
+          f"{system.n_atoms} atoms)")
+
+    # free-energy profile straight from the in-memory Delta-H samples
+    from .analysis.bar import bar_profile
+    dh_all, idx_all = [], []
+    for i in range(L):
+        dh = np.asarray(log.delta_h)[i]
+        keep = ~np.isnan(dh[:, 0])
+        dh_all.append(dh[keep])
+        idx_all.append(np.full(int(keep.sum()), i))
+    try:
+        legs, total, err = bar_profile(np.concatenate(dh_all),
+                                       np.concatenate(idx_all),
+                                       params.ref_t, skip_frac=0.1)
+        print(f"BAR total dG = {total:.3f} +/- {err:.3f} kJ/mol "
+              f"({L} windows)")
+    except ValueError as e:
+        print(f"BAR skipped: {e}")
+
+
 def cmd_bar(args):
     from .analysis.bar import bar_profile
     from .io.xvgio import read_xvg
@@ -229,6 +323,18 @@ def main(argv=None):
                    help="FEP kernel target (parity with the reference's "
                    "mdrun -fep flag)")
     m.set_defaults(fn=cmd_mdrun)
+
+    en = sub.add_parser("ensemble", help="all lambda windows in lockstep "
+                        "with replica exchange (mdrun -multidir -replex "
+                        "analogue)")
+    en.add_argument("-s", required=True, help="tpz run file")
+    en.add_argument("-deffnm", default="ens")
+    en.add_argument("-nsteps", type=int, default=None)
+    en.add_argument("-replex", type=int, default=100,
+                    help="steps between exchange attempts (0 = off)")
+    en.add_argument("-seed", type=int, default=0)
+    en.add_argument("-fep", choices=["auto", "cpu", "tpu"], default="auto")
+    en.set_defaults(fn=cmd_ensemble)
 
     b = sub.add_parser("bar", help="BAR free-energy estimate from dhdl files")
     b.add_argument("-f", nargs="+", required=True)

@@ -105,3 +105,27 @@ def test_cli_grompp_mdrun_bar(tmp_path):
     cli_main(["mdrun", "-s", "topol.tpz", "-deffnm", "md2", "-cpi", "md.cpt",
               "-nsteps", "10", "-fep", "cpu"])
     assert os.path.exists("md2.gro")
+
+
+def test_cli_ensemble_replex(tmp_path):
+    """tpumd ensemble: all windows in lockstep + replica exchange + BAR
+    (mdrun -multidir -replex analogue)."""
+    os.chdir(tmp_path)
+    make_water_gro("conf.gro")
+    with open("topol.top", "w") as f:
+        f.write(TOP)
+    with open("md.mdp", "w") as f:
+        f.write(MDP.replace("nsteps = 30", "nsteps = 40"))
+
+    cli_main(["grompp", "-f", "md.mdp", "-p", "topol.top", "-c", "conf.gro",
+              "-o", "topol.tpz"])
+    cli_main(["ensemble", "-s", "topol.tpz", "-deffnm", "ens",
+              "-replex", "20", "-fep", "cpu"])
+    for i in range(3):   # fep-lambdas has 3 windows
+        assert os.path.exists(f"ens.w{i}.dhdl.xvg")
+        assert os.path.exists(f"ens.w{i}.cpt")
+    # pure water: Delta-H between windows is identically 0 -> files parse
+    from gromacs_fep_gpu_tpu.io.xvgio import read_xvg
+    data, legends = read_xvg("ens.w1.dhdl.xvg")
+    assert data.shape[0] > 0
+    assert np.isfinite(data).all()
