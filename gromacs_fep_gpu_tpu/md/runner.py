@@ -26,7 +26,8 @@ import numpy as np
 from ..core.types import CoulombType, MdParams, State, System
 from ..ops.cluster_nb import make_cluster_force_fn
 from ..ops.forces import make_dense_force_fn
-from ..ops.pairlist import build_cluster_pairlist, build_fep_pairlist
+from ..ops.pairlist import (build_cluster_pairlist, build_fep_pairlist,
+                            check_exclusions)
 from ..utils.timing import Wallcycle
 from .simulator import StepLog, make_step_fn
 from .verletbuf import effective_rlist
@@ -98,6 +99,7 @@ class MdRunner:
 
         self._chunk = None
         self._compiled_for = None
+        self._rlist = None   # kinetic-theory sized at run() (needs volume)
 
     # ------------------------------------------------------------------
     def _foreign_factory(self):
@@ -133,14 +135,20 @@ class MdRunner:
         program measured 3.5x slower per step); both dispatches are async
         so the host still never blocks."""
         cfg = self.config
-        rl = effective_rlist(self.params)
+        rl = self._rlist if self._rlist is not None else effective_rlist(
+            self.params)
         foreign_factory, n_foreign = self._foreign_factory()
         force_fn = self._force_fn
         compute_pressure = self.params.pcoupl.value != "no"
+        # excluded pairs beyond the list cutoff silently lose their
+        # RF/Ewald corrections: checked at EVERY rebuild, failed hard in
+        # run() (reference: nbnxm/exclusionchecker.cpp)
+        check_excl = self.params.coulomb in (CoulombType.PME,
+                                             CoulombType.REACTION_FIELD)
 
         def rebuild(state: State):
             if cfg.use_dense:
-                return None, None, None, jnp.zeros((5,), jnp.int32)
+                return None, None, None, jnp.zeros((6,), jnp.int32)
             nlist = build_cluster_pairlist(
                 state.x, state.box, self.system, rl, nnbr=cfg.nnbr,
                 cell_size=cfg.cell_size,
@@ -160,10 +168,14 @@ class MdRunner:
             s_max = (nlist.super_max_count.astype(jnp.int32)
                      if nlist.super_max_count is not None
                      else jnp.zeros((), jnp.int32))
+            excl_bad = (check_exclusions(state.x, state.box, self.system,
+                                         rl, skip_perturbed=True
+                                         ).astype(jnp.int32)
+                        if check_excl else jnp.zeros((), jnp.int32))
             flags = jnp.stack([nlist.n_overflow.astype(jnp.int32),
                                fep_ovf,
                                nlist.max_count.astype(jnp.int32),
-                               s_ovf, s_max])
+                               s_ovf, s_max, excl_bad])
             prep = None
             if cfg.use_pallas:
                 if cfg.pallas_mode == "super":
@@ -250,6 +262,10 @@ class MdRunner:
             vol = float(np.prod(np.diag(np.asarray(state.box))))
             n = max(self.system.n_atoms, 1)
             self.config.cell_size = max((8.0 * vol / n) ** (1.0 / 3.0), 0.15)
+        if self._rlist is None and not self.config.use_dense:
+            vol = float(np.prod(np.diag(np.asarray(state.box))))
+            self._rlist = effective_rlist(self.params, system=self.system,
+                                          volume=vol)
 
         logs = []
         done = 0
@@ -276,6 +292,14 @@ class MdRunner:
                 with self.wallcycle.region("overflow_check"):
                     fl = np.asarray(
                         jax.device_get(jnp.stack([p[0] for p in pending])))
+                if fl.shape[1] > 5 and fl[:, 5].sum() > 0:
+                    raise RuntimeError(
+                        f"{int(fl[:, 5].sum())} excluded atom pair(s) beyond "
+                        f"the pair-list cutoff ({self._rlist:.3f} nm): their "
+                        "RF/Ewald exclusion corrections would be lost. The "
+                        "system is blowing up, or rlist/box is too small "
+                        "for the molecular geometry (reference behavior: "
+                        "nbnxm/exclusionchecker.cpp fails hard here)")
                 if fl[:, :2].sum() + fl[:, 3:4].sum() > 0:
                     # roll back to last verified point with grown capacity
                     self._grow(np.array([fl[:, 0].sum(), fl[:, 1].sum(),

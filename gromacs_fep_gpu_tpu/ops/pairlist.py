@@ -294,14 +294,21 @@ def build_cluster_pairlist(x, box, system: System, rlist: float,
                            super_max_count=super_max)
 
 
-def check_exclusions(x, box, system: System, rlist: float):
+def check_exclusions(x, box, system: System, rlist: float,
+                     skip_perturbed: bool = False):
     """Number of excluded pairs beyond rlist — such pairs would silently
     lose their RF/Ewald exclusion corrections (the reference fails hard on
-    this; nbnxm/exclusionchecker.cpp, pairlist.cpp:4456-4466)."""
+    this; nbnxm/exclusionchecker.cpp, pairlist.cpp:4456-4466).
+
+    skip_perturbed: ignore pairs involving perturbed atoms — the FEP pair
+    list carries ALL their excluded partners at any distance, so those
+    corrections are never lost."""
     ex = system.exclusions.idx
-    n = system.n_atoms
     valid = ex >= 0
     partner = jnp.where(valid, ex, 0)
+    if skip_perturbed:
+        pert = jnp.asarray(system.perturbed)
+        valid = valid & ~pert[:, None] & ~pert[partner]
     d = pbc_mod.pbc_dx(x[:, None, :] - x[partner], box)
     r2 = jnp.sum(d * d, -1)
     return jnp.sum((r2 > rlist * rlist) & valid)
