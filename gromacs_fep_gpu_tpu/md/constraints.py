@@ -229,16 +229,21 @@ def _cluster_shake(x0, x1, box, pi, pj, d2, invmass, mask, n_iter):
 def lincs_positions(x0: jnp.ndarray, x1: jnp.ndarray, box: jnp.ndarray,
                     lincs: LincsConstraints, invmass: jnp.ndarray,
                     lam_mass: jnp.ndarray | None = None,
-                    order: int = 4, n_rounds: int = 2) -> jnp.ndarray:
+                    order: int = 4, n_rounds: int = 2,
+                    with_dhdl: bool = False):
     """Matrix-free LINCS (reference: mdlib/lincs.cpp:1023 do_lincs).
 
     x' = x1 - invm B^T S (I + A + A^2 + ...) S (B x1 - d) with
     A = I - S B invm B^T S; applied with gathers/scatter-adds only.
     n_rounds of length correction handle the rotation error.
-    """
+
+    with_dhdl=True also returns dH/dlambda * dt^2 from the accumulated
+    Lagrange multipliers: -sum_b mlambda_b (lenB_b - lenA_b), the
+    reference's constraint free-energy contribution (lincs.cpp:1257; the
+    caller divides by dt^2, constr.cpp:2678)."""
     nc = lincs.atoms.shape[0]
     if nc == 0:
-        return x1
+        return (x1, jnp.zeros((), x1.dtype)) if with_dhdl else x1
     ai, aj = lincs.atoms[:, 0], lincs.atoms[:, 1]
     lam = 0.0 if lam_mass is None else lam_mass
     d = (1.0 - lam) * lincs.length_a + lam * lincs.length_b   # target lengths
@@ -268,18 +273,20 @@ def lincs_positions(x0: jnp.ndarray, x1: jnp.ndarray, box: jnp.ndarray,
             acc = acc + term
         return acc
 
-    def project(xp, rhs):
+    def project(xp, rhs, mlam):
         lam_c = solve(rhs)
-        g = (sdiag * lam_c * mask)[:, None] * u
+        ml = sdiag * lam_c * mask
+        g = ml[:, None] * u
         dx = jnp.zeros_like(xp)
         dx = dx.at[ai].add(-wi[:, None] * g)
         dx = dx.at[aj].add(wj[:, None] * g)
-        return xp + dx
+        return xp + dx, mlam + ml
 
     # primary projection: remove component of (x1 - x0) along constraints
     r1 = pbc_mod.pbc_dx(x1[ai] - x1[aj], box)
     rhs = sdiag * (jnp.sum(u * r1, -1) - d) * mask
-    xp = project(x1, rhs)
+    mlam = jnp.zeros((nc,), x1.dtype)
+    xp, mlam = project(x1, rhs, mlam)
 
     # length (rotation) correction rounds
     for _ in range(n_rounds):
@@ -288,14 +295,23 @@ def lincs_positions(x0: jnp.ndarray, x1: jnp.ndarray, box: jnp.ndarray,
         # p = sqrt(2 d^2 - len^2) as in the reference's correction step
         p = jnp.sqrt(jnp.maximum(2.0 * d * d - len2, 0.0))
         rhs = sdiag * (d - p) * mask
-        xp = project(xp, rhs)
+        xp, mlam = project(xp, rhs, mlam)
+    if with_dhdl:
+        dhdl_dt2 = -jnp.sum(mlam * (lincs.length_b - lincs.length_a) * mask)
+        return xp, dhdl_dt2
     return xp
 
 
 def constrain(x0, x1, box, system, invmass, lam_mass=None,
-              order: int = 4, n_rounds: int = 2):
-    """Apply all holonomic constraints to updated positions."""
+              order: int = 4, n_rounds: int = 2, with_dhdl: bool = False):
+    """Apply all holonomic constraints to updated positions.
+
+    with_dhdl=True also returns dH/dlambda * dt^2 from perturbed
+    constraint lengths (SETTLE waters are never perturbed)."""
     xc = settle_positions(x0, x1, box, system.settle, invmass)
+    if with_dhdl:
+        return lincs_positions(x0, xc, box, system.lincs, invmass, lam_mass,
+                               order, n_rounds, with_dhdl=True)
     xc = lincs_positions(x0, xc, box, system.lincs, invmass, lam_mass,
                          order, n_rounds)
     return xc

@@ -208,9 +208,7 @@ class MdRunner:
                                   if foreign_factory else None),
                 n_foreign=n_foreign,
                 all_lambda=(self.all_lambda.T
-                            if (self.all_lambda is not None
-                                and self.params.expanded is not None)
-                            else None),
+                            if self.all_lambda is not None else None),
                 force_fn_noener=bound_force_noener)
             state_out, log = jax.lax.scan(step_fn, state, length=seg_len)
             return state_out, log

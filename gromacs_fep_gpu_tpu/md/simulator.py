@@ -111,6 +111,15 @@ def make_step_fn(system: System, params: MdParams, force_fn: Callable,
     ndf = degrees_of_freedom(system, params)
     dt = params.dt
     has_constraints = constr_mod.n_constraints(system) > 0
+    # FEP-perturbed constraint lengths contribute dH/dl via the Lagrange
+    # multipliers (reference: lincs.cpp:1257, summed into the bonded
+    # component, enerdata_utils.cpp:364)
+    import numpy as _np
+    has_pert_constr = (params.fep.enabled
+                       and system.lincs.atoms.shape[0] > 0
+                       and bool(_np.any(_np.asarray(system.lincs.length_a)
+                                        != _np.asarray(system.lincs.length_b
+                                                       ))))
     p_extra_fn = None
     if params.dispcorr:
         from ..ops.dispcorr import make_dispersion_correction
@@ -292,10 +301,18 @@ def make_step_fn(system: System, params: MdParams, force_fn: Callable,
             raise NotImplementedError(params.integrator)
 
         # --- constraints on positions ---
+        dvdl_constr = jnp.zeros((), state.x.dtype)
         if has_constraints:
-            x_c = constr_mod.constrain(state.x, x_new, state.box, system,
-                                       invmass, lam_bonded,
-                                       params.lincs_order, params.lincs_iter)
+            if has_pert_constr:
+                x_c, dhdl_dt2 = constr_mod.constrain(
+                    state.x, x_new, state.box, system, invmass, lam_bonded,
+                    params.lincs_order, params.lincs_iter, with_dhdl=True)
+                dvdl_constr = dhdl_dt2 / (dt * dt)
+            else:
+                x_c = constr_mod.constrain(state.x, x_new, state.box, system,
+                                           invmass, lam_bonded,
+                                           params.lincs_order,
+                                           params.lincs_iter)
             dv = (x_c - x_new) / dt
             v_new = v_new + dv
             constr_rmsd = jnp.sqrt(jnp.mean(jnp.sum((x_c - x_new)**2, -1)))
@@ -393,8 +410,18 @@ def make_step_fn(system: System, params: MdParams, force_fn: Callable,
             step=state.step + 1, coupling=coupl)
         epot_log = jnp.where(do_ener, terms.epot,
                              jnp.asarray(jnp.nan, state.x.dtype))
+        dvdl_out = terms.dvdl
+        if has_pert_constr:
+            dvdl_out = dvdl_out.at[FepCoupling.BONDED].add(dvdl_constr)
+            if delta_h.shape[0] > 0 and all_lambda is not None:
+                # constraints cannot be evaluated at foreign lambdas; add
+                # the linear dlam*dvdl_constr term, as the reference does
+                # (enerdata_utils.cpp:338-347)
+                dlam_b = (jnp.asarray(all_lambda)[int(FepCoupling.BONDED)]
+                          - lam_bonded)
+                delta_h = delta_h + dlam_b * dvdl_constr
         log = StepLog(epot=epot_log, ekin=ekin, temp=temp, pres=pres,
-                      lam=lam, dvdl=terms.dvdl, terms=terms,
+                      lam=lam, dvdl=dvdl_out, terms=terms,
                       constr_rmsd=constr_rmsd, delta_h=delta_h,
                       dekindl=dekindl)
         return new_state, log
