@@ -4,10 +4,15 @@ System: methane-like ligand being decoupled (soft-core FEP, lambda=0.5)
 in a TIP3P water box — BASELINE.json config #3, the reference fork's
 headline workload (GPU-offloaded FEP, nbnxm_fep_cuda_kernel.cuh).
 
-Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
-vs_baseline divides by 100 ns/day — a representative GROMACS-2023-CUDA
-figure for a ~20k-atom solvated FEP system on a mid-range GPU (the fork
-publishes no numbers; see BASELINE.md).
+Measures TWO scales and prints ONE JSON line:
+ - 12k atoms (n_side=16): the round-to-round tracking config;
+   "value"/"vs_baseline" refer to this one (baseline: 100 ns/day, a
+   representative GROMACS-2023-CUDA figure for a ~20k-atom solvated FEP
+   system on a mid-range GPU — the fork publishes no numbers, BASELINE.md).
+ - 81k atoms (n_side=30): the BASELINE.json headline scale (~80k-atom
+   solvated system), reported under "extra".
+
+Env overrides: BENCH_NSIDE, BENCH_NSTEPS, BENCH_PME, BENCH_SKIP_81K=1.
 """
 import json
 import os
@@ -29,11 +34,7 @@ from gromacs_fep_gpu_tpu.models.solvation import solvation_system
 from gromacs_fep_gpu_tpu.ops.pme import pme_grid_size
 
 
-def main():
-    n_side = int(os.environ.get("BENCH_NSIDE", "16"))
-    nsteps = int(os.environ.get("BENCH_NSTEPS", "400"))
-    use_pme = os.environ.get("BENCH_PME", "1") == "1"
-
+def run_config(n_side: int, nsteps: int, use_pme: bool, eq_steps: int = 600):
     system, state = solvation_system(n_side=n_side, spacing=0.31, seed=0,
                                      temperature=300.0)
     box_l = n_side * 0.31
@@ -51,50 +52,60 @@ def main():
         fep=FepParams(enabled=True, sc_alpha=0.5, sc_coul=True, sc_sigma=0.3))
     state = state.replace(lam=state.lam.at[2].set(0.5).at[3].set(0.5))
 
-    runner = MdRunner(system, params,
-                      RunnerConfig(nnbr=384, use_pallas=True, super_nnbr=640,
-                                   fep_max_nbr=512))
+    mk_cfg = lambda: RunnerConfig(use_pallas=True, super_nnbr=448,
+                                  fep_max_nbr=512)
+    runner = MdRunner(system, params, mk_cfg())
 
     # pre-equilibration: the lattice start releases a lot of potential
     # energy; relax it with a short small-timestep strongly-coupled run so
     # the timed section measures an equilibrated liquid (and pair-list
     # capacities stop growing -> no recompiles in the timed window)
-    eq_params = params.replace(dt=0.0005, tcoupl=TcouplType.V_RESCALE,
-                               tau_t=0.1, nsttcouple=1)
-    eq_runner = MdRunner(system, eq_params,
-                         RunnerConfig(nnbr=runner.config.nnbr,
-                                      use_pallas=True,
-                                      super_nnbr=runner.config.super_nnbr,
-                                      fep_max_nbr=runner.config.fep_max_nbr))
-    state = state.replace(lam=state.lam)
-    state, _ = eq_runner.run(state, 600)
+    eq_params = params.replace(dt=0.0005, tau_t=0.1, nsttcouple=1)
+    eq_runner = MdRunner(system, eq_params, mk_cfg())
+    state, _ = eq_runner.run(state, eq_steps)
 
     # warmup: compile + let list capacities settle
-    runner.config.nnbr = max(runner.config.nnbr, eq_runner.config.nnbr)
     runner.config.super_nnbr = max(runner.config.super_nnbr,
                                    eq_runner.config.super_nnbr)
     runner.config.fep_max_nbr = max(runner.config.fep_max_nbr,
                                     eq_runner.config.fep_max_nbr)
     for _ in range(8):
-        caps = (runner.config.nnbr, runner.config.super_nnbr,
-                runner.config.fep_max_nbr)
+        caps = (runner.config.super_nnbr, runner.config.fep_max_nbr)
         state, _ = runner.run(state, 10 * params.nstlist)
-        if (runner.config.nnbr, runner.config.super_nnbr,
-                runner.config.fep_max_nbr) == caps:
+        if (runner.config.super_nnbr, runner.config.fep_max_nbr) == caps:
             break
 
     t0 = time.perf_counter()
     state, logs = runner.run(state, nsteps)
     jax.block_until_ready(state.x)
     wall = time.perf_counter() - t0
-
     ns_day = nsteps * params.dt / 1000.0 / wall * 86400.0
+    return system.n_atoms, ns_day
+
+
+def main():
+    n_side = int(os.environ.get("BENCH_NSIDE", "16"))
+    nsteps = int(os.environ.get("BENCH_NSTEPS", "400"))
+    use_pme = os.environ.get("BENCH_PME", "1") == "1"
+
+    n_atoms, ns_day = run_config(n_side, nsteps, use_pme)
+
+    extra = {}
+    if os.environ.get("BENCH_SKIP_81K", "0") != "1" and n_side == 16:
+        try:
+            n81, ns81 = run_config(30, max(nsteps // 2, 100), use_pme,
+                                   eq_steps=400)
+            extra = {"atoms_81k": n81, "ns_day_81k": round(ns81, 2)}
+        except Exception as e:          # keep the primary metric alive
+            extra = {"error_81k": f"{type(e).__name__}: {e}"[:200]}
+
     result = {
-        "metric": f"solvation-FEP ns/day ({system.n_atoms} atoms, "
+        "metric": f"solvation-FEP ns/day ({n_atoms} atoms, "
                   f"{'PME' if use_pme else 'RF'}, dt=2fs, softcore lam=0.5)",
         "value": round(ns_day, 2),
         "unit": "ns/day",
         "vs_baseline": round(ns_day / 100.0, 3),
+        "extra": extra,
     }
     print(json.dumps(result))
 

@@ -134,6 +134,25 @@ def cmd_mdrun(args):
                        np.asarray(lam_arr),
                        max(int(params.fep.init_lambda_state), 0),
                        temperature=params.ref_t)
+    if params.pull is not None and log.pull_x.shape[-1] > 0:
+        # pullx/pullf.xvg (reference: pulling/output.cpp)
+        px = np.asarray(log.pull_x)
+        pf = np.asarray(log.pull_f)
+        stride = max(int(params.nstpullout), 1)
+        sel = np.arange(0, len(times), stride)
+        ncoord = px.shape[1]
+        hdr = ("@    title \"Pull COM coordinates\"\n"
+               "@    xaxis  label \"Time (ps)\"\n")
+        with open(f"{deffnm}.pullx.xvg", "w") as f:
+            f.write(hdr + "@    yaxis  label \"Position (nm)\"\n")
+            for t in sel:
+                f.write("%.4f " % times[t]
+                        + " ".join("%.6f" % v for v in px[t]) + "\n")
+        with open(f"{deffnm}.pullf.xvg", "w") as f:
+            f.write(hdr + "@    yaxis  label \"Force (kJ/mol/nm)\"\n")
+            for t in sel:
+                f.write("%.4f " % times[t]
+                        + " ".join("%.6f" % v for v in pf[t]) + "\n")
     save_checkpoint(f"{deffnm}.cpt", state)
     names = [str(n) for n in data["names"]]
     resnames = [str(r) for r in data["resnames"]]

@@ -343,6 +343,11 @@ class MdParams:
     fep: FepParams = FepParams()
     expanded: Optional[ExpandedParams] = None
 
+    # COM pulling (reference: pulling/pull.cpp, hooked via
+    # computeSpecialForces sim_util.cpp:624): tuple of md.pull.PullCoord
+    pull: Optional[tuple] = None
+    nstpullout: int = 50      # pullx/pullf output interval
+
     def replace(self, **kw) -> "MdParams":
         return dataclasses.replace(self, **kw)
 

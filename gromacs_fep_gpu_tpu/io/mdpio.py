@@ -255,5 +255,44 @@ def mdp_to_params(text: str) -> Tuple[MdParams, Optional[np.ndarray]]:
         nstcalcenergy=get("nstcalcenergy", 1, int),
         fep=fep,
         expanded=expanded,
+        pull=_parse_pull(kv),
+        nstpullout=get("pull-nstxout", 50, int),
     )
     return params, all_lambda
+
+
+def _parse_pull(kv: Dict[str, str]):
+    """COM pulling keys (reference: readir.cpp read_pullparams / pull
+    mdp section).  Groups are given inline as 1-based atom lists via
+    `pull-groupN-atoms` (this framework has no .ndx files; the reference
+    resolves pull-groupN-name against the index file instead)."""
+    if kv.get("pull", "no").lower() != "yes":
+        return None
+    from ..md.pull import PullCoord, PullType
+    ngroups = int(kv.get("pull-ngroups", "0"))
+    ncoords = int(kv.get("pull-ncoords", "0"))
+    groups = {}
+    for g in range(1, ngroups + 1):
+        atoms = kv.get(f"pull-group{g}-atoms", "").split()
+        if not atoms:
+            raise ValueError(f"pull-group{g}-atoms missing (inline 1-based "
+                             "atom list required)")
+        groups[g] = tuple(int(a) - 1 for a in atoms)
+    coords = []
+    types = {"umbrella": PullType.UMBRELLA,
+             "constant-force": PullType.CONSTANT_FORCE,
+             "flat-bottom": PullType.FLAT_BOTTOM}
+    for c in range(1, ncoords + 1):
+        g0, g1 = (int(v) for v in kv.get(f"pull-coord{c}-groups",
+                                         "1 2").split()[:2])
+        geom = kv.get(f"pull-coord{c}-geometry", "distance").lower()
+        if geom != "distance":
+            raise NotImplementedError(
+                f"pull-coord{c}-geometry = {geom} (only 'distance')")
+        coords.append(PullCoord(
+            group0=groups[g0], group1=groups[g1],
+            type=types[kv.get(f"pull-coord{c}-type", "umbrella").lower()],
+            init=float(kv.get(f"pull-coord{c}-init", "0")),
+            rate=float(kv.get(f"pull-coord{c}-rate", "0")),
+            k=float(kv.get(f"pull-coord{c}-k", "1000"))))
+    return tuple(coords) if coords else None

@@ -65,13 +65,30 @@ def pull_energy(x, box, mass, coords: Sequence[PullCoord], t):
     return e
 
 
+def pull_scalar_forces(dists, coords: Sequence[PullCoord], t):
+    """Per-coordinate scalar force -dE/dr (the pullf.xvg quantity,
+    reference: pulling/output.cpp pull_print_f)."""
+    fs = []
+    for c, r in zip(coords, dists):
+        ref = c.init + c.rate * t
+        if c.type == PullType.UMBRELLA:
+            fs.append(-c.k * (r - ref))
+        elif c.type == PullType.CONSTANT_FORCE:
+            fs.append(-c.k * jnp.ones_like(r))
+        else:
+            fs.append(-c.k * jnp.maximum(r - ref, 0.0))
+    return jnp.stack(fs)
+
+
 def make_pull_force_fn(coords: Sequence[PullCoord], mass):
-    """Returns pull_fn(x, box, t) -> (f_pull, e_pull, distances)."""
+    """Returns pull_fn(x, box, t) -> (f_pull, e_pull, dists, fscal) —
+    the computeSpecialForces slot (reference: sim_util.cpp:624)."""
     mass = jnp.asarray(mass)
+    coords = tuple(coords)
 
     def pull_fn(x, box, t):
         e, g = jax.value_and_grad(pull_energy)(x, box, mass, coords, t)
         dists = jnp.stack([pull_distance(x, box, mass, c) for c in coords])
-        return -g, e, dists
+        return -g, e, dists, pull_scalar_forces(dists, coords, t)
 
     return pull_fn

@@ -44,9 +44,12 @@ class RunnerConfig:
     use_pallas: bool = False    # Pallas supercluster kernel for the NB loop
     super_nnbr: int = 384       # supercluster list capacity (pallas path)
     pallas_interpret: bool = False
-    # "cluster": per-i-cluster j streams (tight lists, default);
+    # "v2u": union j-streams shared by 4-cluster i-blocks (default,
+    #        fastest: fewest gathered rows at moderate pair-slot count);
+    # "v2": per-i-cluster tight streams with baked-in shifts;
+    # "cluster": per-i-cluster j streams, 2D grid;
     # "super": one shared j stream per 64-atom supercluster
-    pallas_mode: str = "super"
+    pallas_mode: str = "v2u"
 
 
 class MdRunner:
@@ -148,13 +151,21 @@ class MdRunner:
 
         def rebuild(state: State):
             if cfg.use_dense:
-                return None, None, None, jnp.zeros((6,), jnp.int32)
+                return None, None, None, jnp.zeros((7,), jnp.int32)
+            v2u = cfg.use_pallas and cfg.pallas_mode == "v2u"
             nlist = build_cluster_pairlist(
-                state.x, state.box, self.system, rl, nnbr=cfg.nnbr,
+                state.x, state.box, self.system, rl,
+                # the v2u path consumes only the union list; a stub
+                # per-cluster list capacity keeps the rebuild cheap
+                nnbr=(8 if v2u else cfg.nnbr),
                 cell_size=cfg.cell_size,
                 super_nnbr=(cfg.super_nnbr
-                            if cfg.use_pallas and cfg.pallas_mode == "super"
-                            else None))
+                            if cfg.use_pallas
+                            and cfg.pallas_mode in ("super", "v2u")
+                            else None),
+                super_block=(4 if v2u else 8),
+                compute_shifts=(cfg.use_pallas
+                                and cfg.pallas_mode == "v2"))
             feplist = None
             fep_ovf = jnp.zeros((), jnp.int32)
             if self.has_fep:
@@ -172,13 +183,24 @@ class MdRunner:
                                          rl, skip_perturbed=True
                                          ).astype(jnp.int32)
                         if check_excl else jnp.zeros((), jnp.int32))
-            flags = jnp.stack([nlist.n_overflow.astype(jnp.int32),
-                               fep_ovf,
-                               nlist.max_count.astype(jnp.int32),
-                               s_ovf, s_max, excl_bad])
+            shift_bad = (nlist.shift_overflow.astype(jnp.int32)
+                         if nlist.shift_overflow is not None
+                         else jnp.zeros((), jnp.int32))
+            n_ovf = (jnp.zeros((), jnp.int32) if v2u
+                     else nlist.n_overflow.astype(jnp.int32))
+            n_max = (jnp.zeros((), jnp.int32) if v2u
+                     else nlist.max_count.astype(jnp.int32))
+            flags = jnp.stack([n_ovf, fep_ovf, n_max,
+                               s_ovf, s_max, excl_bad, shift_bad])
             prep = None
             if cfg.use_pallas:
-                if cfg.pallas_mode == "super":
+                if cfg.pallas_mode == "v2u":
+                    from ..ops.pallas_nb import pallas_prepare_v2u
+                    prep = pallas_prepare_v2u(nlist, self.system.nbfp)
+                elif cfg.pallas_mode == "v2":
+                    from ..ops.pallas_nb import pallas_prepare_v2
+                    prep = pallas_prepare_v2(nlist, self.system.nbfp)
+                elif cfg.pallas_mode == "super":
                     from ..ops.pallas_nb import pallas_prepare
                     prep = pallas_prepare(nlist, self.system.nbfp)
                 else:
@@ -196,9 +218,21 @@ class MdRunner:
                                                  feplist, prep,
                                                  need_energy=False))
 
+            pull_static = (self.params.pull is not None
+                           and len(self.params.pull) > 0
+                           and all(c.rate == 0.0 for c in self.params.pull))
+
             def epot_fn(x, box, lam):
                 _, terms = force_fn(x, box, lam, nlist, feplist, prep)
-                return terms.epot
+                e = terms.epot
+                if pull_static:
+                    # time-independent pull coords contribute to the
+                    # pressure virial through the strain derivative
+                    from .pull import pull_energy
+                    e = e + pull_energy(x, box,
+                                        jnp.asarray(self.system.mass_a),
+                                        self.params.pull, 0.0)
+                return e
 
             step_fn = make_step_fn(
                 self.system, self.params, bound_force,
@@ -225,14 +259,15 @@ class MdRunner:
 
     def _grow(self, flags: np.ndarray):
         if flags[0] > 0:
-            # size to the observed maximum + 15% headroom, 8-aligned
+            # size to the observed maximum + headroom, 16-aligned (the v2
+            # kernel packs j-streams in 16-cluster groups)
             need = int(max(flags[2], self.config.nnbr) * 1.25 + 8)
-            self.config.nnbr = (need + 7) // 8 * 8
+            self.config.nnbr = (need + 15) // 16 * 16
         if flags[1] > 0:
             self.config.fep_max_nbr = int(self.config.fep_max_nbr * 1.5 + 8)
         if len(flags) > 3 and flags[3] > 0:
             need = int(max(flags[4], self.config.super_nnbr) * 1.25 + 8)
-            self.config.super_nnbr = (need + 127) // 128 * 128
+            self.config.super_nnbr = (need + 31) // 32 * 32
         self._chunk = None
 
     def run(self, state: State, nsteps: int,
@@ -290,6 +325,12 @@ class MdRunner:
                 with self.wallcycle.region("overflow_check"):
                     fl = np.asarray(
                         jax.device_get(jnp.stack([p[0] for p in pending])))
+                if fl.shape[1] > 6 and fl[:, 6].sum() > 0:
+                    raise RuntimeError(
+                        "cluster extents too large relative to the box for "
+                        "the v2 Pallas kernel's build-time periodic shifts "
+                        "(gas-density system or tiny box); rerun with "
+                        "RunnerConfig(pallas_mode='super') or use_dense")
                 if fl.shape[1] > 5 and fl[:, 5].sum() > 0:
                     raise RuntimeError(
                         f"{int(fl[:, 5].sum())} excluded atom pair(s) beyond "

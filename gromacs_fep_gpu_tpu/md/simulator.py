@@ -37,6 +37,8 @@ class StepLog:
     constr_rmsd: jnp.ndarray
     delta_h: jnp.ndarray        # (L,) foreign-lambda U(l)-U(cur); (0,) if off
     dekindl: jnp.ndarray        # dEkin/dlambda-mass (reference: F_DKDL)
+    pull_x: jnp.ndarray         # (P,) pull-coordinate values; (0,) if off
+    pull_f: jnp.ndarray         # (P,) pull scalar forces
 
 
 def degrees_of_freedom(system: System, params: MdParams) -> float:
@@ -130,6 +132,12 @@ def make_step_fn(system: System, params: MdParams, force_fn: Callable,
     from .vsites import construct_vsites, n_vsites, spread_vsite_forces
     has_vsites = n_vsites(system) > 0
 
+    # COM pulling: the computeSpecialForces slot (sim_util.cpp:624)
+    has_pull = params.pull is not None and len(params.pull) > 0
+    if has_pull:
+        from .pull import make_pull_force_fn
+        pull_fn = make_pull_force_fn(params.pull, system.mass_a)
+
     # expanded ensemble / simulated tempering setup
     exp = params.expanded
     has_expanded = exp is not None and all_lambda is not None \
@@ -181,6 +189,14 @@ def make_step_fn(system: System, params: MdParams, force_fn: Callable,
                 lambda: force_fn_noener(state.x, state.box, lam))
         else:
             f, terms = force_fn(state.x, state.box, lam)
+        pull_x = jnp.zeros((0,), state.x.dtype)
+        pull_f_log = jnp.zeros((0,), state.x.dtype)
+        if has_pull:
+            t_ps = state.step.astype(state.x.dtype) * dt
+            f_pull, e_pull, pull_x, pull_f_log = pull_fn(state.x, state.box,
+                                                         t_ps)
+            f = f + f_pull
+            terms = terms.replace(restraints=terms.restraints + e_pull)
         if has_vsites:
             f = spread_vsite_forces(state.x, f, system.vsites)
 
@@ -329,6 +345,10 @@ def make_step_fn(system: System, params: MdParams, force_fn: Callable,
         if is_vv:
             f2, _ = (force_fn_noener if force_fn_noener is not None
                      else force_fn)(x_new, state.box, lam_next_vec)
+            if has_pull:
+                t2 = (state.step + 1).astype(state.x.dtype) * dt
+                f2p, _, _, _ = pull_fn(x_new, state.box, t2)
+                f2 = f2 + f2p
             if has_vsites:
                 f2 = spread_vsite_forces(x_new, f2, system.vsites)
             v_new = integ_mod.velocity_verlet_2(v_new, f2, invmass, dt)
@@ -423,7 +443,7 @@ def make_step_fn(system: System, params: MdParams, force_fn: Callable,
         log = StepLog(epot=epot_log, ekin=ekin, temp=temp, pres=pres,
                       lam=lam, dvdl=dvdl_out, terms=terms,
                       constr_rmsd=constr_rmsd, delta_h=delta_h,
-                      dekindl=dekindl)
+                      dekindl=dekindl, pull_x=pull_x, pull_f=pull_f_log)
         return new_state, log
 
     return step

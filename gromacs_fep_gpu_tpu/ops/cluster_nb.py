@@ -278,6 +278,26 @@ def cluster_nb_kernel_core(xs_pad, qs_pad, ts_pad, pert_pad, valid_pad,
         f_lj = (12.0 * c12 * rinv12 - 6.0 * c6 * rinv6) * rinv2
         if params.vdw_modifier == VdwModifier.POTENTIAL_SHIFT:
             e_lj_pair = e_lj_pair - (c12 * rcinv6 * rcinv6 - c6 * rcinv6)
+        elif params.vdw_modifier == VdwModifier.FORCE_SWITCH:
+            # force-switched LJ (reference: interaction_const.cpp:216
+            # force_switch_constants, nbnxm_cuda_kernel_utils.cuh
+            # calculate_force_switch_F_E); energy matches the dense
+            # oracle's _lj_pair_energy, force is its analytic -dE/dr / r
+            from .nonbonded_ref import forceswitch_constants
+            c2d, c3d, cp6 = forceswitch_constants(
+                6.0, params.rvdw_switch, params.rvdw)
+            c2r, c3r, cp12 = forceswitch_constants(
+                12.0, params.rvdw_switch, params.rvdw)
+            r = r2 * rinv
+            rs = jnp.maximum(r - params.rvdw_switch, 0.0)
+            rs3 = rs * rs * rs
+            e_lj_pair = (e_lj_pair
+                         + c12 * (-4.0 * c2r * rs3 - 3.0 * c3r * rs3 * rs
+                                  + cp12)
+                         - c6 * (-2.0 * c2d * rs3 - 1.5 * c3d * rs3 * rs
+                                 + cp6))
+            f_lj = f_lj + (12.0 * c12 * (c2r + c3r * rs)
+                           - 6.0 * c6 * (c2d + c3d * rs)) * rs * rs * rinv
         elif params.vdw_modifier == VdwModifier.POTENTIAL_SWITCH:
             r = r2 * rinv
             r1, rcv = params.rvdw_switch, params.rvdw
@@ -370,8 +390,11 @@ def make_cluster_force_fn(system: System, params: MdParams,
         # XLA kernel (same physics, slower)
         use_pallas = False
     if use_pallas:
-        from .pallas_nb import (PallasPrepCl, pallas_cluster_forces,
-                                pallas_cluster_forces_cl)
+        from .pallas_nb import (PallasPrepCl, PallasPrepV2, PallasPrepV2U,
+                                pallas_cluster_forces,
+                                pallas_cluster_forces_cl,
+                                pallas_cluster_forces_v2,
+                                pallas_cluster_forces_v2u)
     disp_e_fn = None
     if params.dispcorr:
         from .dispcorr import make_dispersion_correction
@@ -413,7 +436,19 @@ def make_cluster_force_fn(system: System, params: MdParams,
         the dV/dlambda backward pass (the reference computes energies only
         at nstcalcenergy steps; F vs VF kernels in nbnxm_cuda.cu)."""
         if use_pallas:
-            if prep is None or isinstance(prep, PallasPrepCl):
+            if isinstance(prep, PallasPrepV2U):
+                f_sorted, e_coul, e_lj = pallas_cluster_forces_v2u(
+                    x, box, nlist, system.nbfp, params, beta,
+                    interpret=pallas_interpret, prep=prep,
+                    compute_energy=need_energy)
+            elif isinstance(prep, PallasPrepV2) or (prep is None
+                                                    and nlist.nbr_shift
+                                                    is not None):
+                f_sorted, e_coul, e_lj = pallas_cluster_forces_v2(
+                    x, box, nlist, system.nbfp, params, beta,
+                    interpret=pallas_interpret, prep=prep,
+                    compute_energy=need_energy)
+            elif prep is None or isinstance(prep, PallasPrepCl):
                 f_sorted, e_coul, e_lj = pallas_cluster_forces_cl(
                     x, box, nlist, system.nbfp, params, beta,
                     interpret=pallas_interpret, prep=prep,

@@ -57,6 +57,18 @@ class ClusterPairlist:
     nbr_super: Optional[jnp.ndarray] = None       # (S, NNBR_B)
     super_overflow: Optional[jnp.ndarray] = None  # ()
     super_max_count: Optional[jnp.ndarray] = None
+    # build-time periodic shifts per (i-cluster, j-entry), in box-vector
+    # counts (the reference's shift-vector index, nbnxm/pairlist.h
+    # nbnxn_ci_t::shift), and per-atom image counts of the rebuild frame —
+    # consumed by the v2 Pallas kernel to avoid in-loop minimum-image math
+    nbr_shift: Optional[jnp.ndarray] = None       # (C, NNBR, 3) int8
+    super_shift: Optional[jnp.ndarray] = None     # (S, NNBR_B, 3) int8
+    img: Optional[jnp.ndarray] = None             # (n_pad, 3) f32 (sorted)
+    # listed pairs whose cluster extents are so large relative to the box
+    # that a center-based shift might misclassify an in-range atom pair
+    # (only possible for gas-density systems or tiny boxes) — nonzero
+    # means the v2 kernel may not be used
+    shift_overflow: Optional[jnp.ndarray] = None  # () int32
 
     @property
     def n_clusters(self) -> int:
@@ -212,8 +224,13 @@ def build_cluster_pairlist(x, box, system: System, rlist: float,
                            nnbr: int = 64,
                            cell_size: Optional[float] = None,
                            super_nnbr: Optional[int] = None,
-                           slab_axis: Optional[int] = None) -> ClusterPairlist:
-    """Rebuild the cluster pair list (NS step analogue)."""
+                           slab_axis: Optional[int] = None,
+                           compute_shifts: bool = False,
+                           super_block: int = 8) -> ClusterPairlist:
+    """Rebuild the cluster pair list (NS step analogue).
+
+    super_block: i-clusters per block for the union (super) list — 8 for
+    the v1 supercluster kernel, 4 for the v2u union-stream kernel."""
     n = system.n_atoms
     C = (n + CLUSTER - 1) // CLUSTER
     n_pad = C * CLUSTER
@@ -249,9 +266,9 @@ def build_cluster_pairlist(x, box, system: System, rlist: float,
     nbr, nbr_mask, n_overflow, max_count = _cluster_neighbors(
         bb_lo, bb_hi, bb_lo, bb_hi, box, jnp.asarray(rlist**2, x.dtype), nnbr)
 
-    nbr_super = super_overflow = super_max = None
+    nbr_super = super_overflow = super_max = super_shift = None
     if super_nnbr is not None:
-        SB = 8  # clusters per supercluster (64 atoms)
+        SB = super_block  # clusters per supercluster block
         S = (C + SB - 1) // SB
         pad_s = S * SB - C
         lo_s = jnp.pad(bb_lo, ((0, pad_s), (0, 0)),
@@ -265,6 +282,74 @@ def build_cluster_pairlist(x, box, system: System, rlist: float,
             bbs_lo, bbs_hi, bb_lo, bb_hi, box,
             jnp.asarray(rlist**2, x.dtype), super_nnbr)
         nbr_super = nbr_s
+
+    nbr_shift = img = shift_overflow = None
+    if compute_shifts and nbr_super is not None:
+        # union-block shifts for the v2u kernel: one shift per
+        # (i-block, union entry) from the block's bbox center
+        SBu = super_block
+        Su = nbr_super.shape[0]
+        pad_u = Su * SBu - C
+        lo_u = jnp.pad(bb_lo, ((0, pad_u), (0, 0)),
+                       constant_values=1e6).reshape(Su, SBu, 3)
+        hi_u = jnp.pad(bb_hi, ((0, pad_u), (0, 0)),
+                       constant_values=1e6).reshape(Su, SBu, 3)
+        blk_lo = jnp.min(lo_u, axis=1)
+        blk_hi = jnp.max(jnp.where(hi_u > 5e5, -1e6, hi_u), axis=1)
+        cen_b = 0.5 * (blk_lo + blk_hi)
+        cen_c = 0.5 * (bb_lo + bb_hi)
+        he_c = 0.5 * (bb_hi - bb_lo)
+        nbr_u = jnp.minimum(nbr_super, C - 1)
+        rel_u = (cen_b[:, None, :] - cen_c[nbr_u]) @ pbc_mod.inv3(box)
+        super_shift = jnp.round(rel_u).astype(jnp.int8)
+        diag = jnp.diag(box)
+        # validity per member i-cluster: |cen_c - cen_j - s L| + he_c + he_j
+        # must stay below L - rlist per component for the block shift to
+        # give every member's pairs their true minimum image
+        cen_m = jnp.pad(cen_c, ((0, pad_u), (0, 0))).reshape(Su, SBu, 3)
+        he_m = jnp.pad(he_c, ((0, pad_u), (0, 0))).reshape(Su, SBu, 3)
+        valid_m = (jnp.arange(Su * SBu).reshape(Su, SBu) < C)
+        sL = super_shift.astype(x.dtype) * diag
+        # (Su, SBu, nnbr, 3)
+        d_m = jnp.abs(cen_m[:, :, None, :] - cen_c[nbr_u][:, None, :, :]
+                      - sL[:, None, :, :]) + he_m[:, :, None, :] \
+            + he_c[nbr_u][:, None, :, :]
+        bad_m = jnp.any(d_m > (diag - rlist), axis=-1) & valid_m[:, :, None]
+        bad_u = jnp.any(bad_m, axis=1)
+        valid_u = nbr_super < C
+        shift_overflow = jnp.sum((bad_u & valid_u).astype(jnp.int32))
+        # image counts of the rebuild frame per SORTED atom (pad rows 0)
+        frac = x @ pbc_mod.inv3(box)
+        img_orig = jnp.floor(frac)
+        img = jnp.concatenate(
+            [img_orig[perm[:n]].astype(x.dtype),
+             jnp.zeros((n_pad - n, 3), x.dtype)])
+    elif compute_shifts:
+        # periodic shift per (i-cluster, j-entry) from cluster centers,
+        # valid for the whole nstlist window (the buffer bounds motion);
+        # the v2 Pallas kernel folds these into the gathered j coordinates
+        cen = 0.5 * (bb_lo + bb_hi)                       # (C, 3)
+        he = 0.5 * (bb_hi - bb_lo)                        # half extents
+        nbr_c = jnp.minimum(nbr, C - 1)
+        cj = cen[nbr_c]                                   # (C, nnbr, 3)
+        rel = (cen[:, None, :] - cj) @ pbc_mod.inv3(box)
+        nbr_shift = jnp.round(rel).astype(jnp.int8)
+        # validity: after the center shift, the largest possible atom-pair
+        # displacement per component must stay below L - rlist, else a
+        # different periodic image of the pair could be the interacting
+        # one (only happens when cluster extents ~ box size)
+        diag = jnp.diag(box)
+        dmax = (jnp.abs(rel - jnp.round(rel)) * diag
+                + he[:, None, :] + he[nbr_c])             # (C, nnbr, 3)
+        bad = jnp.any(dmax > (diag - rlist)[None, None, :], axis=-1)
+        shift_overflow = jnp.sum(
+            (bad & (nbr_mask > 0)).astype(jnp.int32))
+        # image counts of the rebuild frame per SORTED atom (pad rows 0)
+        frac = x @ pbc_mod.inv3(box)
+        img_orig = jnp.floor(frac)
+        img = jnp.concatenate(
+            [img_orig[perm[:n]].astype(x.dtype),
+             jnp.zeros((n_pad - n, 3), x.dtype)])
 
     # sorted static atom data
     def gather_pad(a, fill):
@@ -291,7 +376,9 @@ def build_cluster_pairlist(x, box, system: System, rlist: float,
                            q_a=q_a, q_b=q_b, t_a=t_a, t_b=t_b, pert=pert,
                            excl=excl,
                            nbr_super=nbr_super, super_overflow=super_overflow,
-                           super_max_count=super_max)
+                           super_max_count=super_max,
+                           nbr_shift=nbr_shift, super_shift=super_shift,
+                           img=img, shift_overflow=shift_overflow)
 
 
 def check_exclusions(x, box, system: System, rlist: float,

@@ -46,6 +46,7 @@ R2_FLOOR = 1e-6
 TWO_OVER_SQRT_PI = 1.1283791670955126
 BI = 8          # i-clusters per supercluster/program (64 atoms)
 GJ = 64         # j-clusters per inner iteration (512 lanes = 4 vregs per op)
+GJC = 16        # v2 kernel: j-clusters per i-cluster per group (128 lanes)
 
 
 def _erfc_poly(x):
@@ -714,6 +715,693 @@ def pallas_cluster_forces(x, box, nlist: ClusterPairlist, nbfp,
       i3(prep.iq, CLUSTER), i3(prep.is6, CLUSTER), i3(prep.is12, CLUSTER),
       i3(prep.ipv, CLUSTER), i3(prep.iex, K * CLUSTER),
       jx, jy, jz, prep.jq, prep.js6, prep.js12, prep.jpv, prep.jid)
+
+    f_sorted = jnp.stack([fx.reshape(-1)[:n_pad], fy.reshape(-1)[:n_pad],
+                          fz.reshape(-1)[:n_pad]], axis=-1)
+    return f_sorted, 0.5 * jnp.sum(e[:, 0, 0]), 0.5 * jnp.sum(e[:, 0, 1])
+
+
+# ---------------------------------------------------------------------------
+# v2 kernel: per-cluster tight j-streams inside supercluster programs.
+#
+# The supercluster union lists (above) process every j-cluster against all
+# 64 i-atoms of the program — measured ~11% pair hit rate at 12k atoms.
+# This kernel keeps the 64-atom program granularity but gives each of its
+# 8 i-clusters its OWN distance-sorted j-stream in GJC=16-cluster groups
+# (128 lanes), roughly halving the processed pair slots.  Further hot-loop
+# cuts vs the v1 kernels:
+#  - periodic shifts are resolved at build time per (i-cluster, j-entry)
+#    and folded into the gathered j coordinates — no floor()/round() in
+#    the inner loop (the reference stores the same thing as a shift-vector
+#    index per list entry, nbnxm/pairlist.h nbnxn_ci_t::shift);
+#  - validity (dummy/perturbed/self) and exclusion masks are precomputed
+#    per pair as a 16-bit field in an int32 stream (8 pair bits + 8
+#    exclusion bits addressed by the i-atom sublane) — the analogue of the
+#    CUDA kernel's imask/exclusion bit pools (nbnxm_cuda_kernel.cuh:415,
+#    gpu_types_common.h:307-326);
+#  - the Ewald force-only flavor uses an approximate reciprocal for the
+#    rational polynomial's divide.
+# ---------------------------------------------------------------------------
+
+
+def _make_kernel_v2(n_groups: int, params: MdParams, beta, epsfac: float,
+                    compute_energy: bool = True):
+    rc2 = params.rcoulomb ** 2
+    rv2 = params.rvdw ** 2
+    rcinv6 = 1.0 / params.rvdw ** 6
+    if params.coulomb == CoulombType.REACTION_FIELD:
+        krf, crf = rf_constants(params)
+    SB = 8
+
+    def kernel(ng_ref,                       # SMEM (1, 1, 1) i32 trip count
+               ix_ref, iy_ref, iz_ref,       # VMEM (1, 8_atom, 8_cluster)
+               iq_ref, is6_ref, is12_ref,    # VMEM (1, 8, 8)
+               jx_ref, jy_ref, jz_ref,       # VMEM (1, G, 8, 128) per-step
+               jq_ref, js6_ref, js12_ref,    # VMEM (1, G, 8, 128) static
+               jm_ref,                       # VMEM (1, G, 8, 128) i32 bits
+               fx_ref, fy_ref, fz_ref,       # out VMEM (1, 8, 8)
+               e_ref):                       # out SMEM (1, 1, 2)
+        def col(ref):
+            return ref[0][:, :, None]                   # (8, 8, 1)
+
+        xi_x = col(ix_ref)
+        xi_y = col(iy_ref)
+        xi_z = col(iz_ref)
+        qi = col(iq_ref) * epsfac
+        s6i = col(is6_ref)
+        s12i = col(is12_ref)
+        # i-atom sublane index selects this atom's bits in the mask stream
+        a_sub = jax.lax.broadcasted_iota(jnp.int32, (CLUSTER, 1, 1), 0)
+
+        def j_group(g, acc):
+            fx, fy, fz, e_c, e_lj = acc
+            xj = jx_ref[0, pl.ds(g, 1)][0]               # (8, 128)
+            yj = jy_ref[0, pl.ds(g, 1)][0]
+            zj = jz_ref[0, pl.ds(g, 1)][0]
+            qj = jq_ref[0, pl.ds(g, 1)][0]
+            s6j = js6_ref[0, pl.ds(g, 1)][0]
+            s12j = js12_ref[0, pl.ds(g, 1)][0]
+            m = jm_ref[0, pl.ds(g, 1)][0]
+
+            pairb = ((m >> a_sub) & 1).astype(jnp.float32)        # (8,8,128)
+            inclb = ((m >> (a_sub + 8)) & 1).astype(jnp.float32)
+
+            # shifts are baked into xj: plain differences, no minimum image.
+            # shifts are baked into xj: plain differences, no minimum image.
+            # The upper clamp bounds padding-lane distances (dummy atoms sit
+            # at ~1e4) so the Ewald polynomial can't overflow fp32; every
+            # clamped pair is beyond the cutoff and fully masked anyway.
+            dx = xi_x - xj
+            dy = xi_y - yj
+            dz = xi_z - zj
+            r2 = jnp.clip(dx * dx + dy * dy + dz * dz, R2_FLOOR, 1e6)
+            rinv = jax.lax.rsqrt(r2)
+            rinv2 = rinv * rinv
+
+            in_c = jnp.where(r2 < rc2, pairb, 0.0)
+            in_v = jnp.where(r2 < rv2, pairb * inclb, 0.0)
+
+            c6 = s6i * s6j
+            c12 = s12i * s12j
+            rinv6 = jnp.minimum(rinv2 * rinv2 * rinv2, 1e15)
+            rinv12 = rinv6 * rinv6
+            f_lj = (12.0 * c12 * rinv12 - 6.0 * c6 * rinv6) * rinv2 * in_v
+
+            qq = qi * qj
+            if params.coulomb == CoulombType.REACTION_FIELD:
+                f_c = qq * (inclb * rinv2 * rinv - 2.0 * krf) * in_c
+            elif params.coulomb == CoulombType.PME:
+                if compute_energy:
+                    br = beta * (r2 * rinv)
+                    erfc_t = _erfc_poly(br)
+                    gauss = jnp.exp(-br * br)
+                    f_c = (qq * rinv2
+                           * ((inclb - (1.0 - erfc_t)) * rinv
+                              + beta * TWO_OVER_SQRT_PI * gauss) * in_c)
+                else:
+                    f_c = (qq * (inclb * rinv2 * rinv
+                                 + (beta * beta * beta)
+                                 * _pmecorr_f_recip((beta * beta) * r2))
+                           * in_c)
+            else:
+                f_c = qq * inclb * rinv2 * rinv * in_c
+
+            fscal = f_lj + f_c
+            fx = fx + jnp.sum(fscal * dx, axis=2)
+            fy = fy + jnp.sum(fscal * dy, axis=2)
+            fz = fz + jnp.sum(fscal * dz, axis=2)
+            if compute_energy:
+                e_lj_pair = (c12 * rinv12 - c6 * rinv6
+                             - (c12 * rcinv6 * rcinv6 - c6 * rcinv6)) * in_v
+                if params.coulomb == CoulombType.REACTION_FIELD:
+                    e_c_pair = qq * (inclb * rinv + krf * r2 - crf) * in_c
+                elif params.coulomb == CoulombType.PME:
+                    e_c_pair = qq * rinv * (erfc_t - (1.0 - inclb)) * in_c
+                else:
+                    e_c_pair = (qq * inclb
+                                * (rinv - 1.0 / params.rcoulomb) * in_c)
+                e_c = e_c + jnp.sum(e_c_pair)
+                e_lj = e_lj + jnp.sum(e_lj_pair)
+            return fx, fy, fz, e_c, e_lj
+
+        z = jnp.zeros((CLUSTER, SB), jnp.float32)
+        fx, fy, fz, e_c, e_lj = jax.lax.fori_loop(
+            0, jnp.minimum(ng_ref[0, 0, 0], n_groups), j_group,
+            (z, z, z, jnp.float32(0.0), jnp.float32(0.0)))
+        fx_ref[...] = fx[None]
+        fy_ref[...] = fy[None]
+        fz_ref[...] = fz[None]
+        e_ref[0, 0, 0] = e_c
+        e_ref[0, 0, 1] = e_lj
+
+    return kernel
+
+
+def _pmecorr_f_recip(z2):
+    """_pmecorr_f with the divide replaced by an approximate reciprocal +
+    one Newton-Raphson step (the polynomial itself is a ~1e-7 fit, so the
+    ~1e-7 refined reciprocal loses nothing)."""
+    FN = (-1.7357322914161492954e-8, 1.4703624142580877519e-6,
+          -0.000053401640219807709149, 0.0010054721316683106153,
+          -0.019278317264888380590, 0.069670166153766424023,
+          -0.75225204789749321333)
+    FD = (0.0011193462567257629232, 0.014866955030185295499,
+          0.11583842382862377919, 0.50736591960530292870, 1.0)
+    z4 = z2 * z2
+    poly_fd0 = FD[0] * z4 + FD[2]
+    poly_fd1 = FD[1] * z4 + FD[3]
+    poly_fd0 = poly_fd0 * z4 + FD[4]
+    poly_fd0 = poly_fd1 * z2 + poly_fd0
+    poly_fn0 = FN[0] * z4 + FN[2]
+    poly_fn1 = FN[1] * z4 + FN[3]
+    poly_fn0 = poly_fn0 * z4 + FN[4]
+    poly_fn1 = poly_fn1 * z4 + FN[5]
+    poly_fn0 = poly_fn0 * z4 + FN[6]
+    poly_fn0 = poly_fn1 * z2 + poly_fn0
+    r = pl.reciprocal(poly_fd0, approx=True)
+    r = r * (2.0 - poly_fd0 * r)                  # one NR refinement
+    return poly_fn0 * r
+
+
+@_struct.dataclass
+class PallasPrepV2:
+    """Per-rebuild data for the v2 per-cluster-stream kernel."""
+    iq: jnp.ndarray       # (S, 8_atom, 8_cluster)
+    is6: jnp.ndarray
+    is12: jnp.ndarray
+    ng: jnp.ndarray       # (S, 1, 1) i32 trip count (max over clusters)
+    nbr2: jnp.ndarray     # (S, G, 8, GJC) i32 j-cluster ids (pad = C)
+    sx: jnp.ndarray       # (S, G, 8, GJC) f32 integer shift counts
+    sy: jnp.ndarray
+    sz: jnp.ndarray
+    jq: jnp.ndarray       # (S, G, 8, 128)
+    js6: jnp.ndarray
+    js12: jnp.ndarray
+    jmask: jnp.ndarray    # (S, G, 8, 128) i32: bit a = pair valid for
+    #                       i-atom a, bit 8+a = not excluded against i-atom a
+    img: jnp.ndarray      # (n_pad, 3) f32 rebuild-time image counts (sorted)
+
+
+def pallas_prepare_v2(nlist: ClusterPairlist, nbfp) -> PallasPrepV2:
+    """Pack per-cluster lists + shifts + pair bitmasks for the v2 kernel.
+    Requires nlist built with compute_shifts=True (nbr_shift, img set)."""
+    from .cluster_nb import lj_table_mode
+    import numpy as _np
+    if not isinstance(nbfp, jax.core.Tracer):
+        assert lj_table_mode(_np.asarray(nbfp)) == "geometric", (
+            "Pallas kernel requires a geometric-combination LJ table")
+    assert nlist.nbr_shift is not None, (
+        "build pair list with compute_shifts=True for the v2 kernel")
+    SB = 8
+    n = nlist.inv_perm.shape[0]
+    n_pad = nlist.n_pad
+    C = nlist.n_clusters
+    S = -(-C // SB)
+    C_pad = S * SB
+    nnbr = nlist.nbr.shape[1]
+    K = nlist.excl.shape[1]
+    ncl = C_pad + 1   # trailing dummy cluster for padded neighbour id C
+    extra = ncl * CLUSTER - n_pad
+    nnbr_pad = -(-nnbr // GJC) * GJC
+    G = nnbr_pad // GJC
+
+    def plane(a, fill=0.0):
+        pad = jnp.full((extra,), fill, a.dtype)
+        return jnp.concatenate([a, pad]).reshape(ncl, CLUSTER)
+
+    diag6 = jnp.sqrt(jnp.maximum(jnp.diagonal(nbfp[:, :, 0]), 0.0))
+    diag12 = jnp.sqrt(jnp.maximum(jnp.diagonal(nbfp[:, :, 1]), 0.0))
+    valid = (nlist.perm < n).astype(jnp.float32)
+    pv = valid * (1.0 - nlist.pert)
+
+    q = plane(nlist.q_a)
+    s6 = plane(diag6[nlist.t_a])
+    s12 = plane(diag12[nlist.t_a])
+    pvp = plane(pv)
+
+    # (C_pad, nnbr_pad) padded neighbour ids and shifts
+    nbr_p = jnp.pad(jnp.where(nlist.nbr >= 0, nlist.nbr, C),
+                    ((0, C_pad - C), (0, nnbr_pad - nnbr)),
+                    constant_values=C)
+    sh_p = jnp.pad(nlist.nbr_shift.astype(jnp.float32),
+                   ((0, C_pad - C), (0, nnbr_pad - nnbr), (0, 0)))
+    count = jnp.sum(nbr_p != C, axis=1)                       # (C_pad,)
+    ng = jnp.max((-(-count // GJC)).reshape(S, SB),
+                 axis=1).astype(jnp.int32).reshape(S, 1, 1)
+    nbr2 = nbr_p.reshape(S, SB, G, GJC).transpose(0, 2, 1, 3)
+    sh2 = sh_p.reshape(S, SB, G, GJC, 3).transpose(0, 2, 1, 3, 4)
+
+    def jgather(pl2d):
+        return pl2d[nbr2].reshape(S, G, SB, GJC * CLUSTER)
+
+    # pair validity + exclusion bits, packed per j-atom lane
+    jid = nbr2[..., None] * CLUSTER + jnp.arange(CLUSTER, dtype=jnp.int32)
+    #     (S, G, 8c, GJC, 8a)
+    iid = (jnp.arange(C_pad, dtype=jnp.int32)[:, None] * CLUSTER
+           + jnp.arange(CLUSTER, dtype=jnp.int32)
+           ).reshape(S, SB, CLUSTER)                          # (S, 8c, 8i)
+    pvj = jgather(pvp).reshape(S, G, SB, GJC, CLUSTER)
+    pvi = pvp[:C_pad].reshape(S, SB, CLUSTER)
+    excl = jnp.concatenate(
+        [nlist.excl, jnp.full((extra, K), -1, jnp.int32)])
+    ei = excl[:C_pad * CLUSTER].reshape(S, SB, CLUSTER, K)
+
+    # pair bit: pv_i * pv_j * (iid != jid); excl bit: jid not in excl_i
+    pair_bits = jnp.zeros((S, G, SB, GJC * CLUSTER), jnp.int32)
+    excl_bits = jnp.zeros((S, G, SB, GJC * CLUSTER), jnp.int32)
+    jid_f = jid.reshape(S, G, SB, GJC * CLUSTER)
+    pvj_f = pvj.reshape(S, G, SB, GJC * CLUSTER)
+    for a in range(CLUSTER):
+        pv_ia = pvi[:, :, a][:, None, :, None]                # (S,1,8c,1)
+        iid_a = iid[:, :, a][:, None, :, None]
+        pair_a = ((pvj_f > 0) & (pv_ia > 0) & (jid_f != iid_a))
+        pair_bits = pair_bits | (pair_a.astype(jnp.int32) << a)
+        exm = jnp.zeros(jid_f.shape, bool)
+        for k in range(K):
+            ei_ak = ei[:, :, a, k][:, None, :, None]
+            exm = exm | (jid_f == ei_ak)
+        excl_bits = excl_bits | ((~exm).astype(jnp.int32) << (8 + a))
+    jmask = pair_bits | excl_bits
+
+    def i3(a):
+        # (S, 8_atom, 8_cluster)
+        return a[:C_pad].reshape(S, SB, CLUSTER).transpose(0, 2, 1)
+
+    return PallasPrepV2(
+        iq=i3(q), is6=i3(s6), is12=i3(s12), ng=ng, nbr2=nbr2,
+        sx=sh2[..., 0], sy=sh2[..., 1], sz=sh2[..., 2],
+        jq=jgather(q), js6=jgather(s6), js12=jgather(s12), jmask=jmask,
+        img=nlist.img)
+
+
+def pallas_cluster_forces_v2(x, box, nlist: ClusterPairlist, nbfp,
+                             params: MdParams, beta,
+                             prep: Optional[PallasPrepV2] = None,
+                             interpret: bool = False,
+                             compute_energy: bool = True):
+    """(f_sorted (n_pad, 3), e_coul, e_lj) via the v2 per-cluster-stream
+    kernel (requires nlist built with compute_shifts=True)."""
+    if prep is None:
+        prep = pallas_prepare_v2(nlist, nbfp)
+    SB = 8
+    n = nlist.inv_perm.shape[0]
+    n_pad = nlist.n_pad
+    C = nlist.n_clusters
+    S = prep.iq.shape[0]
+    C_pad = S * SB
+    ncl = C_pad + 1
+    extra = ncl * CLUSTER - n_pad
+    G = prep.nbr2.shape[1]
+
+    # continuous rebuild-frame coordinates: raw positions minus the
+    # rebuild-time image counts (so the build-time shifts stay exact for
+    # the whole nstlist window even if an atom wanders across the box)
+    bd = jnp.stack([box[0, 0], box[1, 1], box[2, 2]])
+    xw = x[jnp.minimum(nlist.perm, n - 1)] - prep.img * bd[None, :]
+    xs = jnp.where((nlist.perm < n)[:, None], xw,
+                   1e4 + jnp.arange(n_pad, dtype=x.dtype)[:, None])
+    dummy = 2e4 + jnp.arange(extra, dtype=x.dtype)[:, None] * jnp.ones(3)
+    xs = jnp.concatenate([xs, dummy])
+    xx = xs[:, 0].reshape(ncl, CLUSTER)
+    xy = xs[:, 1].reshape(ncl, CLUSTER)
+    xz = xs[:, 2].reshape(ncl, CLUSTER)
+
+    packed = jnp.concatenate([xx, xy, xz], axis=1)            # (ncl, 24)
+    g = packed[prep.nbr2]                                     # (S,G,8,GJC,24)
+    jx = (g[..., 0:CLUSTER] + (prep.sx * box[0, 0])[..., None]).reshape(
+        S, G, SB, GJC * CLUSTER)
+    jy = (g[..., CLUSTER:2 * CLUSTER]
+          + (prep.sy * box[1, 1])[..., None]).reshape(S, G, SB,
+                                                      GJC * CLUSTER)
+    jz = (g[..., 2 * CLUSTER:] + (prep.sz * box[2, 2])[..., None]).reshape(
+        S, G, SB, GJC * CLUSTER)
+
+    epsfac = float(ONE_4PI_EPS0 / params.epsilon_r)
+    kernel = _make_kernel_v2(G, params, beta, epsfac,
+                             compute_energy=compute_energy)
+
+    iblk = pl.BlockSpec((1, CLUSTER, SB), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    jrow = pl.BlockSpec((1, G, SB, GJC * CLUSTER), lambda i: (i, 0, 0, 0),
+                        memory_space=pltpu.VMEM)
+
+    def i3x(a):
+        return a[:C_pad].reshape(S, SB, CLUSTER).transpose(0, 2, 1)
+
+    fx, fy, fz, e = pl.pallas_call(
+        kernel,
+        grid=(S,),
+        in_specs=[
+            pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+            iblk, iblk, iblk,
+            iblk, iblk, iblk,
+            jrow, jrow, jrow,
+            jrow, jrow, jrow, jrow,
+        ],
+        out_specs=[
+            iblk, iblk, iblk,
+            pl.BlockSpec((1, 1, 2), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((S, CLUSTER, SB), jnp.float32),
+            jax.ShapeDtypeStruct((S, CLUSTER, SB), jnp.float32),
+            jax.ShapeDtypeStruct((S, CLUSTER, SB), jnp.float32),
+            jax.ShapeDtypeStruct((S, 1, 2), jnp.float32),
+        ],
+        interpret=interpret,
+    )(prep.ng,
+      i3x(xx), i3x(xy), i3x(xz),
+      prep.iq, prep.is6, prep.is12,
+      jx, jy, jz, prep.jq, prep.js6, prep.js12, prep.jmask)
+
+    # outputs are (S, 8_atom, 8_cluster): untranspose to atom-major order
+    def unt(a):
+        return a.transpose(0, 2, 1).reshape(-1)[:n_pad]
+
+    f_sorted = jnp.stack([unt(fx), unt(fy), unt(fz)], axis=-1)
+    return f_sorted, 0.5 * jnp.sum(e[:, 0, 0]), 0.5 * jnp.sum(e[:, 0, 1])
+
+
+# ---------------------------------------------------------------------------
+# v2u kernel: union j-streams shared by 4-cluster i-blocks.
+#
+# Profiling the v2 kernel showed the per-step XLA j-gather dominating
+# (~6 ns per gathered row, one row per (i-cluster, j-entry)).  Sharing one
+# distance-sorted union stream among a block of 4 i-clusters cuts gathered
+# rows ~2.8x while growing pair slots only ~25% vs per-cluster lists
+# (union-of-4 lists average ~1.4x a single cluster's list).  The pair tile
+# is (4 i-clusters, 8 i-atoms, 256 j-lanes) — the last two dims tile
+# (8, 128) vregs exactly — with both validity and exclusion masks
+# precomputed as 32-bit fields (bit c*8+a) in two int32 streams.
+# Shifts/bitmasks/trip-counts work as in v2.
+# ---------------------------------------------------------------------------
+
+BU = 4          # i-clusters per union block (32 atoms)
+GJU = 32        # j-clusters per group in the union stream (256 lanes)
+
+
+def _make_kernel_v2u(n_groups: int, params: MdParams, beta, epsfac: float,
+                     compute_energy: bool = True):
+    rc2 = params.rcoulomb ** 2
+    rv2 = params.rvdw ** 2
+    rcinv6 = 1.0 / params.rvdw ** 6
+    if params.coulomb == CoulombType.REACTION_FIELD:
+        krf, crf = rf_constants(params)
+    L = GJU * CLUSTER
+
+    def kernel(box_ref,                      # SMEM (1, 3) box diagonal
+               ng_ref,                       # SMEM (1, 1, 1) i32 trip count
+               ix_ref, iy_ref, iz_ref,       # VMEM (1, BU, 8) [cluster, atom]
+               iq_ref, is6_ref, is12_ref,    # VMEM (1, BU, 8)
+               jx_ref, jy_ref, jz_ref,       # VMEM (1, G, 256) per-step
+               jq_ref, js6_ref, js12_ref,    # VMEM (1, G, 256) static
+               pm_ref, em_ref,               # VMEM (1, G, 256) i32 bit fields
+               fx_ref, fy_ref, fz_ref,       # out VMEM (1, BU, 8)
+               e_ref):                       # out SMEM (1, 1, 2)
+        bx = box_ref[0, 0]
+        by = box_ref[0, 1]
+        bz = box_ref[0, 2]
+        ibx = 1.0 / bx
+        iby = 1.0 / by
+        ibz = 1.0 / bz
+
+        def col(ref):
+            return ref[0][:, :, None]                   # (BU, 8, 1)
+
+        xi_x = col(ix_ref)
+        xi_y = col(iy_ref)
+        xi_z = col(iz_ref)
+        qi = col(iq_ref) * epsfac
+        s6i = col(is6_ref)
+        s12i = col(is12_ref)
+        # bit index c*8 + a for the (cluster, atom) sublane pair
+        sh = (jax.lax.broadcasted_iota(jnp.int32, (BU, CLUSTER, 1), 0)
+              * CLUSTER
+              + jax.lax.broadcasted_iota(jnp.int32, (BU, CLUSTER, 1), 1))
+
+        def j_group(g, acc):
+            fx, fy, fz, e_c, e_lj = acc
+            xj = jx_ref[0, pl.ds(g, 1)]                  # (1, 256)
+            yj = jy_ref[0, pl.ds(g, 1)]
+            zj = jz_ref[0, pl.ds(g, 1)]
+            qj = jq_ref[0, pl.ds(g, 1)]
+            s6j = js6_ref[0, pl.ds(g, 1)]
+            s12j = js12_ref[0, pl.ds(g, 1)]
+            pm = pm_ref[0, pl.ds(g, 1)]
+            em = em_ref[0, pl.ds(g, 1)]
+
+            pairb = ((pm >> sh) & 1).astype(jnp.float32)     # (BU, 8, 256)
+            inclb = ((em >> sh) & 1).astype(jnp.float32)
+
+            # rectangular minimum image (the union stream is shared by 4
+            # i-clusters, so a single per-entry shift cannot serve all of
+            # them exactly when a block straddles a Hilbert jump; the
+            # floor-fold is exact for every image)
+            dx = xi_x - xj
+            dy = xi_y - yj
+            dz = xi_z - zj
+            dx = dx - jnp.floor(dx * ibx + 0.5) * bx
+            dy = dy - jnp.floor(dy * iby + 0.5) * by
+            dz = dz - jnp.floor(dz * ibz + 0.5) * bz
+            r2 = jnp.maximum(dx * dx + dy * dy + dz * dz, R2_FLOOR)
+            rinv = jax.lax.rsqrt(r2)
+            rinv2 = rinv * rinv
+
+            in_c = jnp.where(r2 < rc2, pairb, 0.0)
+            in_v = jnp.where(r2 < rv2, pairb * inclb, 0.0)
+
+            c6 = s6i * s6j
+            c12 = s12i * s12j
+            rinv6 = jnp.minimum(rinv2 * rinv2 * rinv2, 1e15)
+            rinv12 = rinv6 * rinv6
+            f_lj = (12.0 * c12 * rinv12 - 6.0 * c6 * rinv6) * rinv2 * in_v
+
+            qq = qi * qj
+            if params.coulomb == CoulombType.REACTION_FIELD:
+                f_c = qq * (inclb * rinv2 * rinv - 2.0 * krf) * in_c
+            elif params.coulomb == CoulombType.PME:
+                if compute_energy:
+                    br = beta * (r2 * rinv)
+                    erfc_t = _erfc_poly(br)
+                    gauss = jnp.exp(-br * br)
+                    f_c = (qq * rinv2
+                           * ((inclb - (1.0 - erfc_t)) * rinv
+                              + beta * TWO_OVER_SQRT_PI * gauss) * in_c)
+                else:
+                    f_c = (qq * (inclb * rinv2 * rinv
+                                 + (beta * beta * beta)
+                                 * _pmecorr_f_recip((beta * beta) * r2))
+                           * in_c)
+            else:
+                f_c = qq * inclb * rinv2 * rinv * in_c
+
+            fscal = f_lj + f_c
+            fx = fx + jnp.sum(fscal * dx, axis=2)
+            fy = fy + jnp.sum(fscal * dy, axis=2)
+            fz = fz + jnp.sum(fscal * dz, axis=2)
+            if compute_energy:
+                e_lj_pair = (c12 * rinv12 - c6 * rinv6
+                             - (c12 * rcinv6 * rcinv6 - c6 * rcinv6)) * in_v
+                if params.coulomb == CoulombType.REACTION_FIELD:
+                    e_c_pair = qq * (inclb * rinv + krf * r2 - crf) * in_c
+                elif params.coulomb == CoulombType.PME:
+                    e_c_pair = qq * rinv * (erfc_t - (1.0 - inclb)) * in_c
+                else:
+                    e_c_pair = (qq * inclb
+                                * (rinv - 1.0 / params.rcoulomb) * in_c)
+                e_c = e_c + jnp.sum(e_c_pair)
+                e_lj = e_lj + jnp.sum(e_lj_pair)
+            return fx, fy, fz, e_c, e_lj
+
+        z = jnp.zeros((BU, CLUSTER), jnp.float32)
+        fx, fy, fz, e_c, e_lj = jax.lax.fori_loop(
+            0, jnp.minimum(ng_ref[0, 0, 0], n_groups), j_group,
+            (z, z, z, jnp.float32(0.0), jnp.float32(0.0)))
+        fx_ref[...] = fx[None]
+        fy_ref[...] = fy[None]
+        fz_ref[...] = fz[None]
+        e_ref[0, 0, 0] = e_c
+        e_ref[0, 0, 1] = e_lj
+
+    return kernel
+
+
+@_struct.dataclass
+class PallasPrepV2U:
+    """Per-rebuild data for the v2u union-stream kernel."""
+    iq: jnp.ndarray       # (S, BU, 8) [block, cluster, atom]
+    is6: jnp.ndarray
+    is12: jnp.ndarray
+    ng: jnp.ndarray       # (S, 1, 1) i32 j-group trip count
+    nbr2: jnp.ndarray     # (S, G, GJU) i32 union j-cluster ids (pad C)
+    jq: jnp.ndarray       # (S, G, 256)
+    js6: jnp.ndarray
+    js12: jnp.ndarray
+    pair_m: jnp.ndarray   # (S, G, 256) i32, bit c*8+a = pair (c,a)-(lane) valid
+    excl_m: jnp.ndarray   # (S, G, 256) i32, bit c*8+a = not excluded
+
+
+def pallas_prepare_v2u(nlist: ClusterPairlist, nbfp) -> PallasPrepV2U:
+    """Pack the union-of-4 lists (+shifts, bitmasks) for the v2u kernel.
+    Requires nlist built with super_nnbr=..., super_block=4 and
+    compute_shifts=True."""
+    from .cluster_nb import lj_table_mode
+    import numpy as _np
+    if not isinstance(nbfp, jax.core.Tracer):
+        assert lj_table_mode(_np.asarray(nbfp)) == "geometric", (
+            "Pallas kernel requires a geometric-combination LJ table")
+    assert nlist.nbr_super is not None, (
+        "build pair list with super_nnbr and super_block=4")
+    n = nlist.inv_perm.shape[0]
+    n_pad = nlist.n_pad
+    C = nlist.n_clusters
+    S = nlist.nbr_super.shape[0]
+    assert S * BU >= C, "pair list built with super_block != 4"
+    C_pad = S * BU
+    nnbr = nlist.nbr_super.shape[1]
+    K = nlist.excl.shape[1]
+    ncl = C_pad + 1
+    extra = ncl * CLUSTER - n_pad
+    nnbr_pad = -(-nnbr // GJU) * GJU
+    G = nnbr_pad // GJU
+
+    def plane(a, fill=0.0):
+        pad = jnp.full((extra,), fill, a.dtype)
+        return jnp.concatenate([a, pad]).reshape(ncl, CLUSTER)
+
+    diag6 = jnp.sqrt(jnp.maximum(jnp.diagonal(nbfp[:, :, 0]), 0.0))
+    diag12 = jnp.sqrt(jnp.maximum(jnp.diagonal(nbfp[:, :, 1]), 0.0))
+    valid = (nlist.perm < n).astype(jnp.float32)
+    pv = valid * (1.0 - nlist.pert)
+
+    q = plane(nlist.q_a)
+    s6 = plane(diag6[nlist.t_a])
+    s12 = plane(diag12[nlist.t_a])
+    pvp = plane(pv)
+
+    nbr_p = jnp.pad(jnp.where(nlist.nbr_super >= 0, nlist.nbr_super, C),
+                    ((0, 0), (0, nnbr_pad - nnbr)), constant_values=C)
+    count = jnp.sum(nbr_p != C, axis=1)
+    ng = (-(-count // GJU)).astype(jnp.int32).reshape(S, 1, 1)
+    nbr2 = nbr_p.reshape(S, G, GJU)
+
+    def jgather(pl2d):
+        return pl2d[nbr2].reshape(S, G, GJU * CLUSTER)
+
+    jid = (nbr2[..., None] * CLUSTER
+           + jnp.arange(CLUSTER, dtype=jnp.int32)).reshape(
+               S, G, GJU * CLUSTER)
+    pvj = jgather(pvp)
+    pvi = pvp[:C_pad].reshape(S, BU, CLUSTER)
+    iid = (jnp.arange(C_pad, dtype=jnp.int32)[:, None] * CLUSTER
+           + jnp.arange(CLUSTER, dtype=jnp.int32)
+           ).reshape(S, BU, CLUSTER)
+    excl = jnp.concatenate(
+        [nlist.excl, jnp.full((extra, K), -1, jnp.int32)])
+    ei = excl[:C_pad * CLUSTER].reshape(S, BU, CLUSTER, K)
+
+    pair_m = jnp.zeros((S, G, GJU * CLUSTER), jnp.int32)
+    excl_m = jnp.zeros((S, G, GJU * CLUSTER), jnp.int32)
+    for c in range(BU):
+        for a in range(CLUSTER):
+            b = c * CLUSTER + a
+            pv_ia = pvi[:, c, a][:, None, None]
+            iid_a = iid[:, c, a][:, None, None]
+            pair = ((pvj > 0) & (pv_ia > 0) & (jid != iid_a))
+            pair_m = pair_m | (pair.astype(jnp.int32) << b)
+            exm = jnp.zeros(jid.shape, bool)
+            for k in range(K):
+                ei_k = ei[:, c, a, k][:, None, None]
+                exm = exm | (jid == ei_k)
+            excl_m = excl_m | ((~exm).astype(jnp.int32) << b)
+
+    def i3(a):
+        return a[:C_pad].reshape(S, BU, CLUSTER)
+
+    return PallasPrepV2U(
+        iq=i3(q), is6=i3(s6), is12=i3(s12), ng=ng, nbr2=nbr2,
+        jq=jgather(q), js6=jgather(s6), js12=jgather(s12),
+        pair_m=pair_m, excl_m=excl_m)
+
+
+def pallas_cluster_forces_v2u(x, box, nlist: ClusterPairlist, nbfp,
+                              params: MdParams, beta,
+                              prep: Optional[PallasPrepV2U] = None,
+                              interpret: bool = False,
+                              compute_energy: bool = True):
+    """(f_sorted (n_pad, 3), e_coul, e_lj) via the v2u union-stream
+    kernel."""
+    if prep is None:
+        prep = pallas_prepare_v2u(nlist, nbfp)
+    n = nlist.inv_perm.shape[0]
+    n_pad = nlist.n_pad
+    S = prep.iq.shape[0]
+    C_pad = S * BU
+    ncl = C_pad + 1
+    extra = ncl * CLUSTER - n_pad
+    G = prep.nbr2.shape[1]
+    L = GJU * CLUSTER
+
+    xs = jnp.where((nlist.perm < n)[:, None],
+                   x[jnp.minimum(nlist.perm, n - 1)],
+                   1e4 + jnp.arange(n_pad, dtype=x.dtype)[:, None])
+    dummy = 2e4 + jnp.arange(extra, dtype=x.dtype)[:, None] * jnp.ones(3)
+    xs = jnp.concatenate([xs, dummy])
+    xx = xs[:, 0].reshape(ncl, CLUSTER)
+    xy = xs[:, 1].reshape(ncl, CLUSTER)
+    xz = xs[:, 2].reshape(ncl, CLUSTER)
+
+    packed = jnp.concatenate([xx, xy, xz], axis=1)            # (ncl, 24)
+    g = packed[prep.nbr2]                                     # (S,G,GJU,24)
+    jx = g[..., 0:CLUSTER].reshape(S, G, L)
+    jy = g[..., CLUSTER:2 * CLUSTER].reshape(S, G, L)
+    jz = g[..., 2 * CLUSTER:].reshape(S, G, L)
+    box_diag = jnp.stack([box[0, 0], box[1, 1], box[2, 2]]).reshape(1, 3)
+
+    epsfac = float(ONE_4PI_EPS0 / params.epsilon_r)
+    kernel = _make_kernel_v2u(G, params, beta, epsfac,
+                              compute_energy=compute_energy)
+
+    iblk = pl.BlockSpec((1, BU, CLUSTER), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    jrow = pl.BlockSpec((1, G, L), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+
+    def i3x(a):
+        return a[:C_pad].reshape(S, BU, CLUSTER)
+
+    fx, fy, fz, e = pl.pallas_call(
+        kernel,
+        grid=(S,),
+        in_specs=[
+            pl.BlockSpec((1, 3), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+            iblk, iblk, iblk,
+            iblk, iblk, iblk,
+            jrow, jrow, jrow,
+            jrow, jrow, jrow,
+            jrow, jrow,
+        ],
+        out_specs=[
+            iblk, iblk, iblk,
+            pl.BlockSpec((1, 1, 2), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((S, BU, CLUSTER), jnp.float32),
+            jax.ShapeDtypeStruct((S, BU, CLUSTER), jnp.float32),
+            jax.ShapeDtypeStruct((S, BU, CLUSTER), jnp.float32),
+            jax.ShapeDtypeStruct((S, 1, 2), jnp.float32),
+        ],
+        interpret=interpret,
+    )(box_diag, prep.ng,
+      i3x(xx), i3x(xy), i3x(xz),
+      prep.iq, prep.is6, prep.is12,
+      jx, jy, jz, prep.jq, prep.js6, prep.js12,
+      prep.pair_m, prep.excl_m)
 
     f_sorted = jnp.stack([fx.reshape(-1)[:n_pad], fy.reshape(-1)[:n_pad],
                           fz.reshape(-1)[:n_pad]], axis=-1)

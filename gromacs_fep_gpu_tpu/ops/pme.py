@@ -330,24 +330,40 @@ def phi_gather(x, box, charges, phi, grid_shape, order: int = 4):
     jj = jnp.arange(order)
     idx = [(gi[:, d:d + 1] - jj[None, :]) % grid_shape[d] for d in range(3)]
 
-    # z one-hots carry the z weights; the (x,y) support is a row gather
+    # z one-hots carry the z weights; the (x,y) support is gathered as
+    # `order` contiguous (order, K3) y-slabs per atom instead of order^2
+    # separate z-lines — XLA TPU gathers cost ~constant per gathered row,
+    # so 4 slab rows beat 16 line rows ~3x at 12k atoms
     cells3 = jnp.arange(K3)
     sel = (idx[2][:, :, None] == cells3[None, None, :])   # (n, order, K3)
     ohz = jnp.sum(ws[2][:, :, None] * sel, axis=1)
     dohz = jnp.sum(dws[2][:, :, None] * sel, axis=1)
-    flat = (idx[0][:, :, None] * K2 + idx[1][:, None, :]).reshape(
-        n, order * order)
-    rows = phi.reshape(K1 * K2, K3)[flat]                 # (n, o*o, K3)
-    pw = jnp.einsum('nrk,nk->nr', rows, ohz, precision=hi)
-    pdz = jnp.einsum('nrk,nk->nr', rows, dohz, precision=hi)
-    wxy = (ws[0][:, :, None] * ws[1][:, None, :]).reshape(n, order * order)
-    dxy = (dws[0][:, :, None] * ws[1][:, None, :]).reshape(n, order * order)
-    xdy = (ws[0][:, :, None] * dws[1][:, None, :]).reshape(n, order * order)
-    dEdu = jnp.stack([jnp.sum(dxy * pw, 1),
-                      jnp.sum(xdy * pw, 1),
-                      jnp.sum(wxy * pdz, 1)], axis=1) * charges[:, None]
+    # y rows y0..y0+order-1 (ascending) correspond to weight index
+    # order-1..0 (idx[1][:, j] = gi_y - j); pad phi in y so the wrapped
+    # window is contiguous in memory
+    y0 = (gi[:, 1] - (order - 1)) % K2                    # (n,)
+    phi_pad = jnp.concatenate([phi, phi[:, :order - 1, :]], axis=1)
+    K2p = K2 + order - 1
+    starts = ((idx[0] * K2p + y0[:, None]) * K3).astype(jnp.int32)  # (n, o)
+    slab = order * K3
+    rows = jax.lax.gather(
+        phi_pad.reshape(-1), starts[..., None],
+        jax.lax.GatherDimensionNumbers(offset_dims=(2,),
+                                       collapsed_slice_dims=(),
+                                       start_index_map=(0,)),
+        slice_sizes=(slab,), mode=jax.lax.GatherScatterMode.CLIP,
+    ).reshape(n, order, order, K3)                        # [x_j, y_t, z]
+    wyr = ws[1][:, ::-1]                                  # y_t weight
+    dwyr = dws[1][:, ::-1]
+    pw = jnp.einsum('nxyk,nk->nxy', rows, ohz, precision=hi)
+    pdz = jnp.einsum('nxyk,nk->nxy', rows, dohz, precision=hi)
+    dEdu = jnp.stack([
+        jnp.einsum('nx,nxy,ny->n', dws[0], pw, wyr, precision=hi),
+        jnp.einsum('nx,nxy,ny->n', ws[0], pw, dwyr, precision=hi),
+        jnp.einsum('nx,nxy,ny->n', ws[0], pdz, wyr, precision=hi),
+    ], axis=1) * charges[:, None]
     forces = -(dEdu * Kv.astype(x.dtype)) @ binv.T
-    dEdq = jnp.sum(wxy * pw, 1)
+    dEdq = jnp.einsum('nx,nxy,ny->n', ws[0], pw, wyr, precision=hi)
     return forces, dEdq
 
 

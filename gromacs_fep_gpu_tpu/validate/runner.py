@@ -31,8 +31,17 @@ def cast_pytree_f64(tree):
     return jax.tree_util.tree_map(cast, tree)
 
 
-def build_force_fn(pp: Preprocessed):
-    """Dense oracle force path + PME reciprocal for the tiny golden boxes."""
+def build_force_fn(pp: Preprocessed, force_path: str = "dense", x0=None):
+    """Force path for the golden runs.
+
+    force_path='dense': the O(N^2) oracle (reference CPU-kernel role).
+    force_path='cluster': the PRODUCTION cluster pair-list kernel
+    (make_cluster_force_fn, the path bench.py times) — the acceptance
+    criterion of the reference fork is exactly production-path == refdata
+    (freeenergy.cpp:159-165).  The golden boxes are triclinic, so this
+    exercises the XLA cluster kernel; the pair list is built once from the
+    initial coordinates with enough margin to stay valid for the 20-step
+    trajectories (motion < 0.02 nm)."""
     from ..core.types import CoulombType
     from ..ops.forces import make_dense_force_fn
     from ..ops.pme import make_pme_recip_fn
@@ -40,7 +49,29 @@ def build_force_fn(pp: Preprocessed):
     recip = None
     if pp.params.coulomb == CoulombType.PME:
         recip = make_pme_recip_fn(pp.system, pp.params)
-    return make_dense_force_fn(pp.system, pp.params, recip)
+    if force_path == "dense":
+        return make_dense_force_fn(pp.system, pp.params, recip)
+    assert force_path == "cluster", force_path
+    import jax.numpy as jnp
+    from ..ops.cluster_nb import make_cluster_force_fn
+    from ..ops.pairlist import (build_cluster_pairlist, build_fep_pairlist,
+                                check_exclusions)
+
+    box = pp.state.box.astype(x0.dtype)
+    rl = pp.params.rlist + 0.1
+    nlist = build_cluster_pairlist(x0, box, pp.system, rl, nnbr=64)
+    assert int(nlist.n_overflow) == 0
+    assert int(check_exclusions(x0, box, pp.system, rl,
+                                skip_perturbed=True)) == 0
+    pert_idx = np.where(np.asarray(pp.system.perturbed))[0]
+    feplist = None
+    if pert_idx.size > 0:
+        feplist = build_fep_pairlist(x0, box, pp.system, rl, pert_idx,
+                                     max_nbr=176)
+        assert int(feplist.n_overflow) == 0
+    inner = make_cluster_force_fn(pp.system, pp.params, recip,
+                                  has_fep=pert_idx.size > 0, block=8)
+    return lambda x, bx, lam: inner(x, bx, lam, nlist, feplist)
 
 
 def constrain_initial(pp: Preprocessed, x, v):
@@ -95,8 +126,8 @@ def run_case_step0(case: GoldenCase) -> Dict[str, float]:
     return evaluate_terms(pp, x, v, pp.state.lam)
 
 
-def run_case(case: GoldenCase, nsteps: Optional[int] = None
-             ) -> Dict[str, np.ndarray]:
+def run_case(case: GoldenCase, nsteps: Optional[int] = None,
+             force_path: str = "dense") -> Dict[str, np.ndarray]:
     """Run the full MD chain and return per-frame reported terms
     (frames 0..nsteps inclusive, like the reference's edr output with
     nstcalcenergy=1)."""
@@ -120,7 +151,7 @@ def run_case(case: GoldenCase, nsteps: Optional[int] = None
         v = remove_com_motion(v, mass)
     state = pp.state.replace(x=x, v=v, lam=lam)
 
-    force_fn = build_force_fn(pp)
+    force_fn = build_force_fn(pp, force_path=force_path, x0=x)
 
     # expanded ensemble / simulated tempering need the foreign-lambda
     # energies and the weight history in the state

@@ -129,3 +129,35 @@ def test_cli_ensemble_replex(tmp_path):
     data, legends = read_xvg("ens.w1.dhdl.xvg")
     assert data.shape[0] > 0
     assert np.isfinite(data).all()
+
+
+def test_cli_pull_outputs(tmp_path):
+    """pull-* mdp keys produce pullx/pullf.xvg through the CLI
+    (reference: pulling/output.cpp; mdp keys readir.cpp pull section)."""
+    os.chdir(tmp_path)
+    make_water_gro("conf.gro")
+    with open("topol.top", "w") as f:
+        f.write(TOP)
+    mdp = MDP.replace("free-energy = yes", "free-energy = no") + """
+pull = yes
+pull-ngroups = 2
+pull-ncoords = 1
+pull-group1-atoms = 1 2 3
+pull-group2-atoms = 40 41 42
+pull-coord1-groups = 1 2
+pull-coord1-type = umbrella
+pull-coord1-init = 0.5
+pull-coord1-k = 500
+pull-nstxout = 5
+"""
+    with open("md.mdp", "w") as f:
+        f.write(mdp)
+    cli_main(["grompp", "-f", "md.mdp", "-p", "topol.top", "-c", "conf.gro",
+              "-o", "topol.tpz"])
+    cli_main(["mdrun", "-s", "topol.tpz", "-deffnm", "md", "-fep", "cpu"])
+    assert os.path.exists("md.pullx.xvg")
+    assert os.path.exists("md.pullf.xvg")
+    x = np.genfromtxt("md.pullx.xvg", comments="@")
+    f_ = np.genfromtxt("md.pullf.xvg", comments="@")
+    assert x.shape == f_.shape and x.shape[1] == 2
+    assert np.isfinite(x).all() and np.isfinite(f_).all()

@@ -32,3 +32,66 @@ def test_pallas_matches_xla_kernel(coulomb):
     scale = float(jnp.abs(f_ref).max())
     np.testing.assert_allclose(np.asarray(f_p), np.asarray(f_ref),
                                atol=2e-5 * scale)
+
+
+@pytest.mark.parametrize("coulomb", [CoulombType.REACTION_FIELD,
+                                     CoulombType.PME])
+@pytest.mark.parametrize("compute_energy", [True, False])
+def test_pallas_v2_matches_xla_kernel(coulomb, compute_energy):
+    """v2 per-cluster-stream kernel (baked-in shifts + pair bitmasks)."""
+    from gromacs_fep_gpu_tpu.ops.pallas_nb import (pallas_cluster_forces_v2,
+                                                   pallas_prepare_v2)
+    params = MdParams(rcoulomb=0.55, rvdw=0.55, rlist=0.6, coulomb=coulomb)
+    system, state = water_box(8, spacing=0.31, seed=30)
+    # (box large enough that build-time shifts are provably valid)
+    # drift an atom out of the box: the image-count handling must keep the
+    # baked-in shifts exact for unwrapped coordinates
+    x = state.x.at[10].add(jnp.array([3.0 * state.box[0, 0], 0.0, 0.0]))
+    beta = 3.5 if coulomb == CoulombType.PME else None
+    nlist = build_cluster_pairlist(x, state.box, system, params.rlist,
+                                   nnbr=96, compute_shifts=True)
+    assert int(nlist.n_overflow) == 0
+
+    f_ref, ec_ref, el_ref = cluster_nb_kernel(
+        x, state.box, nlist, system.nbfp, params, beta, block=16,
+        lj_mode="geometric")
+    prep = pallas_prepare_v2(nlist, system.nbfp)
+    f_p, ec_p, el_p = pallas_cluster_forces_v2(
+        x, state.box, nlist, system.nbfp, params, beta, prep=prep,
+        interpret=True, compute_energy=compute_energy)
+
+    if compute_energy:
+        np.testing.assert_allclose(float(ec_p), float(ec_ref), rtol=1e-5)
+        np.testing.assert_allclose(float(el_p), float(el_ref), rtol=1e-5)
+    scale = float(jnp.abs(f_ref).max())
+    np.testing.assert_allclose(np.asarray(f_p), np.asarray(f_ref),
+                               atol=2e-5 * scale)
+
+
+@pytest.mark.parametrize("coulomb", [CoulombType.REACTION_FIELD,
+                                     CoulombType.PME])
+def test_pallas_v2u_matches_xla_kernel(coulomb):
+    """v2u union-stream kernel (4-cluster i-blocks, bitmask pair masks)."""
+    from gromacs_fep_gpu_tpu.ops.pallas_nb import (pallas_cluster_forces_v2u,
+                                                   pallas_prepare_v2u)
+    params = MdParams(rcoulomb=0.55, rvdw=0.55, rlist=0.6, coulomb=coulomb)
+    system, state = water_box(8, spacing=0.31, seed=30)
+    x = state.x.at[10].add(jnp.array([3.0 * state.box[0, 0], 0.0, 0.0]))
+    beta = 3.5 if coulomb == CoulombType.PME else None
+    nlist = build_cluster_pairlist(x, state.box, system, params.rlist,
+                                   nnbr=96, super_nnbr=192, super_block=4)
+    assert int(nlist.n_overflow) == 0 and int(nlist.super_overflow) == 0
+
+    f_ref, ec_ref, el_ref = cluster_nb_kernel(
+        x, state.box, nlist, system.nbfp, params, beta, block=16,
+        lj_mode="geometric")
+    prep = pallas_prepare_v2u(nlist, system.nbfp)
+    f_p, ec_p, el_p = pallas_cluster_forces_v2u(
+        x, state.box, nlist, system.nbfp, params, beta, prep=prep,
+        interpret=True)
+
+    np.testing.assert_allclose(float(ec_p), float(ec_ref), rtol=1e-5)
+    np.testing.assert_allclose(float(el_p), float(el_ref), rtol=1e-5)
+    scale = float(jnp.abs(f_ref).max())
+    np.testing.assert_allclose(np.asarray(f_p), np.asarray(f_ref),
+                               atol=2e-5 * scale)
