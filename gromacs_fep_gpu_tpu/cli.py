@@ -93,6 +93,9 @@ def cmd_mdrun(args):
         b = np.asarray(data["box"], dtype=np.float64)
         if np.abs(b - np.diag(np.diag(b))).max() > 1e-6:
             use_pallas = False
+    if getattr(args, "rerun", None):
+        return _do_rerun(args, system, params, state, lam_arr)
+
     runner = MdRunner(system, params,
                       RunnerConfig(use_pallas=use_pallas),
                       all_lambda=lam_arr)
@@ -162,6 +165,91 @@ def cmd_mdrun(args):
     print(runner.wallcycle.report())
     print(f"\nPerformance: {ns_day:10.3f} ns/day  ({wall:.1f} s wall, "
           f"{params.nsteps} steps, {system.n_atoms} atoms)")
+
+
+def _do_rerun(args, system, params, state, lam_arr):
+    """Recompute energies/forces/dhdl over an existing TRR trajectory
+    (reference: src/gromacs/mdrun/rerun.cpp:168) — the MBAR
+    post-processing workflow: run once, evaluate at every lambda later."""
+    import jax
+    import jax.numpy as jnp
+    from .io.trrio import read_trr_frame, scan_trr
+    from .io.xvgio import write_dhdl_xvg
+    from .md.verletbuf import effective_rlist
+    from .ops.cluster_nb import make_cluster_force_fn
+    from .ops.foreign import make_foreign_delta_fn
+    from .ops.pairlist import build_cluster_pairlist, build_fep_pairlist
+
+    natoms, nframes = scan_trr(args.rerun)
+    if natoms != system.n_atoms:
+        raise SystemExit(f"rerun trajectory has {natoms} atoms, "
+                         f"topology has {system.n_atoms}")
+    recip_fn = recip_force_fn = None
+    from .core.types import CoulombType
+    if params.coulomb == CoulombType.PME:
+        from .ops.pme import make_pme_recip_pair
+        recip_fn, recip_force_fn = make_pme_recip_pair(system, params)
+    pert_idx = np.where(np.asarray(system.perturbed))[0]
+    has_fep = pert_idx.size > 0
+    force_fn = make_cluster_force_fn(system, params, recip_fn,
+                                     has_fep=has_fep,
+                                     pme_recip_force_fn=recip_force_fn)
+    foreign_fn = None
+    if lam_arr is not None:
+        foreign_fn = make_foreign_delta_fn(system, params,
+                                           jnp.asarray(lam_arr), recip_fn)
+    frame0 = read_trr_frame(args.rerun, 0, natoms)
+    vol = float(np.abs(np.linalg.det(frame0["box"])))
+    rl = effective_rlist(params, system=system, volume=vol)
+    cell_size = max((8.0 * vol / max(system.n_atoms, 1)) ** (1.0 / 3.0),
+                    0.15)
+    nnbr, fep_max = 96, 256
+
+    def make_eval(nnbr, fep_max):
+        @jax.jit
+        def ev(x, box, lam):
+            nlist = build_cluster_pairlist(x, box, system, rl, nnbr=nnbr,
+                                           cell_size=cell_size)
+            feplist = (build_fep_pairlist(x, box, system, rl, pert_idx,
+                                          max_nbr=fep_max)
+                       if has_fep else None)
+            _, terms = force_fn(x, box, lam, nlist, feplist)
+            dh = (foreign_fn(x, box, lam, feplist)
+                  if foreign_fn is not None
+                  else jnp.zeros((0,), x.dtype))
+            ovf = nlist.n_overflow + (feplist.n_overflow if feplist
+                                      is not None else 0)
+            return terms, dh, ovf
+        return ev
+
+    ev = make_eval(nnbr, fep_max)
+    rows, dvdls, dhs, times = [], [], [], []
+    i = 0
+    while i < nframes:
+        fr = read_trr_frame(args.rerun, i, natoms)
+        x = jnp.asarray(fr["x"])
+        box = jnp.asarray(fr["box"])
+        lam = state.lam
+        terms, dh, ovf = ev(x, box, lam)
+        if int(ovf) > 0:
+            nnbr, fep_max = nnbr * 2, fep_max * 2
+            ev = make_eval(nnbr, fep_max)
+            continue
+        times.append(fr["time"])
+        rows.append([fr["time"], float(terms.epot)])
+        dvdls.append(np.asarray(terms.dvdl))
+        dhs.append(np.asarray(dh))
+        i += 1
+    deffnm = args.deffnm
+    np.savetxt(f"{deffnm}.ener.csv", np.asarray(rows),
+               header="time epot", comments="# ")
+    if lam_arr is not None:
+        write_dhdl_xvg(f"{deffnm}.dhdl.xvg", np.asarray(times),
+                       np.asarray(dvdls), np.asarray(dhs),
+                       np.asarray(lam_arr),
+                       max(int(params.fep.init_lambda_state), 0),
+                       temperature=params.ref_t)
+    print(f"rerun: {len(rows)} frames evaluated from {args.rerun}")
 
 
 def cmd_ensemble(args):
@@ -338,6 +426,9 @@ def main(argv=None):
     m.add_argument("-deffnm", default="md")
     m.add_argument("-nsteps", type=int, default=None)
     m.add_argument("-cpi", default=None, help="checkpoint to restart from")
+    m.add_argument("-rerun", default=None, metavar="TRR",
+                   help="recompute energies/dhdl over an existing "
+                        "trajectory (reference: mdrun/rerun.cpp)")
     m.add_argument("-fep", choices=["auto", "cpu", "tpu"], default="auto",
                    help="FEP kernel target (parity with the reference's "
                    "mdrun -fep flag)")

@@ -54,6 +54,9 @@ class MoleculeType:
     vsites2: List[Tuple] = dataclasses.field(default_factory=list)   # ((s,i,j),(a,))
     vsites3: List[Tuple] = dataclasses.field(default_factory=list)   # ((s,i,j,k),(a,b))
     vsites3out: List[Tuple] = dataclasses.field(default_factory=list)  # ((s,i,j,k),(a,b,c))
+    vsites3fd: List[Tuple] = dataclasses.field(default_factory=list)   # ((s,i,j,k),(a,d))
+    vsites3fad: List[Tuple] = dataclasses.field(default_factory=list)  # ((s,i,j,k),(dcos,dsin))
+    vsites4fdn: List[Tuple] = dataclasses.field(default_factory=list)  # ((s,i,j,k,l),(a,b,c))
     # explicit extra exclusions beyond bond graph
     extra_exclusions: List[Tuple[int, int]] = dataclasses.field(default_factory=list)
     nrexcl: int = 3
@@ -71,7 +74,8 @@ class MoleculeType:
         edges += [(int(c[0]), int(c[1])) for c in self.constraints
                   if len(c) <= 4]
         # virtual sites inherit connectivity from their first constructor
-        for row in self.vsites2 + self.vsites3 + self.vsites3out:
+        for row in (self.vsites2 + self.vsites3 + self.vsites3out
+                    + self.vsites3fd + self.vsites3fad + self.vsites4fdn):
             edges.append((int(row[0][0]), int(row[0][1])))
         if self.settle is not None:
             o, h1, h2 = self.settle[:3]
@@ -201,14 +205,27 @@ def build_system(molecules: Sequence[Tuple[MoleculeType, int]],
                 pair14_rows.append((off(idx), sa, sb))
             for row in mol.vsites2:
                 (sid, i, j), pars = row[0], row[1]
-                vsite_rows.append((off((sid, i, j, i)),
+                vsite_rows.append((off((sid, i, j, i, i)),
                                    (pars[0], 0.0, 0.0), 2))
             for row in mol.vsites3:
-                idx, pars = row[0], row[1]
-                vsite_rows.append((off(idx), (pars[0], pars[1], 0.0), 3))
+                (sid, i, j, k), pars = row[0], row[1]
+                vsite_rows.append((off((sid, i, j, k, i)),
+                                   (pars[0], pars[1], 0.0), 3))
             for row in mol.vsites3out:
+                (sid, i, j, k), pars = row[0], row[1]
+                vsite_rows.append((off((sid, i, j, k, i)),
+                                   tuple(pars[:3]), 4))
+            for row in mol.vsites3fd:
+                (sid, i, j, k), pars = row[0], row[1]
+                vsite_rows.append((off((sid, i, j, k, i)),
+                                   (pars[0], pars[1], 0.0), 5))
+            for row in mol.vsites3fad:
+                (sid, i, j, k), pars = row[0], row[1]
+                vsite_rows.append((off((sid, i, j, k, i)),
+                                   (pars[0], pars[1], 0.0), 6))
+            for row in mol.vsites4fdn:
                 idx, pars = row[0], row[1]
-                vsite_rows.append((off(idx), tuple(pars[:3]), 4))
+                vsite_rows.append((off(idx), tuple(pars[:3]), 7))
             if mol.settle is not None:
                 o, h1, h2, doh, dhh = mol.settle
                 settle_rows.append((off((o, h1, h2)), doh, dhh))

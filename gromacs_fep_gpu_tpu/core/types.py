@@ -123,11 +123,12 @@ class Exclusions:
 @struct.dataclass
 class VirtualSites:
     """Massless interaction sites constructed from real atoms
-    (reference: mdlib/vsite.cpp; types vsite2, vsite3, vsite3out).
+    (reference: mdlib/vsite.cpp construction table :906).
 
-    atoms: (n, 4) int32 = (site, i, j, k); k unused for 2-body (=i).
-    params: (n, 3) = (a, b, c); kind: (n,) int32 (2=vsite2, 3=vsite3
-    in-plane, 4=vsite3out); mask: (n,).
+    atoms: (n, 5) int32 = (site, i, j, k, l); unused trailing atoms = i.
+    params: (n, 3) = (a, b, c); kind: (n,) int32 — 2=vsite2, 3=vsite3
+    in-plane, 4=vsite3out, 5=vsite3fd, 6=vsite3fad (a=d cos(theta),
+    b=d sin(theta)), 7=vsite4fdn; mask: (n,).
     """
     atoms: Array
     params: Array
@@ -136,7 +137,7 @@ class VirtualSites:
 
     @staticmethod
     def empty() -> "VirtualSites":
-        return VirtualSites(atoms=jnp.zeros((0, 4), jnp.int32),
+        return VirtualSites(atoms=jnp.zeros((0, 5), jnp.int32),
                             params=jnp.zeros((0, 3), jnp.float32),
                             kind=jnp.zeros((0,), jnp.int32),
                             mask=jnp.zeros((0,), jnp.float32))

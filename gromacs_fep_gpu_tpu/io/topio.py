@@ -274,6 +274,9 @@ class _RawMol:
     vsites2: List[Tuple] = dataclasses.field(default_factory=list)
     vsites3: List[Tuple] = dataclasses.field(default_factory=list)
     vsites3out: List[Tuple] = dataclasses.field(default_factory=list)
+    vsites3fd: List[Tuple] = dataclasses.field(default_factory=list)
+    vsites3fad: List[Tuple] = dataclasses.field(default_factory=list)
+    vsites4fdn: List[Tuple] = dataclasses.field(default_factory=list)
 
 
 def parse_top(text: str, include_dirs: Optional[List[str]] = None,
@@ -382,10 +385,29 @@ def parse_top(text: str, include_dirs: Optional[List[str]] = None,
             vals = [float(v) for v in t[5:]]
             if funct == 1:
                 cur.vsites3.append(((sid, ai, aj, ak), (vals[0], vals[1])))
+            elif funct == 2:      # 3fd: (a, d)
+                cur.vsites3fd.append(((sid, ai, aj, ak),
+                                      (vals[0], vals[1])))
+            elif funct == 3:      # 3fad: (theta_deg, d) -> (d cos, d sin)
+                import math as _math
+                th = _math.radians(vals[0])
+                cur.vsites3fad.append(((sid, ai, aj, ak),
+                                       (vals[1] * _math.cos(th),
+                                        vals[1] * _math.sin(th))))
             elif funct == 4:
                 cur.vsites3out.append(((sid, ai, aj, ak), tuple(vals[:3])))
             else:
                 raise ValueError(f"virtual_sites3 funct {funct} unsupported")
+        elif section == "virtual_sites4":
+            sid, ai, aj, ak, al = (int(t[0]) - 1, int(t[1]) - 1,
+                                   int(t[2]) - 1, int(t[3]) - 1,
+                                   int(t[4]) - 1)
+            funct = int(t[5])
+            vals = [float(v) for v in t[6:]]
+            if funct != 2:
+                raise ValueError(f"virtual_sites4 funct {funct} unsupported "
+                                 "(only 2 = 4fdn)")
+            cur.vsites4fdn.append(((sid, ai, aj, ak, al), tuple(vals[:3])))
         elif section == "system":
             system_name = s
         elif section == "molecules":
@@ -539,6 +561,9 @@ def _resolve_molecule(raw: _RawMol, atomtypes: Dict[str, AtomType],
         mol.posres.append(((ai,), (0.0, 0.0, 0.0) + ka,
                            (0.0, 0.0, 0.0) + kb))
     mol.vsites2 = raw.vsites2
+    mol.vsites3fd = raw.vsites3fd
+    mol.vsites3fad = raw.vsites3fad
+    mol.vsites4fdn = raw.vsites4fdn
     mol.vsites3 = raw.vsites3
     mol.vsites3out = raw.vsites3out
     return mol

@@ -103,13 +103,17 @@ def make_step_fn(system: System, params: MdParams, force_fn: Callable,
                  foreign_delta_fn: Optional[Callable] = None,
                  n_foreign: int = 0,
                  all_lambda=None,
-                 force_fn_noener: Optional[Callable] = None):
+                 force_fn_noener: Optional[Callable] = None,
+                 temp_ladder=None):
     """force_fn(x, box, lam) -> (f, EnergyTerms).
     foreign_delta_fn(x, box, lam) -> (n_foreign,) Delta-H vector, evaluated
     every fep.nstdhdl steps (reference: mdebin_bar.cpp Delta-H collection)
     and at expanded-ensemble MC steps.
     all_lambda: (7, L) per-component lambda matrix; required for expanded
-    ensemble / simulated tempering (params.expanded is not None)."""
+    ensemble / simulated tempering (params.expanded is not None).
+    temp_ladder: (L,) per-replica thermostat temperatures indexed by
+    state.fep_state — T-replica-exchange mode (the multisim analogue,
+    reference: replicaexchange.cpp T branch)."""
     ndf = degrees_of_freedom(system, params)
     dt = params.dt
     has_constraints = constr_mod.n_constraints(system) > 0
@@ -256,6 +260,9 @@ def make_step_fn(system: System, params: MdParams, force_fn: Callable,
         ref_t_eff = params.ref_t
         if sim_temps is not None:
             ref_t_eff = jnp.asarray(sim_temps, state.x.dtype)[tstate_idx]
+        elif temp_ladder is not None:
+            ref_t_eff = jnp.asarray(temp_ladder,
+                                    state.x.dtype)[state.fep_state]
 
         # --- thermostat scale (applied in the update) ---
         # Leapfrog uses the half-step-average T of the PREVIOUS step's

@@ -27,17 +27,42 @@ def construct_vsites(x: jnp.ndarray, vs: VirtualSites) -> jnp.ndarray:
         return x
     site, ai, aj, ak = (vs.atoms[:, 0], vs.atoms[:, 1], vs.atoms[:, 2],
                         vs.atoms[:, 3])
+    al = vs.atoms[:, 4]
     a = vs.params[:, 0:1]
     b = vs.params[:, 1:2]
     c = vs.params[:, 2:3]
-    xi, xj, xk = x[ai], x[aj], x[ak]
+    xi, xj, xk, xl = x[ai], x[aj], x[ak], x[al]
     rij = xj - xi
     rik = xk - xi
+    rjk = xk - xj
     p2 = (1.0 - a) * xi + a * xj
     p3 = xi + a * rij + b * rik
     p4 = xi + a * rij + b * rik + c * jnp.cross(rij, rik)
-    pos = jnp.where(vs.kind[:, None] == 2, p2,
-                    jnp.where(vs.kind[:, None] == 3, p3, p4))
+    # 3fd (reference: vsite.cpp constr_vsite3FD:471): site at distance b
+    # from i along the line i -> (point a on jk)
+    t5 = rij + a * rjk
+    inv5 = jax.lax.rsqrt(jnp.sum(t5 * t5, -1, keepdims=True) + 1e-30)
+    p5 = xi + b * inv5 * t5
+    # 3fad (constr_vsite3FAD:523): a = d cos(theta), b = d sin(theta)
+    invdij = jax.lax.rsqrt(jnp.sum(rij * rij, -1, keepdims=True) + 1e-30)
+    c1 = invdij * invdij * jnp.sum(rij * rjk, -1, keepdims=True)
+    xp = rjk - c1 * rij
+    invxp = jax.lax.rsqrt(jnp.sum(xp * xp, -1, keepdims=True) + 1e-30)
+    p6 = xi + a * invdij * rij + b * invxp * xp
+    # 4fdn (constr_vsite4FDN:711)
+    ril = xl - xi
+    rja = a * rik - rij
+    rjb = b * ril - rij
+    rm = jnp.cross(rja, rjb)
+    invrm = jax.lax.rsqrt(jnp.sum(rm * rm, -1, keepdims=True) + 1e-30)
+    p7 = xi + c * invrm * rm
+    k = vs.kind[:, None]
+    pos = jnp.where(k == 2, p2,
+                    jnp.where(k == 3, p3,
+                              jnp.where(k == 4, p4,
+                                        jnp.where(k == 5, p5,
+                                                  jnp.where(k == 6, p6,
+                                                            p7)))))
     pos = jnp.where(vs.mask[:, None] > 0, pos, x[site])
     return x.at[site].set(pos)
 

@@ -22,6 +22,7 @@ mesh via jax.sharding when the grid is distributed (parallel/spatial.py).
 from __future__ import annotations
 
 import math
+import os
 from functools import partial
 from typing import Optional, Tuple
 
@@ -33,6 +34,33 @@ from ..core import pbc as pbc_mod
 from ..core.types import FepCoupling, MdParams, System
 from ..core.units import ONE_4PI_EPS0
 from .nonbonded_ref import ewald_beta
+
+# MXU pass count for the spread/DFT matmuls (env tier, like the
+# reference's GMX_* toggles): fp32 operands on the TPU MXU are decomposed
+# into bf16 passes — 'high' = 3 passes (default; measured reciprocal
+# forces within 2e-4 rel of the 6-pass result, inside the reference's
+# single-precision force gate, freeenergy.cpp:115-136), 'highest' = 6
+# passes (refdata-grade).
+_PME_PRECISION = {"highest": "highest", "high": "high",
+                  "default": "default"}[
+                      os.environ.get("TPUMD_PME_PRECISION", "high")]
+
+
+def _prec():
+    import jax
+    return jax.lax.Precision(_PME_PRECISION)
+
+
+def _edd_kmax(grid_shape, spacing: float) -> int:
+    """k-space cutoff for the FEP delta-charge correction sum: modes with
+    exp(-pi^2 m^2 / beta^2 L^2) below ~1e-2 contribute <2e-4 to the
+    perturbed-atom forces (measured); the needed kmax scales with the box
+    edge L ~ max(grid)*spacing.  Env override: TPUMD_EDD_KMAX."""
+    env = os.environ.get("TPUMD_EDD_KMAX")
+    if env is not None:
+        return int(env)
+    L = max(grid_shape) * spacing
+    return int(min(max(grid_shape) // 2, max(8, math.ceil(2.5 * L))))
 
 
 def good_fft_size(n: int) -> int:
@@ -154,7 +182,7 @@ def make_dft_matrices(grid_shape):
 def _axis_dft(re, im, cos_np, sin_np, axis):
     """Apply one complex DFT along `axis` via real matmuls."""
     dt = re.dtype
-    hi = jax.lax.Precision.HIGHEST
+    hi = _prec()
     cos_m = jnp.asarray(cos_np, dt)
     sin_m = jnp.asarray(sin_np, dt)
     re_m = jnp.moveaxis(re, axis, -1)
@@ -204,7 +232,7 @@ def spread_charges(x, box, charges, grid_shape, order: int = 4,
 
     if n <= chunk:
         u = (oh[1][:, :, None] * oh[2][:, None, :]).reshape(n, K2 * K3)
-        grid = jnp.dot(qwx.T, u, precision=jax.lax.Precision.HIGHEST,
+        grid = jnp.dot(qwx.T, u, precision=_prec(),
                        preferred_element_type=x.dtype)
         return grid.reshape(grid_shape)
 
@@ -218,7 +246,7 @@ def spread_charges(x, box, charges, grid_shape, order: int = 4,
     def body(acc, args):
         a, b, c = args
         u = (b[:, :, None] * c[:, None, :]).reshape(chunk, K2 * K3)
-        return acc + jnp.dot(a.T, u, precision=jax.lax.Precision.HIGHEST,
+        return acc + jnp.dot(a.T, u, precision=_prec(),
                              preferred_element_type=x.dtype), None
 
     grid0 = jnp.zeros((K1, K2 * K3), x.dtype)
@@ -317,7 +345,7 @@ def phi_gather(x, box, charges, phi, grid_shape, order: int = 4):
     the B-spline (derivative) weights."""
     n = x.shape[0]
     K1, K2, K3 = grid_shape
-    hi = jax.lax.Precision.HIGHEST
+    hi = _prec()
     Kv = jnp.array(grid_shape)
     binv = pbc_mod.inv3(box)
     s = x @ binv
@@ -330,40 +358,24 @@ def phi_gather(x, box, charges, phi, grid_shape, order: int = 4):
     jj = jnp.arange(order)
     idx = [(gi[:, d:d + 1] - jj[None, :]) % grid_shape[d] for d in range(3)]
 
-    # z one-hots carry the z weights; the (x,y) support is gathered as
-    # `order` contiguous (order, K3) y-slabs per atom instead of order^2
-    # separate z-lines — XLA TPU gathers cost ~constant per gathered row,
-    # so 4 slab rows beat 16 line rows ~3x at 12k atoms
+    # z one-hots carry the z weights; the (x,y) support is a row gather
     cells3 = jnp.arange(K3)
     sel = (idx[2][:, :, None] == cells3[None, None, :])   # (n, order, K3)
     ohz = jnp.sum(ws[2][:, :, None] * sel, axis=1)
     dohz = jnp.sum(dws[2][:, :, None] * sel, axis=1)
-    # y rows y0..y0+order-1 (ascending) correspond to weight index
-    # order-1..0 (idx[1][:, j] = gi_y - j); pad phi in y so the wrapped
-    # window is contiguous in memory
-    y0 = (gi[:, 1] - (order - 1)) % K2                    # (n,)
-    phi_pad = jnp.concatenate([phi, phi[:, :order - 1, :]], axis=1)
-    K2p = K2 + order - 1
-    starts = ((idx[0] * K2p + y0[:, None]) * K3).astype(jnp.int32)  # (n, o)
-    slab = order * K3
-    rows = jax.lax.gather(
-        phi_pad.reshape(-1), starts[..., None],
-        jax.lax.GatherDimensionNumbers(offset_dims=(2,),
-                                       collapsed_slice_dims=(),
-                                       start_index_map=(0,)),
-        slice_sizes=(slab,), mode=jax.lax.GatherScatterMode.CLIP,
-    ).reshape(n, order, order, K3)                        # [x_j, y_t, z]
-    wyr = ws[1][:, ::-1]                                  # y_t weight
-    dwyr = dws[1][:, ::-1]
-    pw = jnp.einsum('nxyk,nk->nxy', rows, ohz, precision=hi)
-    pdz = jnp.einsum('nxyk,nk->nxy', rows, dohz, precision=hi)
-    dEdu = jnp.stack([
-        jnp.einsum('nx,nxy,ny->n', dws[0], pw, wyr, precision=hi),
-        jnp.einsum('nx,nxy,ny->n', ws[0], pw, dwyr, precision=hi),
-        jnp.einsum('nx,nxy,ny->n', ws[0], pdz, wyr, precision=hi),
-    ], axis=1) * charges[:, None]
+    flat = (idx[0][:, :, None] * K2 + idx[1][:, None, :]).reshape(
+        n, order * order)
+    rows = phi.reshape(K1 * K2, K3)[flat]                 # (n, o*o, K3)
+    pw = jnp.einsum('nrk,nk->nr', rows, ohz, precision=hi)
+    pdz = jnp.einsum('nrk,nk->nr', rows, dohz, precision=hi)
+    wxy = (ws[0][:, :, None] * ws[1][:, None, :]).reshape(n, order * order)
+    dxy = (dws[0][:, :, None] * ws[1][:, None, :]).reshape(n, order * order)
+    xdy = (ws[0][:, :, None] * dws[1][:, None, :]).reshape(n, order * order)
+    dEdu = jnp.stack([jnp.sum(dxy * pw, 1),
+                      jnp.sum(xdy * pw, 1),
+                      jnp.sum(wxy * pdz, 1)], axis=1) * charges[:, None]
     forces = -(dEdu * Kv.astype(x.dtype)) @ binv.T
-    dEdq = jnp.einsum('nx,nxy,ny->n', ws[0], pw, wyr, precision=hi)
+    dEdq = jnp.sum(wxy * pw, 1)
     return forces, dEdq
 
 
@@ -411,7 +423,7 @@ def make_pme_recip_fn(system: System, params: MdParams,
     fep_q = pert.size > 0
     pert_idx = jnp.asarray(pert, jnp.int32)
     dq_pert = jnp.asarray(dq_np[pert], jnp.float32)
-    kmax = min(max(grid_shape) // 2, 32)
+    kmax = _edd_kmax(grid_shape, params.fourier_spacing)
 
     def recip_fn(x, box, lam_c):
         vol = pbc_mod.box_volume(box)
@@ -457,7 +469,7 @@ def make_pme_recip_pair(system: System, params: MdParams,
     fep_q = pert.size > 0
     pert_idx = jnp.asarray(pert, jnp.int32)
     dq_pert = jnp.asarray(dq_np[pert], jnp.float32)
-    kmax = min(max(grid_shape) // 2, 32)
+    kmax = _edd_kmax(grid_shape, params.fourier_spacing)
 
     def _edd(xp, box, dq):
         return ewald_reciprocal_exact(xp, box, dq, beta, kmax)

@@ -161,3 +161,29 @@ pull-nstxout = 5
     f_ = np.genfromtxt("md.pullf.xvg", comments="@")
     assert x.shape == f_.shape and x.shape[1] == 2
     assert np.isfinite(x).all() and np.isfinite(f_).all()
+
+
+def test_cli_rerun(tmp_path):
+    """mdrun -rerun recomputes energies/dhdl over a written trajectory
+    and matches the in-run dhdl log (reference: mdrun/rerun.cpp:168)."""
+    os.chdir(tmp_path)
+    make_water_gro("conf.gro")
+    with open("topol.top", "w") as f:
+        f.write(TOP)
+    with open("md.mdp", "w") as f:
+        f.write(MDP + "nstxout = 10\n")
+    cli_main(["grompp", "-f", "md.mdp", "-p", "topol.top", "-c", "conf.gro",
+              "-o", "topol.tpz"])
+    cli_main(["mdrun", "-s", "topol.tpz", "-deffnm", "md", "-fep", "cpu"])
+    assert os.path.exists("md.trr")
+    cli_main(["mdrun", "-s", "topol.tpz", "-deffnm", "rr", "-fep", "cpu",
+              "-rerun", "md.trr"])
+    assert os.path.exists("rr.ener.csv")
+    assert os.path.exists("rr.dhdl.xvg")
+    e = np.genfromtxt("rr.ener.csv")
+    assert np.isfinite(e).all() and e.shape[0] >= 2
+    # the rerun potential at the final frame must match the in-run value
+    run_e = np.genfromtxt("md.ener.csv")
+    t_last = e[-1, 0]
+    row = run_e[np.argmin(np.abs(run_e[:, 0] - t_last))]
+    assert abs(row[1] - e[-1, 1]) < 2e-3 * abs(row[1]) + 0.5

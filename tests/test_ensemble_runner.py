@@ -49,3 +49,33 @@ def test_ensemble_fep_run_with_exchange():
     lam_idx = np.concatenate(idx_rows)
     legs, total, err = bar_profile(delta_h, lam_idx, 300.0, skip_frac=0.0)
     assert np.isfinite(total)
+
+
+def test_temperature_replica_exchange():
+    """T-RE: per-replica thermostat temperatures, beta-difference
+    Metropolis, velocity rescale on swap (reference:
+    replicaexchange.cpp:867 T branch + scale_velocities)."""
+    L = 4
+    temps = np.array([300.0, 330.0, 363.0, 400.0])
+    all_lambda = lambda_schedule(L) * 0.0     # no FEP ladder
+    params = MdParams(dt=0.002, nstlist=10,
+                      coulomb=CoulombType.REACTION_FIELD,
+                      rcoulomb=0.58, rvdw=0.58, rlist=0.64, nstcomm=0,
+                      tcoupl=TcouplType.V_RESCALE, ref_t=300.0,
+                      nsttcouple=1, tau_t=0.2,
+                      fep=FepParams(enabled=False))
+    system, state0 = solvation_system(n_side=3, spacing=0.4, seed=11,
+                                      temperature=300.0, decouple=False)
+    runner = EnsembleRunner(system, params, all_lambda,
+                            config=EnsembleConfig(nstexchange=20, nnbr=96,
+                                                  fep_max_nbr=128),
+                            temperatures=temps)
+    states = stack_states(state0, all_lambda, seed=9)
+    # replica index drives the per-window thermostat temperature
+    states = states.replace(
+        fep_state=jnp.arange(L, dtype=states.fep_state.dtype))
+    states, logs, n_acc = runner.run(states, 80)
+    assert np.isfinite(np.asarray(logs[-1].epot)).all()
+    # hot replicas must thermalize hotter than cold ones
+    t_end = np.asarray(logs[-1].temp)[:, -1]
+    assert t_end[-1] > t_end[0]
