@@ -1103,7 +1103,15 @@ GJU = 32        # j-clusters per group in the union stream (256 lanes)
 
 
 def _make_kernel_v2u(n_groups: int, params: MdParams, beta, epsfac: float,
-                     compute_energy: bool = True):
+                     compute_energy: bool = True,
+                     baked_shifts: bool = False):
+    """baked_shifts: j coordinates arrive pre-shifted to the i-block's
+    periodic image (rebuild-time shifts folded in by the caller, the
+    reference's per-entry shift-vector index, nbnxm/pairlist.h) — the
+    in-loop floor minimum-image folds (15 VPU ops per tile) drop out.
+    The force accumulators stay at full (BU, 8, 256) tile shape through
+    the j loop and are lane-reduced once at the end (the CUDA kernel's
+    end-of-kernel i-force reduction, nbnxm_cuda_kernel.cuh:688)."""
     rc2 = params.rcoulomb ** 2
     rv2 = params.rvdw ** 2
     rcinv6 = 1.0 / params.rvdw ** 6
@@ -1134,8 +1142,14 @@ def _make_kernel_v2u(n_groups: int, params: MdParams, beta, epsfac: float,
         xi_y = col(iy_ref)
         xi_z = col(iz_ref)
         qi = col(iq_ref) * epsfac
-        s6i = col(is6_ref)
-        s12i = col(is12_ref)
+        if compute_energy:
+            s6i = col(is6_ref)
+            s12i = col(is12_ref)
+        else:
+            # force-only flavor: fold the 6/12 prefactors into the i-side
+            # LJ streams once per program instead of per pair
+            s6i = col(is6_ref) * 6.0
+            s12i = col(is12_ref) * 12.0
         # bit index c*8 + a for the (cluster, atom) sublane pair
         sh = (jax.lax.broadcasted_iota(jnp.int32, (BU, CLUSTER, 1), 0)
               * CLUSTER
@@ -1155,17 +1169,17 @@ def _make_kernel_v2u(n_groups: int, params: MdParams, beta, epsfac: float,
             pairb = ((pm >> sh) & 1).astype(jnp.float32)     # (BU, 8, 256)
             inclb = ((em >> sh) & 1).astype(jnp.float32)
 
-            # rectangular minimum image (the union stream is shared by 4
-            # i-clusters, so a single per-entry shift cannot serve all of
-            # them exactly when a block straddles a Hilbert jump; the
-            # floor-fold is exact for every image)
             dx = xi_x - xj
             dy = xi_y - yj
             dz = xi_z - zj
-            dx = dx - jnp.floor(dx * ibx + 0.5) * bx
-            dy = dy - jnp.floor(dy * iby + 0.5) * by
-            dz = dz - jnp.floor(dz * ibz + 0.5) * bz
-            r2 = jnp.maximum(dx * dx + dy * dy + dz * dz, R2_FLOOR)
+            if not baked_shifts:
+                # rectangular minimum image resolved in-loop
+                dx = dx - jnp.floor(dx * ibx + 0.5) * bx
+                dy = dy - jnp.floor(dy * iby + 0.5) * by
+                dz = dz - jnp.floor(dz * ibz + 0.5) * bz
+            # upper clamp bounds padding-lane distances (dummy atoms sit
+            # far away) so the Ewald polynomial can't overflow fp32
+            r2 = jnp.clip(dx * dx + dy * dy + dz * dz, R2_FLOOR, 1e6)
             rinv = jax.lax.rsqrt(r2)
             rinv2 = rinv * rinv
 
@@ -1176,7 +1190,10 @@ def _make_kernel_v2u(n_groups: int, params: MdParams, beta, epsfac: float,
             c12 = s12i * s12j
             rinv6 = jnp.minimum(rinv2 * rinv2 * rinv2, 1e15)
             rinv12 = rinv6 * rinv6
-            f_lj = (12.0 * c12 * rinv12 - 6.0 * c6 * rinv6) * rinv2 * in_v
+            if compute_energy:
+                f_lj = (12.0 * c12 * rinv12 - 6.0 * c6 * rinv6) * rinv2 * in_v
+            else:
+                f_lj = (c12 * rinv12 - c6 * rinv6) * rinv2 * in_v
 
             qq = qi * qj
             if params.coulomb == CoulombType.REACTION_FIELD:
@@ -1198,9 +1215,9 @@ def _make_kernel_v2u(n_groups: int, params: MdParams, beta, epsfac: float,
                 f_c = qq * inclb * rinv2 * rinv * in_c
 
             fscal = f_lj + f_c
-            fx = fx + jnp.sum(fscal * dx, axis=2)
-            fy = fy + jnp.sum(fscal * dy, axis=2)
-            fz = fz + jnp.sum(fscal * dz, axis=2)
+            fx = fx + fscal * dx
+            fy = fy + fscal * dy
+            fz = fz + fscal * dz
             if compute_energy:
                 e_lj_pair = (c12 * rinv12 - c6 * rinv6
                              - (c12 * rcinv6 * rcinv6 - c6 * rcinv6)) * in_v
@@ -1215,13 +1232,13 @@ def _make_kernel_v2u(n_groups: int, params: MdParams, beta, epsfac: float,
                 e_lj = e_lj + jnp.sum(e_lj_pair)
             return fx, fy, fz, e_c, e_lj
 
-        z = jnp.zeros((BU, CLUSTER), jnp.float32)
+        z = jnp.zeros((BU, CLUSTER, L), jnp.float32)
         fx, fy, fz, e_c, e_lj = jax.lax.fori_loop(
             0, jnp.minimum(ng_ref[0, 0, 0], n_groups), j_group,
             (z, z, z, jnp.float32(0.0), jnp.float32(0.0)))
-        fx_ref[...] = fx[None]
-        fy_ref[...] = fy[None]
-        fz_ref[...] = fz[None]
+        fx_ref[...] = jnp.sum(fx, axis=2)[None]
+        fy_ref[...] = jnp.sum(fy, axis=2)[None]
+        fz_ref[...] = jnp.sum(fz, axis=2)[None]
         e_ref[0, 0, 0] = e_c
         e_ref[0, 0, 1] = e_lj
 
