@@ -96,8 +96,20 @@ def cmd_mdrun(args):
     if getattr(args, "rerun", None):
         return _do_rerun(args, system, params, state, lam_arr)
 
+    mesh = None
+    n_dd = getattr(args, "dd", 0) or 0
+    if n_dd > 1:
+        # spatial domain decomposition over n_dd devices (reference:
+        # mdrun -dd / domdec; here a 1-D slab mesh over the jax devices)
+        from .parallel.mesh import make_mesh
+        if len(jax.devices()) < n_dd:
+            raise SystemExit(f"-dd {n_dd}: only {len(jax.devices())} "
+                             "devices visible")
+        mesh = make_mesh(n_ens=1, n_spatial=n_dd,
+                         devices=jax.devices()[:n_dd])
+        use_pallas = False
     runner = MdRunner(system, params,
-                      RunnerConfig(use_pallas=use_pallas),
+                      RunnerConfig(use_pallas=use_pallas, mesh=mesh),
                       all_lambda=lam_arr)
     traj_path = f"{args.deffnm}.trr"
     callback = None
@@ -395,6 +407,16 @@ def _ensure_backend():
     whose plugin is not importable in this environment."""
     try:
         import jax
+        # a sitecustomize may pin jax_platforms via config, which beats
+        # the JAX_PLATFORMS env var; re-assert the user's env choice so
+        # e.g. JAX_PLATFORMS=cpu + xla_force_host_platform_device_count
+        # works for multi-device -dd runs on one host
+        env_plat = os.environ.get("JAX_PLATFORMS")
+        if env_plat:
+            try:
+                jax.config.update("jax_platforms", env_plat)
+            except Exception:
+                pass
         jax.devices()
     except RuntimeError:
         import jax
@@ -429,6 +451,10 @@ def main(argv=None):
     m.add_argument("-rerun", default=None, metavar="TRR",
                    help="recompute energies/dhdl over an existing "
                         "trajectory (reference: mdrun/rerun.cpp)")
+    m.add_argument("-dd", type=int, default=0,
+                   help="spatial domain decomposition over N devices "
+                        "(1-D slab mesh + ppermute halo; reference: "
+                        "mdrun -dd)")
     m.add_argument("-fep", choices=["auto", "cpu", "tpu"], default="auto",
                    help="FEP kernel target (parity with the reference's "
                    "mdrun -fep flag)")

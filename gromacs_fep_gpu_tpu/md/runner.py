@@ -50,6 +50,14 @@ class RunnerConfig:
     # "cluster": per-i-cluster j streams, 2D grid;
     # "super": one shared j stream per 64-atom supercluster
     pallas_mode: str = "v2u"
+    # spatial domain decomposition: a jax.sharding.Mesh with a 'spatial'
+    # axis (parallel/mesh.py make_mesh).  Atoms are slab-sorted along x,
+    # each device owns a contiguous cluster slab, positions move by
+    # ppermute ring halo and the PME grid reduces by psum (reference:
+    # domdec/domdec.cpp dd_move_x + ewald pme grid overlap).  Forces the
+    # XLA cluster kernel (use_pallas off).
+    mesh: Optional[object] = None
+    dd_block: int = 8           # clusters per kernel block on the DD path
 
 
 class MdRunner:
@@ -69,6 +77,13 @@ class MdRunner:
         self.pert_idx = np.where(np.asarray(system.perturbed))[0]
         self.has_fep = self.pert_idx.size > 0
 
+        self._dd_mesh = None
+        if self.config.mesh is not None and not self.config.use_dense:
+            from ..parallel.mesh import SPATIAL_AXIS
+            if self.config.mesh.shape.get(SPATIAL_AXIS, 1) > 1:
+                self._dd_mesh = self.config.mesh
+                self.config.use_pallas = False   # DD path = XLA kernel
+
         self.recip_fn = None
         self.recip_force_fn = None
         if params.coulomb == CoulombType.PME:
@@ -77,6 +92,10 @@ class MdRunner:
             from ..ops.pme import make_pme_recip_pair
             self.recip_fn, self.recip_force_fn = make_pme_recip_pair(
                 system, params)
+            if self._dd_mesh is not None:
+                from ..parallel.spatial import make_sharded_pme
+                self.recip_force_fn = make_sharded_pme(
+                    system, params, self._dd_mesh)
 
         if self.config.use_pallas and not self.config.use_dense:
             # mirror make_cluster_force_fn's fallback conditions so the
@@ -93,12 +112,20 @@ class MdRunner:
             self._force_fn = (lambda x, box, lam, nl, fl, prep=None:
                               dense(x, box, lam))
         else:
+            nb_override = None
+            if self._dd_mesh is not None:
+                from ..ops.forces import get_beta
+                from ..parallel.spatial import make_dd_nb_override
+                nb_override = make_dd_nb_override(
+                    system, params, self._dd_mesh, get_beta(params),
+                    block=self.config.dd_block)
             self._force_fn = make_cluster_force_fn(
                 system, params, self.recip_fn, has_fep=self.has_fep,
                 block=self.config.kernel_block,
                 use_pallas=self.config.use_pallas,
                 pallas_interpret=self.config.pallas_interpret,
-                pme_recip_force_fn=self.recip_force_fn)
+                pme_recip_force_fn=self.recip_force_fn,
+                nb_kernel_override=nb_override)
 
         self._chunk = None
         self._compiled_for = None
@@ -151,7 +178,7 @@ class MdRunner:
 
         def rebuild(state: State):
             if cfg.use_dense:
-                return None, None, None, jnp.zeros((7,), jnp.int32)
+                return None, None, None, jnp.zeros((8,), jnp.int32)
             v2u = cfg.use_pallas and cfg.pallas_mode == "v2u"
             nlist = build_cluster_pairlist(
                 state.x, state.box, self.system, rl,
@@ -164,6 +191,9 @@ class MdRunner:
                             and cfg.pallas_mode in ("super", "v2u")
                             else None),
                 super_block=(4 if v2u else 8),
+                # DD: slab-sort along x so contiguous cluster ranges are
+                # spatial slabs the ring halo can own (domdec cell order)
+                slab_axis=(0 if self._dd_mesh is not None else None),
                 compute_shifts=(cfg.use_pallas
                                 and cfg.pallas_mode == "v2"))
             feplist = None
@@ -190,8 +220,16 @@ class MdRunner:
                      else nlist.n_overflow.astype(jnp.int32))
             n_max = (jnp.zeros((), jnp.int32) if v2u
                      else nlist.max_count.astype(jnp.int32))
+            halo_bad = jnp.zeros((), jnp.int32)
+            if self._dd_mesh is not None:
+                from ..parallel.mesh import SPATIAL_AXIS
+                from ..parallel.spatial import halo_violations
+                halo_bad = halo_violations(
+                    nlist, self._dd_mesh.shape[SPATIAL_AXIS],
+                    self.config.dd_block).astype(jnp.int32)
             flags = jnp.stack([n_ovf, fep_ovf, n_max,
-                               s_ovf, s_max, excl_bad, shift_bad])
+                               s_ovf, s_max, excl_bad, shift_bad,
+                               halo_bad])
             prep = None
             if cfg.use_pallas:
                 if cfg.pallas_mode == "v2u":
@@ -325,6 +363,14 @@ class MdRunner:
                 with self.wallcycle.region("overflow_check"):
                     fl = np.asarray(
                         jax.device_get(jnp.stack([p[0] for p in pending])))
+                if fl.shape[1] > 7 and fl[:, 7].sum() > 0:
+                    raise RuntimeError(
+                        f"{int(fl[:, 7].sum())} pair(s) reach beyond the "
+                        "ring-halo neighbourhood: the spatial slabs are "
+                        "thinner than the pair-list cutoff for this mesh. "
+                        "Use fewer spatial shards or a larger box "
+                        "(reference behavior: domdec cell-size-vs-cutoff "
+                        "fatal error, domdec.cpp)")
                 if fl.shape[1] > 6 and fl[:, 6].sum() > 0:
                     raise RuntimeError(
                         "cluster extents too large relative to the box for "

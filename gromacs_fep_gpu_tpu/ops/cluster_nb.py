@@ -372,11 +372,17 @@ def make_cluster_force_fn(system: System, params: MdParams,
                           block: int = 64,
                           use_pallas: bool = False,
                           pallas_interpret: bool = False,
-                          pme_recip_force_fn: Optional[Callable] = None):
+                          pme_recip_force_fn: Optional[Callable] = None,
+                          nb_kernel_override: Optional[Callable] = None):
     """Production force function: force_fn(x, box, lam, nlist, feplist)
     -> (f, EnergyTerms).  use_pallas routes the plain nonbonded kernel
     through the Pallas supercluster kernel (requires a geometric LJ table,
-    a rectangular box, and a pair list built with super_nnbr)."""
+    a rectangular box, and a pair list built with super_nnbr).
+
+    nb_kernel_override(x, box, nlist) -> (f_sorted, e_coul, e_lj): plug-in
+    replacement for the plain NB kernel — used by the spatial-DD runner to
+    route it through the ppermute halo shard_map (parallel/spatial.py;
+    the do_nb_verlet local/non-local dispatch slot, sim_util.cpp:410)."""
     from .forces import get_beta
     beta = get_beta(params)
     import numpy as _np
@@ -435,7 +441,9 @@ def make_cluster_force_fn(system: System, params: MdParams,
         """need_energy=False runs the force-only kernel flavor and skips
         the dV/dlambda backward pass (the reference computes energies only
         at nstcalcenergy steps; F vs VF kernels in nbnxm_cuda.cu)."""
-        if use_pallas:
+        if nb_kernel_override is not None:
+            f_sorted, e_coul, e_lj = nb_kernel_override(x, box, nlist)
+        elif use_pallas:
             if isinstance(prep, PallasPrepV2U):
                 f_sorted, e_coul, e_lj = pallas_cluster_forces_v2u(
                     x, box, nlist, system.nbfp, params, beta,

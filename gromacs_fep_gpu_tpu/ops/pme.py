@@ -304,6 +304,21 @@ def reciprocal_energy(x, box, charges, grid_shape, beta, order: int = 4,
     return scale * jnp.sum(G * (q_re * q_re + q_im * q_im))
 
 
+def _spread_dispatch(x, box, charges, grid_shape, order):
+    """Charge spread for the non-AD force path: the Pallas MXU kernel
+    (ops/pme_pallas.py) when it applies on this backend, else the XLA
+    matmul spread.  Env override TPUMD_PME_SPREAD=xla forces XLA."""
+    if os.environ.get("TPUMD_PME_SPREAD", "pallas") == "pallas":
+        try:
+            from .pme_pallas import pme_pallas_ok, spread_charges_pallas
+            if jax.default_backend() == "tpu" and pme_pallas_ok(grid_shape):
+                return spread_charges_pallas(x, box, charges, grid_shape,
+                                             order)
+        except ImportError:
+            pass
+    return spread_charges(x, box, charges, grid_shape, order)
+
+
 def reciprocal_energy_force(x, box, charges, grid_shape, beta,
                             order: int = 4, influence=None, dft_mats=None):
     """SPME reciprocal energy, forces, and dE/dq — hand-written gather
@@ -325,7 +340,7 @@ def reciprocal_energy_force(x, box, charges, grid_shape, beta,
     n = x.shape[0]
     K1, K2, K3 = grid_shape
     hi = jax.lax.Precision.HIGHEST
-    grid = spread_charges(x, box, charges, grid_shape, order)
+    grid = _spread_dispatch(x, box, charges, grid_shape, order)
     q_re, q_im = matmul_fft3(grid, dft_mats)
     G, scale = _influence_scaled(box, influence, beta, x.dtype)
     energy = scale * jnp.sum(G * (q_re * q_re + q_im * q_im))

@@ -227,6 +227,28 @@ def make_halo_cluster_force(system: System, params: MdParams, mesh: Mesh,
     return halo_force
 
 
+def make_dd_nb_override(system: System, params: MdParams, mesh: Mesh,
+                        beta, block: int = 8):
+    """nb_kernel_override for make_cluster_force_fn: routes the plain NB
+    cluster kernel through the ppermute ring halo (each device owns a
+    contiguous slab of clusters; positions move to ring neighbours only).
+    Requires the pair list built with slab_axis=0 and
+    halo_violations(nlist, nsh, block) == 0 — the DD runner checks that
+    at every rebuild and fails hard (reference: domdec.cpp
+    check_grid_jump / dd cell-size-vs-cutoff error)."""
+    nsh = mesh.shape[SPATIAL_AXIS]
+
+    def nb(x, box, nlist: ClusterPairlist):
+        _, c_pad = halo_shard_geometry(nlist, nsh, block)
+        xs = sort_state_arrays(x, nlist, c_pad)
+        halo = make_halo_cluster_force(system, params, mesh, beta, nlist,
+                                       block=block)
+        f_rows, e_c, e_lj = halo(xs, box)
+        return f_rows[: nlist.n_pad], e_c, e_lj
+
+    return nb
+
+
 def make_sharded_pme(system: System, params: MdParams, mesh: Mesh,
                      grid_shape=None):
     """Sharded PME reciprocal: pme_fn(x, box, lam_c) -> (E, F, dvdl_c).

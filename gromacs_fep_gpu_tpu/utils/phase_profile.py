@@ -18,6 +18,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+try:
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+except Exception:
+    pass
+
 
 def time_fn(fn: Callable, *args, iters: int = 24, warmup: int = 2,
             reps: int = 3) -> float:
@@ -39,8 +44,13 @@ def time_fn(fn: Callable, *args, iters: int = 24, warmup: int = 2,
             fl2 = list(fl)
             fl2[fidx] = fl[fidx] * (1.0 + c * 1e-30)
             out = fn(*jax.tree.unflatten(tree, fl2))
-            leaf = jax.tree.leaves(out)[0]
-            c2 = jnp.asarray(leaf).ravel()[0].astype(jnp.float32) * 1e-30
+            # fold EVERY output leaf into the carry — anything the carry
+            # doesn't depend on would be dead-code-eliminated and the
+            # phase would time as ~0
+            c2 = jnp.float32(0.0)
+            for leaf in jax.tree.leaves(out):
+                c2 = c2 + (jnp.asarray(leaf).ravel()[0].astype(jnp.float32)
+                           * 1e-30)
             return c2, None
 
         c, _ = jax.lax.scan(body, c0, None, length=iters)
@@ -216,6 +226,14 @@ def profile_step_phases(n_side: int = 16, use_pme: bool = True,
     if factory is not None and n_foreign:
         dfn = factory(feplist)
         t("foreign_sweep", dfn, state.x, state.box, state.lam)
+
+    # --- update + constraints (one integration step, zero forces) -------
+    from ..core.types import EnergyTerms
+    from ..md.simulator import make_step_fn
+    step_fn = make_step_fn(
+        system, params,
+        lambda x, box, lam: (jnp.zeros_like(x), EnergyTerms.zeros(x.dtype)))
+    t("update_constrain", lambda st: step_fn(st, None)[0].x, state)
 
     # --- whole chunk (nstlist steps + rebuild), per-step ----------------
     chunk = runner._build_chunk(params.nstlist)

@@ -148,3 +148,57 @@ def test_replica_exchange_detailed_swap():
         states, epot_fn, lambdas, 300.0, jax.random.PRNGKey(7), parity=0)
     assert new_states.x.shape == states.x.shape
     assert 0 <= int(n_acc) <= 2
+
+
+def test_dd_runner_matches_single_device():
+    """Full MdRunner with mesh=8-way spatial DD: ppermute halo NB +
+    sharded PME inside the fused rebuild+scan chunks, 60 NVT steps, must
+    match the single-device runner frame by frame (reference acceptance:
+    domain_decomposition.cpp / simulatorcomparison.cpp)."""
+    from gromacs_fep_gpu_tpu.core.types import TcouplType
+    from gromacs_fep_gpu_tpu.md.runner import MdRunner, RunnerConfig
+    from gromacs_fep_gpu_tpu.md.runner import concat_logs
+    from gromacs_fep_gpu_tpu.ops.pme import pme_grid_size
+
+    assert len(jax.devices()) == 8
+    system, state = water_box(8, spacing=0.4, seed=31, temperature=300.0)
+    box_l = 8 * 0.4
+    params = MdParams(
+        dt=0.001, nstlist=20, coulomb=CoulombType.PME,
+        rcoulomb=0.35, rvdw=0.35, rlist=0.4,
+        pme_grid=pme_grid_size((box_l,) * 3, 0.12),
+        tcoupl=TcouplType.V_RESCALE, ref_t=300.0, nsttcouple=10,
+        nstcomm=0)
+
+    r1 = MdRunner(system, params, RunnerConfig(nnbr=96))
+    s1, logs1 = r1.run(state, 60)
+    l1 = concat_logs(logs1)
+
+    mesh = make_mesh(n_ens=1, n_spatial=8)
+    r2 = MdRunner(system, params, RunnerConfig(nnbr=96, mesh=mesh,
+                                               dd_block=2))
+    s2, logs2 = r2.run(state, 60)
+    l2 = concat_logs(logs2)
+
+    e1, e2 = np.asarray(l1.epot), np.asarray(l2.epot)
+    assert np.isfinite(e2).all()
+    # same physics, different reduction orders: fp32 trajectory-level gate
+    np.testing.assert_allclose(e2, e1, rtol=5e-4)
+    np.testing.assert_allclose(np.asarray(s2.x), np.asarray(s1.x),
+                               atol=5e-3)
+
+
+def test_dd_runner_fails_hard_on_thin_slabs():
+    """Cutoff larger than the slab must abort, not drop interactions."""
+    from gromacs_fep_gpu_tpu.md.runner import MdRunner, RunnerConfig
+    import pytest
+
+    system, state = water_box(4, spacing=0.4, seed=32, temperature=300.0)
+    params = MdParams(dt=0.001, nstlist=10,
+                      coulomb=CoulombType.REACTION_FIELD,
+                      rcoulomb=0.55, rvdw=0.55, rlist=0.6, nstcomm=0)
+    mesh = make_mesh(n_ens=1, n_spatial=8)
+    r = MdRunner(system, params, RunnerConfig(nnbr=96, mesh=mesh,
+                                              dd_block=2))
+    with pytest.raises(RuntimeError, match="halo|slab"):
+        r.run(state, 10)

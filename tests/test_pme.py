@@ -98,3 +98,40 @@ def test_pme_total_independent_of_split():
         totals.append(float(terms.coulomb + terms.coul_recip))
     np.testing.assert_allclose(totals[0], totals[1],
                                rtol=3e-4, atol=abs(totals[0]) * 3e-4)
+
+
+def test_pallas_spread_matches_xla():
+    """spread_charges_pallas (interpret) == spread_charges (MXU-resident
+    expansion kernel vs XLA matmul formulation)."""
+    from gromacs_fep_gpu_tpu.ops.pme_pallas import spread_charges_pallas
+    rng = np.random.RandomState(3)
+    n = 257
+    box = jnp.eye(3, dtype=jnp.float32) * 2.0
+    x = jnp.asarray(rng.uniform(0, 2.0, (n, 3)), jnp.float32)
+    q = jnp.asarray(rng.uniform(-1, 1, n), jnp.float32)
+    grid_shape = (20, 24, 28)
+    g_ref = pme_mod.spread_charges(x, box, q, grid_shape)
+    g_pl = spread_charges_pallas(x, box, q, grid_shape, interpret=True)
+    # bf16x3 split passes: ~1e-7 rel per product, accumulated over the
+    # spread support; well inside the reference's 1e-4 energy gate
+    np.testing.assert_allclose(np.asarray(g_pl), np.asarray(g_ref),
+                               atol=1e-5)
+
+
+def test_pallas_gather_matches_xla():
+    from gromacs_fep_gpu_tpu.ops.pme_pallas import phi_gather_pallas
+    rng = np.random.RandomState(4)
+    n = 130
+    box = jnp.eye(3, dtype=jnp.float32) * 2.0
+    x = jnp.asarray(rng.uniform(0, 2.0, (n, 3)), jnp.float32)
+    q = jnp.asarray(rng.uniform(-1, 1, n), jnp.float32)
+    grid_shape = (20, 24, 28)
+    phi = jnp.asarray(rng.normal(size=grid_shape), jnp.float32)
+    f_ref, d_ref = pme_mod.phi_gather(x, box, q, phi, grid_shape)
+    f_pl, d_pl = phi_gather_pallas(x, box, q, phi, grid_shape,
+                                   interpret=True)
+    fs = float(jnp.abs(f_ref).max())
+    np.testing.assert_allclose(np.asarray(f_pl), np.asarray(f_ref),
+                               atol=3e-5 * fs)
+    np.testing.assert_allclose(np.asarray(d_pl), np.asarray(d_ref),
+                               atol=3e-5 * float(jnp.abs(d_ref).max()))
