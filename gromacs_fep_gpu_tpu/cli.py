@@ -149,6 +149,48 @@ def cmd_mdrun(args):
                        np.asarray(lam_arr),
                        max(int(params.fep.init_lambda_state), 0),
                        temperature=params.ref_t)
+    # binary .edr with per-frame BAR delta-H blocks (gmx energy / gmx bar
+    # interop; reference: fileio/enxio.cpp, mdlib/mdebin_bar.cpp)
+    from .io.edrio import (DHBT_DH, DHBT_DHDL, EdrFrame, EdrWriter, dh_block,
+                           dhcoll_block)
+    from .core.types import FepCoupling as _FC
+    edr_names = ["Potential", "Kinetic En.", "Total Energy", "Temperature",
+                 "Pressure"]
+    edr_units = ["kJ/mol", "kJ/mol", "kJ/mol", "K", "bar"]
+    etot = np.asarray(log.epot) + np.asarray(log.ekin)
+    dvdl_all = np.asarray(log.dvdl)
+    dh_all = np.asarray(log.delta_h) if all_lambda is not None else None
+    nstdhdl = (max(int(params.fep.nstdhdl), 1)
+               if params.fep is not None and params.fep.enabled else 0)
+    lam0 = np.asarray(state.lam)
+    with EdrWriter(f"{deffnm}.edr", edr_names, edr_units) as ew:
+        step0 = int(state.step) - len(times)
+        for i in range(len(times)):
+            blocks = []
+            has_dh = (nstdhdl > 0 and dh_all is not None
+                      and not np.isnan(dh_all[i, 0]))
+            if has_dh:
+                comps = [int(_FC.COUL), int(_FC.VDW)]
+                blocks.append(dhcoll_block(
+                    temperature=params.ref_t, start_time=times[i],
+                    delta_time=nstdhdl * params.dt, start_lambda=-1.0,
+                    lambda_index=max(int(params.fep.init_lambda_state), 0),
+                    native_lambda_vec=[float(lam0[c]) for c in comps],
+                    lambda_components=comps))
+                dvdl_sum = np.nansum(dvdl_all[i][[int(_FC.FEP), int(_FC.COUL),
+                                                  int(_FC.VDW),
+                                                  int(_FC.BONDED)]])
+                blocks.append(dh_block(DHBT_DHDL, [dvdl_sum], derivative=0))
+                for wdx in range(dh_all.shape[1]):
+                    fl = [float(np.asarray(lam_arr)[wdx, c]) for c in comps]
+                    blocks.append(dh_block(DHBT_DH, [dh_all[i, wdx]],
+                                           foreign_lambda=fl))
+            ew.write_frame(EdrFrame(
+                t=float(times[i]), step=step0 + i,
+                ener=np.array([log.epot[i], log.ekin[i], etot[i],
+                               log.temp[i], log.pres[i]], np.float32),
+                blocks=blocks, dt=params.dt))
+
     if params.pull is not None and log.pull_x.shape[-1] > 0:
         # pullx/pullf.xvg (reference: pulling/output.cpp)
         px = np.asarray(log.pull_x)
@@ -365,9 +407,23 @@ def cmd_bar(args):
 
     dh_rows, idx_rows = [], []
     for i, path in enumerate(args.f):
-        data, legends = read_xvg(path)
-        ndvdl = sum(1 for l in legends if l.startswith("dH/d"))
-        dh = data[:, 1 + ndvdl:]
+        if path.endswith(".edr"):
+            # raw delta-H blocks from the binary energy file
+            # (gmx bar's edr input path; mdlib/mdebin_bar.cpp layout)
+            from .io.edrio import DHBT_DH, ENX_DH, read_edr
+            _, _, frames = read_edr(path)
+            rows = []
+            for fr in frames:
+                vals = [float(b.subs[2][1][0]) for b in fr.blocks
+                        if b.id == ENX_DH
+                        and int(b.subs[0][1][0]) == DHBT_DH]
+                if vals:
+                    rows.append(vals)
+            dh = np.asarray(rows)
+        else:
+            data, legends = read_xvg(path)
+            ndvdl = sum(1 for l in legends if l.startswith("dH/d"))
+            dh = data[:, 1 + ndvdl:]
         dh_rows.append(dh)
         idx_rows.append(np.full(dh.shape[0], i))
     delta_h = np.concatenate(dh_rows)

@@ -101,6 +101,19 @@ def test_cli_grompp_mdrun_bar(tmp_path):
     assert data.shape[0] == 30
     assert np.isfinite(data).all()
 
+    # binary edr twin: energies must match the csv, dH blocks present at
+    # nstdhdl frames (reference: enxio.cpp + mdebin_bar.cpp layout)
+    from gromacs_fep_gpu_tpu.io.edrio import ENX_DH, ENX_DHCOLL, read_edr
+    assert os.path.exists("md.edr")
+    names, units, frames = read_edr("md.edr")
+    assert names[0] == "Potential" and len(frames) == 30
+    np.testing.assert_allclose([f.ener[0] for f in frames], data[:, 1],
+                               rtol=1e-5)
+    dh_frames = [f for f in frames if f.blocks]
+    assert len(dh_frames) == 30 // 5  # nstdhdl = 5
+    ids = [b.id for b in dh_frames[0].blocks]
+    assert ids[0] == ENX_DHCOLL and ids.count(ENX_DH) >= 3
+
     # restart from checkpoint continues
     cli_main(["mdrun", "-s", "topol.tpz", "-deffnm", "md2", "-cpi", "md.cpt",
               "-nsteps", "10", "-fep", "cpu"])
