@@ -129,11 +129,42 @@ def cmd_mdrun(args):
                                 lam=float(np.asarray(st.lam)[2]))
                 next_frame[0] = done + params.nstxout
 
+    # stop handler: SIGTERM/SIGINT and -maxh end the run cleanly at the
+    # next verified chunk boundary with all outputs + checkpoint written
+    # (reference: mdlib/stophandler.h, sighandler.cpp, mdrun -maxh)
+    import signal as _signal
+    stop_flag = {"stop": False}
+
+    def _on_signal(signum, frame):
+        print(f"\nreceived signal {signum}: stopping at the next "
+              "checkpoint boundary (send again to abort)")
+        if stop_flag["stop"]:
+            raise KeyboardInterrupt
+        stop_flag["stop"] = True
+
+    old_handlers = {}
+    for sg in (_signal.SIGTERM, _signal.SIGINT):
+        try:
+            old_handlers[sg] = _signal.signal(sg, _on_signal)
+        except ValueError:
+            pass   # non-main thread (tests)
     t0 = time.time()
-    state, logs = runner.run(state, params.nsteps, callback=callback)
+    t_end = (t0 + 0.99 * args.maxh * 3600.0
+             if getattr(args, "maxh", 0) else None)
+    stop_condition = (lambda: stop_flag["stop"]
+                      or (t_end is not None and time.time() > t_end))
+    try:
+        state, logs = runner.run(state, params.nsteps, callback=callback,
+                                 stop_condition=stop_condition)
+    finally:
+        for sg, h in old_handlers.items():
+            _signal.signal(sg, h)
     jax.block_until_ready(state.x)
     wall = time.time() - t0
     log = concat_logs(logs)
+    if runner.stopped_at is not None:
+        print(f"run stopped early at step {runner.stopped_at} "
+              f"(signal or -maxh); outputs cover the completed steps")
 
     deffnm = args.deffnm
     # energy file (csv analogue of edr) + dhdl + checkpoint + final conf
@@ -215,10 +246,11 @@ def cmd_mdrun(args):
     resnames = [str(r) for r in data["resnames"]]
     write_gro(f"{deffnm}.gro", "tpumd output", names, resnames,
               np.asarray(state.x), np.asarray(state.v), np.asarray(state.box))
-    ns_day = params.nsteps * params.dt / 1000.0 / max(wall, 1e-9) * 86400.0
+    nsteps_done = len(times)
+    ns_day = nsteps_done * params.dt / 1000.0 / max(wall, 1e-9) * 86400.0
     print(runner.wallcycle.report())
     print(f"\nPerformance: {ns_day:10.3f} ns/day  ({wall:.1f} s wall, "
-          f"{params.nsteps} steps, {system.n_atoms} atoms)")
+          f"{nsteps_done} steps, {system.n_atoms} atoms)")
 
 
 def _do_rerun(args, system, params, state, lam_arr):
@@ -507,6 +539,9 @@ def main(argv=None):
     m.add_argument("-rerun", default=None, metavar="TRR",
                    help="recompute energies/dhdl over an existing "
                         "trajectory (reference: mdrun/rerun.cpp)")
+    m.add_argument("-maxh", type=float, default=0.0,
+                   help="stop cleanly (checkpoint + outputs) after "
+                        "0.99*maxh hours (reference: mdrun -maxh)")
     m.add_argument("-dd", type=int, default=0,
                    help="spatial domain decomposition over N devices "
                         "(1-D slab mesh + ppermute halo; reference: "

@@ -50,6 +50,16 @@ class RunnerConfig:
     # "cluster": per-i-cluster j streams, 2D grid;
     # "super": one shared j stream per 64-atom supercluster
     pallas_mode: str = "v2u"
+    # v2u-only experimental knobs (default off — the production path is
+    # the in-loop minimum-image kernel; see tests/test_pallas_nb.py
+    # test_pallas_v2u_baked_shifts_and_prune for the gated paths):
+    # bake build-time periodic shifts into the gathered j stream so the
+    # kernel skips per-pair min-image folds (reference: per-entry shift
+    # index, nbnxm/pairlist.h)
+    pallas_baked_shifts: bool = False
+    # per-step dynamic prune of the union j-stream trip counts at the
+    # interaction cutoff (reference: nbnxm_cuda_kernel_pruneonly.cuh)
+    pallas_prune: bool = False
     # spatial domain decomposition: a jax.sharding.Mesh with a 'spatial'
     # axis (parallel/mesh.py make_mesh).  Atoms are slab-sorted along x,
     # each device owns a contiguous cluster slab, positions move by
@@ -124,12 +134,14 @@ class MdRunner:
                 block=self.config.kernel_block,
                 use_pallas=self.config.use_pallas,
                 pallas_interpret=self.config.pallas_interpret,
+                pallas_prune=self.config.pallas_prune,
                 pme_recip_force_fn=self.recip_force_fn,
                 nb_kernel_override=nb_override)
 
         self._chunk = None
         self._compiled_for = None
         self._rlist = None   # kinetic-theory sized at run() (needs volume)
+        self.stopped_at = None   # step the StopHandler ended the run at
 
     # ------------------------------------------------------------------
     def _foreign_factory(self):
@@ -194,8 +206,13 @@ class MdRunner:
                 # DD: slab-sort along x so contiguous cluster ranges are
                 # spatial slabs the ring halo can own (domdec cell order)
                 slab_axis=(0 if self._dd_mesh is not None else None),
+                # v2 (and v2u when opted in) folds build-time periodic
+                # shifts into the gathered j coordinates (kernel skips
+                # per-pair min-image folds)
                 compute_shifts=(cfg.use_pallas
-                                and cfg.pallas_mode == "v2"))
+                                and (cfg.pallas_mode == "v2"
+                                     or (cfg.pallas_mode == "v2u"
+                                         and cfg.pallas_baked_shifts))))
             feplist = None
             fep_ovf = jnp.zeros((), jnp.int32)
             if self.has_fep:
@@ -309,8 +326,16 @@ class MdRunner:
         self._chunk = None
 
     def run(self, state: State, nsteps: int,
-            callback: Optional[Callable] = None) -> Tuple[State, list]:
-        """Run nsteps; returns (final_state, list of per-chunk StepLog)."""
+            callback: Optional[Callable] = None,
+            stop_condition: Optional[Callable[[], bool]] = None
+            ) -> Tuple[State, list]:
+        """Run nsteps; returns (final_state, list of per-chunk StepLog).
+
+        stop_condition() is polled at every overflow-check boundary (a
+        synchronized, rollback-safe point); when it returns True the run
+        ends cleanly after the current verified chunk — the StopHandler
+        analogue (reference: mdlib/stophandler.h:125; signals/-maxh are
+        wired by the CLI)."""
         nst = self.params.nstlist if not self.config.use_dense else nsteps
         nst = max(1, min(nst, nsteps))
         if self.config.use_pallas:
@@ -374,7 +399,8 @@ class MdRunner:
                 if fl.shape[1] > 6 and fl[:, 6].sum() > 0:
                     raise RuntimeError(
                         "cluster extents too large relative to the box for "
-                        "the v2 Pallas kernel's build-time periodic shifts "
+                        "the v2/v2u Pallas kernel's build-time periodic "
+                        "shifts "
                         "(gas-density system or tiny box); rerun with "
                         "RunnerConfig(pallas_mode='super') or use_dense")
                 if fl.shape[1] > 5 and fl[:, 5].sum() > 0:
@@ -398,9 +424,17 @@ class MdRunner:
                 verified_state, verified_done, verified_nlogs = (
                     pending[-1][1], pending[-1][2], pending[-1][3])
                 pending = []
+                if stop_condition is not None and stop_condition():
+                    # clean early stop at a verified boundary: everything
+                    # up to `done` is flag-checked and safe to keep
+                    if callback is not None:
+                        callback(state, log, done)
+                    self.stopped_at = done
+                    return state, logs
 
             if callback is not None:
                 callback(state, log, done)
+        self.stopped_at = None
         return state, logs
 
 

@@ -372,6 +372,7 @@ def make_cluster_force_fn(system: System, params: MdParams,
                           block: int = 64,
                           use_pallas: bool = False,
                           pallas_interpret: bool = False,
+                          pallas_prune: bool = False,
                           pme_recip_force_fn: Optional[Callable] = None,
                           nb_kernel_override: Optional[Callable] = None):
     """Production force function: force_fn(x, box, lam, nlist, feplist)
@@ -422,9 +423,14 @@ def make_cluster_force_fn(system: System, params: MdParams,
             _, _, fn = bonded_mod.TERMS[name]
             lam_term = (lam_r if name in bonded_mod.RESTRAINT_TERMS
                         else lam_b)
-            e = fn(x, box, il, lam_term)
+            e = (fn(x, box, il, lam_term, params.disre_fc)
+                 if name == "disres" else fn(x, box, il, lam_term))
             ch = bonded_mod.TERM_CHANNEL[name]
             terms = terms.replace(**{ch: getattr(terms, ch) + e})
+        if system.cmap is not None and system.cmap.n > 0:
+            from .cmap import cmap_energy
+            terms = terms.replace(
+                dihedrals=terms.dihedrals + cmap_energy(x, box, system.cmap))
         if system.pairs14.n > 0:
             e14c, e14l = pairs14_energy(x, box, system, lam_c, lam_v, params)
             terms = terms.replace(coul14=e14c, lj14=e14l)
@@ -448,7 +454,7 @@ def make_cluster_force_fn(system: System, params: MdParams,
                 f_sorted, e_coul, e_lj = pallas_cluster_forces_v2u(
                     x, box, nlist, system.nbfp, params, beta,
                     interpret=pallas_interpret, prep=prep,
-                    compute_energy=need_energy)
+                    compute_energy=need_energy, prune=pallas_prune)
             elif isinstance(prep, PallasPrepV2) or (prep is None
                                                     and nlist.nbr_shift
                                                     is not None):

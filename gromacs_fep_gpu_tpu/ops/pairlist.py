@@ -220,6 +220,28 @@ def _cluster_neighbors(bb_lo_i, bb_hi_i, bb_lo, bb_hi, box, rlist2, nnbr: int,
     return idx, mask, n_overflow, max_count
 
 
+def _total_image_counts(x, box, perm, n, n_pad, xs, xref, dloc, valid_lane):
+    """Per-SORTED-atom periodic image counts of the rebuild's cluster
+    LOCAL frame (pad rows 0): x[perm] - img*diag lands each atom exactly
+    where the build-time bounding boxes / shifts modelled it — the
+    rebuild-frame wrap PLUS the per-cluster local fold.  The local fold
+    matters for clusters spanning a sort-order jump (Morton octant
+    crossings): their wrapped coordinates sit a full period away from
+    the periodic-compact hull the shifts were derived from, which the
+    in-loop minimum image hides but baked shifts must account for."""
+    C = xs.shape[0] // CLUSTER
+    diag = jnp.diag(box)
+    frac = x @ pbc_mod.inv3(box)
+    img_wrap = jnp.concatenate(
+        [jnp.floor(frac)[perm[:n]].astype(x.dtype),
+         jnp.zeros((n_pad - n, 3), x.dtype)])
+    # local-frame fold counts: xs (wrapped) -> xref + dloc
+    local_pos = (xref + dloc).reshape(n_pad, 3)
+    k = jnp.round((xs - local_pos) / diag)
+    k = jnp.where(valid_lane.reshape(n_pad, 1), k, 0.0)
+    return img_wrap + k.astype(x.dtype)
+
+
 def build_cluster_pairlist(x, box, system: System, rlist: float,
                            nnbr: int = 64,
                            cell_size: Optional[float] = None,
@@ -318,12 +340,8 @@ def build_cluster_pairlist(x, box, system: System, rlist: float,
         bad_u = jnp.any(bad_m, axis=1)
         valid_u = nbr_super < C
         shift_overflow = jnp.sum((bad_u & valid_u).astype(jnp.int32))
-        # image counts of the rebuild frame per SORTED atom (pad rows 0)
-        frac = x @ pbc_mod.inv3(box)
-        img_orig = jnp.floor(frac)
-        img = jnp.concatenate(
-            [img_orig[perm[:n]].astype(x.dtype),
-             jnp.zeros((n_pad - n, 3), x.dtype)])
+        img = _total_image_counts(x, box, perm, n, n_pad, xs, xref, dloc,
+                                  valid_lane)
     elif compute_shifts:
         # periodic shift per (i-cluster, j-entry) from cluster centers,
         # valid for the whole nstlist window (the buffer bounds motion);
@@ -344,12 +362,8 @@ def build_cluster_pairlist(x, box, system: System, rlist: float,
         bad = jnp.any(dmax > (diag - rlist)[None, None, :], axis=-1)
         shift_overflow = jnp.sum(
             (bad & (nbr_mask > 0)).astype(jnp.int32))
-        # image counts of the rebuild frame per SORTED atom (pad rows 0)
-        frac = x @ pbc_mod.inv3(box)
-        img_orig = jnp.floor(frac)
-        img = jnp.concatenate(
-            [img_orig[perm[:n]].astype(x.dtype),
-             jnp.zeros((n_pad - n, 3), x.dtype)])
+        img = _total_image_counts(x, box, perm, n, n_pad, xs, xref, dloc,
+                                  valid_lane)
 
     # sorted static atom data
     def gather_pad(a, fill):

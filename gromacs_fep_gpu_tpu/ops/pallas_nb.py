@@ -37,6 +37,7 @@ from flax import struct as _struct
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ..core import pbc as pbc_mod
 from ..core.types import CoulombType, MdParams
 from ..core.units import ONE_4PI_EPS0
 from .nonbonded_ref import rf_constants
@@ -1258,6 +1259,11 @@ class PallasPrepV2U:
     js12: jnp.ndarray
     pair_m: jnp.ndarray   # (S, G, 256) i32, bit c*8+a = pair (c,a)-(lane) valid
     excl_m: jnp.ndarray   # (S, G, 256) i32, bit c*8+a = not excluded
+    # build-time periodic shift per union entry in box-vector counts
+    # (reference: nbnxn_ci_t::shift, nbnxm/pairlist.h) — when present the
+    # caller folds shift*L into the gathered j coordinates and the kernel
+    # skips the in-loop minimum-image folds
+    shift: Optional[jnp.ndarray] = None   # (S, G, GJU, 3) int8
 
 
 def pallas_prepare_v2u(nlist: ClusterPairlist, nbfp) -> PallasPrepV2U:
@@ -1337,19 +1343,100 @@ def pallas_prepare_v2u(nlist: ClusterPairlist, nbfp) -> PallasPrepV2U:
     def i3(a):
         return a[:C_pad].reshape(S, BU, CLUSTER)
 
+    shift = None
+    if nlist.super_shift is not None:
+        shift = jnp.pad(nlist.super_shift,
+                        ((0, 0), (0, nnbr_pad - nnbr), (0, 0))
+                        ).reshape(S, G, GJU, 3)
+
     return PallasPrepV2U(
         iq=i3(q), is6=i3(s6), is12=i3(s12), ng=ng, nbr2=nbr2,
         jq=jgather(q), js6=jgather(s6), js12=jgather(s12),
-        pair_m=pair_m, excl_m=excl_m)
+        pair_m=pair_m, excl_m=excl_m, shift=shift)
+
+
+def _prune_ng(xs, box, nlist: ClusterPairlist, prep: "PallasPrepV2U",
+              rcut: float, margin: float = 0.005):
+    """(S, 1, 1) i32: j-group trip counts pruned to the entries whose
+    CURRENT cluster-bbox lower-bound distance is within rcut+margin.
+
+    The union stream is distance-ordered at build time (top-k by bbox
+    gap, pairlist._cluster_neighbors), so a per-block `last in-range
+    entry` maps to a tight trip count without touching the packed masks.
+    Exact: any cluster pair beyond rcut contributes identically zero in
+    the kernel (in_c/in_v cutoffs), so shrinking the walk to the
+    still-in-range prefix cannot change forces or energies."""
+    n = nlist.inv_perm.shape[0]
+    n_pad = nlist.n_pad
+    S, G, _ = prep.nbr2.shape
+    C_pad = S * BU
+    ncl = C_pad + 1
+
+    xc = xs.reshape(ncl, CLUSTER, 3)[:C_pad]
+    valid = jnp.concatenate(
+        [nlist.perm < n,
+         jnp.zeros((ncl * CLUSTER - n_pad,), bool)]).reshape(
+             ncl, CLUSTER)[:C_pad]
+    # local-frame bbox per cluster (wrap offsets to atom 0 so boundary
+    # straddlers don't span the box — same trick as the list builder)
+    xref = xc[:, 0:1, :]
+    dloc = pbc_mod.pbc_dx(xc - xref, box)
+    dloc = jnp.where(valid[:, :, None], dloc, 0.0)
+    bb_lo = xref[:, 0] + jnp.min(dloc, axis=1)
+    bb_hi = xref[:, 0] + jnp.max(dloc, axis=1)
+    cl_ok = jnp.any(valid, axis=1)
+    far = jnp.float32(5e5)
+    bb_lo = jnp.where(cl_ok[:, None], bb_lo, far)
+    bb_hi = jnp.where(cl_ok[:, None], bb_hi, far)
+
+    # i-block bbox over BU member clusters
+    lo_b = jnp.min(bb_lo.reshape(S, BU, 3), axis=1)
+    hi_b = jnp.max(jnp.where(bb_hi.reshape(S, BU, 3) > 4e5, -far,
+                             bb_hi.reshape(S, BU, 3)), axis=1)
+    cen_i = 0.5 * (lo_b + hi_b)
+    hw_i = jnp.maximum(0.5 * (hi_b - lo_b), 0.0)
+
+    # j bbox data as 8-wide rows gathered by cluster id — whole-row
+    # gathers are ~free on TPU while per-entry element gathers serialize
+    # (same layout trick as the coordinate j-stream gather below)
+    cen = 0.5 * (bb_lo + bb_hi)
+    hw = 0.5 * (bb_hi - bb_lo)
+    # col 6 = validity: pbc_dx would fold a far-away dummy center back
+    # into the box, so dummies must be excluded by flag, not distance
+    plane = jnp.concatenate(
+        [cen, hw, cl_ok[:, None].astype(cen.dtype),
+         jnp.zeros((C_pad, 1), cen.dtype)], axis=1)           # (C_pad, 8)
+    plane = jnp.concatenate(
+        [plane, jnp.zeros((1, 8), cen.dtype)])                # dummy row
+    g6 = plane[prep.nbr2.reshape(S, G * GJU)]                 # (S, E, 8)
+    cen_j = g6[..., 0:3]
+    hw_j = jnp.minimum(g6[..., 3:6], 1e5)
+    ok_j = g6[..., 6]
+    dc = pbc_mod.pbc_dx(cen_i[:, None, :] - cen_j, box)
+    gap = jnp.maximum(jnp.abs(dc) - hw_i[:, None, :] - hw_j, 0.0)
+    lb2 = jnp.where(ok_j > 0.5, jnp.sum(gap * gap, axis=-1), 1e12)
+    r2 = jnp.float32((rcut + margin) ** 2)
+    ent = jax.lax.broadcasted_iota(jnp.int32, (S, G * GJU), 1)
+    last = jnp.max(jnp.where(lb2 < r2, ent, -1), axis=1)
+    return ((last + GJU) // GJU).astype(jnp.int32).reshape(S, 1, 1)
 
 
 def pallas_cluster_forces_v2u(x, box, nlist: ClusterPairlist, nbfp,
                               params: MdParams, beta,
                               prep: Optional[PallasPrepV2U] = None,
                               interpret: bool = False,
-                              compute_energy: bool = True):
+                              compute_energy: bool = True,
+                              prune: bool = False):
     """(f_sorted (n_pad, 3), e_coul, e_lj) via the v2u union-stream
-    kernel."""
+    kernel.
+
+    prune: per-step dynamic pruning of the (distance-ordered) union
+    stream — the j-group trip count ng is recomputed from CURRENT
+    cluster bounding boxes at the interaction cutoff, so the kernel only
+    walks groups that can contribute *this step* instead of everything
+    within rlist at build time (the dual-cutoff rolling-prune analogue,
+    reference: nbnxm_cuda_kernel_pruneonly.cuh / pairlist_tuning.cpp —
+    exact here because out-of-range pairs contribute identically zero)."""
     if prep is None:
         prep = pallas_prepare_v2u(nlist, nbfp)
     n = nlist.inv_perm.shape[0]
@@ -1361,9 +1448,17 @@ def pallas_cluster_forces_v2u(x, box, nlist: ClusterPairlist, nbfp,
     G = prep.nbr2.shape[1]
     L = GJU * CLUSTER
 
-    xs = jnp.where((nlist.perm < n)[:, None],
+    valid_atom = nlist.perm < n
+    xs = jnp.where(valid_atom[:, None],
                    x[jnp.minimum(nlist.perm, n - 1)],
                    1e4 + jnp.arange(n_pad, dtype=x.dtype)[:, None])
+    if prep.shift is not None:
+        # the build-time shifts live in the WRAPPED frame of the rebuild
+        # (the list builder wraps coordinates); subtract each atom's
+        # rebuild image count so raw drifted coordinates re-enter that
+        # frame (same convention as the v2 kernel's img consumption)
+        diag0 = jnp.stack([box[0, 0], box[1, 1], box[2, 2]])
+        xs = xs - nlist.img * diag0
     dummy = 2e4 + jnp.arange(extra, dtype=x.dtype)[:, None] * jnp.ones(3)
     xs = jnp.concatenate([xs, dummy])
     xx = xs[:, 0].reshape(ncl, CLUSTER)
@@ -1372,14 +1467,26 @@ def pallas_cluster_forces_v2u(x, box, nlist: ClusterPairlist, nbfp,
 
     packed = jnp.concatenate([xx, xy, xz], axis=1)            # (ncl, 24)
     g = packed[prep.nbr2]                                     # (S,G,GJU,24)
+    if prep.shift is not None:
+        # fold the build-time periodic shift into the j coordinates so
+        # the kernel's per-pair minimum-image folds drop out
+        diag = jnp.stack([box[0, 0], box[1, 1], box[2, 2]])
+        sL = prep.shift.astype(x.dtype) * diag                # (S,G,GJU,3)
+        g = g + jnp.repeat(sL, CLUSTER, axis=-1)              # 3*8 lanes
     jx = g[..., 0:CLUSTER].reshape(S, G, L)
     jy = g[..., CLUSTER:2 * CLUSTER].reshape(S, G, L)
     jz = g[..., 2 * CLUSTER:].reshape(S, G, L)
     box_diag = jnp.stack([box[0, 0], box[1, 1], box[2, 2]]).reshape(1, 3)
 
+    ng = prep.ng
+    if prune:
+        ng = jnp.minimum(ng, _prune_ng(xs, box, nlist, prep,
+                                       max(params.rcoulomb, params.rvdw)))
+
     epsfac = float(ONE_4PI_EPS0 / params.epsilon_r)
     kernel = _make_kernel_v2u(G, params, beta, epsfac,
-                              compute_energy=compute_energy)
+                              compute_energy=compute_energy,
+                              baked_shifts=prep.shift is not None)
 
     iblk = pl.BlockSpec((1, BU, CLUSTER), lambda i: (i, 0, 0),
                         memory_space=pltpu.VMEM)
@@ -1414,7 +1521,7 @@ def pallas_cluster_forces_v2u(x, box, nlist: ClusterPairlist, nbfp,
             jax.ShapeDtypeStruct((S, 1, 2), jnp.float32),
         ],
         interpret=interpret,
-    )(box_diag, prep.ng,
+    )(box_diag, ng,
       i3x(xx), i3x(xy), i3x(xz),
       prep.iq, prep.is6, prep.is12,
       jx, jy, jz, prep.jq, prep.js6, prep.js12,

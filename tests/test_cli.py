@@ -200,3 +200,22 @@ def test_cli_rerun(tmp_path):
     t_last = e[-1, 0]
     row = run_e[np.argmin(np.abs(run_e[:, 0] - t_last))]
     assert abs(row[1] - e[-1, 1]) < 2e-3 * abs(row[1]) + 0.5
+
+
+def test_cli_maxh_stops_early(tmp_path):
+    """-maxh must end the run at a verified chunk boundary with outputs
+    and checkpoint written (reference: mdrun -maxh + StopHandler)."""
+    os.chdir(tmp_path)
+    make_water_gro("conf.gro")
+    with open("topol.top", "w") as f:
+        f.write(TOP)
+    with open("md.mdp", "w") as f:
+        f.write(MDP.replace("nsteps = 30", "nsteps = 100000"))
+    cli_main(["grompp", "-f", "md.mdp", "-p", "topol.top", "-c", "conf.gro",
+              "-o", "topol.tpz"])
+    # ~tenth of a second of walltime: stops after the first checked chunk
+    cli_main(["mdrun", "-s", "topol.tpz", "-deffnm", "mh", "-fep", "cpu",
+              "-maxh", str(0.1 / 3600.0 / 0.99)])
+    assert os.path.exists("mh.cpt") and os.path.exists("mh.ener.csv")
+    data = np.genfromtxt("mh.ener.csv")
+    assert 0 < data.shape[0] < 100000

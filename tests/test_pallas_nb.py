@@ -95,3 +95,47 @@ def test_pallas_v2u_matches_xla_kernel(coulomb):
     scale = float(jnp.abs(f_ref).max())
     np.testing.assert_allclose(np.asarray(f_p), np.asarray(f_ref),
                                atol=2e-5 * scale)
+
+
+@pytest.mark.parametrize("coulomb", [CoulombType.PME,
+                                     CoulombType.REACTION_FIELD])
+def test_pallas_v2u_baked_shifts_and_prune(coulomb):
+    """v2u with build-time periodic shifts folded into the j stream
+    (kernel skips min-image folds) AND per-step dynamic pruning must
+    still match the XLA cluster kernel exactly — including after the
+    atoms drift from the build positions (the rolling-prune guarantee,
+    reference: nbnxm_cuda_kernel_pruneonly.cuh)."""
+    from gromacs_fep_gpu_tpu.ops.pallas_nb import (pallas_cluster_forces_v2u,
+                                                   pallas_prepare_v2u)
+    params = MdParams(rcoulomb=0.55, rvdw=0.55, rlist=0.7, coulomb=coulomb)
+    system, state = water_box(8, spacing=0.31, seed=33)
+    beta = 3.5 if coulomb == CoulombType.PME else None
+    # unwrapped input: a whole molecule several periodic images away
+    # (the builder wraps internally; the baked-shift path must re-enter
+    # the wrapped frame via nlist.img — the bug class this test pins)
+    x = state.x.at[30:33].add(jnp.array([2.0 * state.box[0, 0],
+                                         -3.0 * state.box[1, 1], 0.0]))
+    nlist = build_cluster_pairlist(x, state.box, system,
+                                   params.rlist, nnbr=96, super_nnbr=256,
+                                   super_block=4, compute_shifts=True)
+    assert int(nlist.super_overflow) == 0
+    assert int(nlist.shift_overflow) == 0
+    prep = pallas_prepare_v2u(nlist, system.nbfp)
+    assert prep.shift is not None
+
+    # drift every atom (within the rlist-rc buffer) off the build frame
+    rng = np.random.RandomState(7)
+    x2 = x + jnp.asarray(rng.uniform(-0.03, 0.03, x.shape), jnp.float32)
+
+    for xx in (x, x2):
+        f_ref, ec_ref, el_ref = cluster_nb_kernel(
+            xx, state.box, nlist, system.nbfp, params, beta, block=16,
+            lj_mode="geometric")
+        f_p, ec_p, el_p = pallas_cluster_forces_v2u(
+            xx, state.box, nlist, system.nbfp, params, beta, prep=prep,
+            interpret=True, prune=True)
+        np.testing.assert_allclose(float(ec_p), float(ec_ref), rtol=1e-5)
+        np.testing.assert_allclose(float(el_p), float(el_ref), rtol=1e-5)
+        scale = float(jnp.abs(f_ref).max())
+        np.testing.assert_allclose(np.asarray(f_p), np.asarray(f_ref),
+                                   atol=2e-5 * scale)
