@@ -16,7 +16,7 @@ from typing import Dict, List, Optional, Sequence, Tuple
 import numpy as np
 import jax.numpy as jnp
 
-from .types import (Exclusions, InteractionList, LincsConstraints,
+from .types import (CmapList, Exclusions, InteractionList, LincsConstraints,
                     SettleGroups, System, VirtualSites)
 from .units import ONE_4PI_EPS0
 
@@ -43,6 +43,8 @@ class MoleculeType:
     dihres: List[Tuple] = dataclasses.field(default_factory=list)
     angres: List[Tuple] = dataclasses.field(default_factory=list)
     restrbonds: List[Tuple] = dataclasses.field(default_factory=list)
+    # NMR distance restraints: ((ai, aj), (lo, up1, up2, weight, label))
+    disres: List[Tuple] = dataclasses.field(default_factory=list)
     pairs14: List[Tuple] = dataclasses.field(default_factory=list)
     # unresolved 1-4 pair rows (ai, aj, (c6,c12)A, (c6,c12)B); consumed by
     # the grompp transforms in io/topio.py which bake charges+fudge in
@@ -57,6 +59,8 @@ class MoleculeType:
     vsites3fd: List[Tuple] = dataclasses.field(default_factory=list)   # ((s,i,j,k),(a,d))
     vsites3fad: List[Tuple] = dataclasses.field(default_factory=list)  # ((s,i,j,k),(dcos,dsin))
     vsites4fdn: List[Tuple] = dataclasses.field(default_factory=list)  # ((s,i,j,k,l),(a,b,c))
+    # CMAP cross terms: (idx5 tuple, grid type index)
+    cmap: List[Tuple] = dataclasses.field(default_factory=list)
     # explicit extra exclusions beyond bond graph
     extra_exclusions: List[Tuple[int, int]] = dataclasses.field(default_factory=list)
     nrexcl: int = 3
@@ -157,14 +161,20 @@ _TERM_SHAPES = {
     "bonds": (2, 2), "angles": (3, 2), "ub": (3, 4), "pdihs": (4, 3),
     "rbdihs": (4, 6), "idihs": (4, 2), "posres": (1, 6),
     "dihres": (4, 3), "angres": (4, 3), "restrbonds": (2, 4),
+    "disres": (2, 5),
 }
 
 
 def build_system(molecules: Sequence[Tuple[MoleculeType, int]],
                  nbfp: np.ndarray,
                  fudge_qq: float = 1.0,
-                 epsilon_r: float = 1.0) -> System:
-    """Flatten (molecule, count) blocks into one System."""
+                 epsilon_r: float = 1.0,
+                 cmap_grids: Optional[np.ndarray] = None) -> System:
+    """Flatten (molecule, count) blocks into one System.
+
+    cmap_grids: (T, gs, gs) CMAP energy grids referenced by the
+    molecules' cmap rows; derivatives are precomputed here
+    (ops/cmap.py)."""
     qa, qb, ta, tb, ma, mb = [], [], [], [], [], []
     excl_sets: List[set] = []
     term_rows: Dict[str, List[Tuple]] = {k: [] for k in _TERM_SHAPES}
@@ -172,7 +182,9 @@ def build_system(molecules: Sequence[Tuple[MoleculeType, int]],
     settle_rows: List[Tuple] = []
     lincs_rows: List[Tuple] = []
     vsite_rows: List[Tuple] = []   # (atoms4, params3, kind)
+    cmap_rows: List[Tuple] = []    # (atoms5, grid type)
     offset = 0
+    disre_label_base = 0
     epsfac = ONE_4PI_EPS0 / epsilon_r
 
     for mol, count in molecules:
@@ -181,6 +193,10 @@ def build_system(molecules: Sequence[Tuple[MoleculeType, int]],
         tbv = mol.types_b if mol.types_b is not None else mol.types_a
         mbv = mol.masses_b if mol.masses_b is not None else mol.masses_a
         mol_excl = mol.generate_exclusions()
+        # dense per-molecule disre label ids so copies don't share
+        # restraint groups (reference: disre.cpp init_disres label blocks)
+        disre_local = sorted({int(r[1][4]) for r in mol.disres})
+        disre_map = {l: i for i, l in enumerate(disre_local)}
         for c in range(count):
             qa += list(mol.charges_a); qb += list(cb)
             ta += list(mol.types_a); tb += list(tbv)
@@ -194,7 +210,13 @@ def build_system(molecules: Sequence[Tuple[MoleculeType, int]],
                 for row in getattr(mol, name):
                     idx, par_a = row[0], row[1]
                     par_b = row[2] if len(row) > 2 else None
+                    if name == "disres":
+                        lbl = disre_label_base + disre_map[int(par_a[4])]
+                        par_a = tuple(par_a[:4]) + (float(lbl),)
+                        if par_b is not None:
+                            par_b = tuple(par_b[:4]) + (float(lbl),)
                     term_rows[name].append((off(idx), par_a, par_b))
+            disre_label_base += len(disre_local)
             for row in mol.pairs14:
                 idx, par_a = row[0], row[1]
                 par_b = row[2] if len(row) > 2 else None
@@ -226,6 +248,8 @@ def build_system(molecules: Sequence[Tuple[MoleculeType, int]],
             for row in mol.vsites4fdn:
                 idx, pars = row[0], row[1]
                 vsite_rows.append((off(idx), tuple(pars[:3]), 7))
+            for row in mol.cmap:
+                cmap_rows.append((off(row[0]), int(row[1])))
             if mol.settle is not None:
                 o, h1, h2, doh, dhh = mol.settle
                 settle_rows.append((off((o, h1, h2)), doh, dhh))
@@ -283,6 +307,18 @@ def build_system(molecules: Sequence[Tuple[MoleculeType, int]],
     else:
         vsites = VirtualSites.empty()
 
+    cmap = None
+    if cmap_rows:
+        if cmap_grids is None:
+            raise ValueError("molecules carry cmap terms but no cmap_grids "
+                             "were provided")
+        from ..ops.cmap import precompute_cmap_tables
+        cmap = CmapList(
+            atoms=jnp.asarray(np.array([r[0] for r in cmap_rows], np.int32)),
+            typ=jnp.asarray(np.array([r[1] for r in cmap_rows], np.int32)),
+            mask=jnp.ones((len(cmap_rows),), jnp.float32),
+            tables=jnp.asarray(precompute_cmap_tables(cmap_grids)))
+
     qa = np.asarray(qa, np.float32); qb = np.asarray(qb, np.float32)
     ta_ = np.asarray(ta, np.int32); tb_ = np.asarray(tb, np.int32)
     ma_ = np.asarray(ma, np.float32); mb_ = np.asarray(mb, np.float32)
@@ -300,5 +336,6 @@ def build_system(molecules: Sequence[Tuple[MoleculeType, int]],
         settle=settle,
         lincs=lincs,
         vsites=vsites,
+        cmap=cmap,
         n_atoms=n,
     )

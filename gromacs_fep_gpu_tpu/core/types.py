@@ -144,6 +144,35 @@ class VirtualSites:
 
 
 @struct.dataclass
+class CmapList:
+    """CHARMM CMAP cross-term dihedral corrections
+    (reference: listed_forces/bonded.cpp cmap_dihs; tables from
+    gmxpreprocess/toppush.cpp push_cmaptype).
+
+    atoms:  (n, 5) int32 — phi = d(1,2,3,4), psi = d(2,3,4,5)
+    typ:    (n,)  int32 grid-type index
+    mask:   (n,)  float32
+    tables: (T, 4, gs, gs) float32 — V, dV/dphi, dV/dpsi, d2V/dphidpsi
+            on the periodic grid (ops/cmap.py precompute_cmap_tables)
+    """
+    atoms: Array
+    typ: Array
+    mask: Array
+    tables: Array
+
+    @property
+    def n(self) -> int:
+        return self.atoms.shape[0]
+
+    @staticmethod
+    def empty() -> "CmapList":
+        return CmapList(atoms=jnp.zeros((0, 5), jnp.int32),
+                        typ=jnp.zeros((0,), jnp.int32),
+                        mask=jnp.zeros((0,), jnp.float32),
+                        tables=jnp.zeros((1, 4, 4, 4), jnp.float32))
+
+
+@struct.dataclass
 class SettleGroups:
     """Rigid 3-site water constraint groups (reference: mdlib/settle.cpp).
 
@@ -216,6 +245,8 @@ class System:
     settle: SettleGroups
     lincs: LincsConstraints
     vsites: VirtualSites = None
+    # CHARMM CMAP cross terms; None when the topology has none
+    cmap: Optional[CmapList] = None
 
     # FEP perturbed-pair list metadata filled by the pairlist machinery is
     # dynamic; but the set of perturbed atoms is static:
@@ -348,6 +379,11 @@ class MdParams:
     # computeSpecialForces sim_util.cpp:624): tuple of md.pull.PullCoord
     pull: Optional[tuple] = None
     nstpullout: int = 50      # pullx/pullf output interval
+
+    # distance restraints (reference: listed_forces/disre.cpp; mdp
+    # disre-fc).  Conservative weighting = exact gradient of the
+    # r^-3-averaged potential, which is what AD yields.
+    disre_fc: float = 1000.0
 
     def replace(self, **kw) -> "MdParams":
         return dataclasses.replace(self, **kw)

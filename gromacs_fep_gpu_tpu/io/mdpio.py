@@ -257,7 +257,19 @@ def mdp_to_params(text: str) -> Tuple[MdParams, Optional[np.ndarray]]:
         expanded=expanded,
         pull=_parse_pull(kv),
         nstpullout=get("pull-nstxout", 50, int),
+        # distance restraints (reference: readir.cpp disre keys); only
+        # the instantaneous "simple" treatment exists (no time-averaged
+        # disre-tau > 0, no ensemble averaging across simulations)
+        disre_fc=get("disre-fc", 1000.0),
     )
+    dr = kv.get("disre", "no").lower()
+    if dr not in ("no", "simple"):
+        raise ValueError(f"disre = {dr} unsupported (no ensemble/"
+                         "time-averaged restraints)")
+    dtau = get("disre-tau", 0.0)
+    if dtau > 0.0:
+        raise ValueError("disre-tau > 0 (time-averaged restraints) "
+                         "unsupported")
     return params, all_lambda
 
 

@@ -150,6 +150,8 @@ class ParsedTop:
     comb_rule: int
     gen_pairs: bool = False
     db: Optional[BondedDB] = None
+    # (T, gs, gs) CMAP energy grids from [ cmaptypes ]
+    cmap_grids: Optional[np.ndarray] = None
 
 
 def _strip(line: str) -> str:
@@ -204,7 +206,14 @@ def _preprocess(text: str, include_dirs: List[str],
             out.append(line)
 
     process(text.splitlines())
-    return out
+    # join backslash line continuations (used by [ cmaptypes ] grids)
+    joined: List[str] = []
+    for line in out:
+        if joined and joined[-1].rstrip().endswith("\\"):
+            joined[-1] = joined[-1].rstrip().rstrip("\\") + " " + line
+        else:
+            joined.append(line)
+    return joined
 
 
 def _is_float(tok: str) -> bool:
@@ -292,6 +301,10 @@ def parse_top(text: str, include_dirs: Optional[List[str]] = None,
     cur: Optional[_RawMol] = None
     system_name = "system"
     molecules: List[Tuple[str, int]] = []
+    # CMAP grid types keyed by the 5 bonded-type names
+    # (reference: gmxpreprocess/toppush.cpp push_cmaptype)
+    cmaptypes: Dict[Tuple[str, ...], int] = {}
+    cmap_grids: List[np.ndarray] = []
 
     for line in lines:
         s = _strip(line)
@@ -334,6 +347,18 @@ def parse_top(text: str, include_dirs: Optional[List[str]] = None,
                 names, funct = t[:2], int(t[2])
                 params = tuple(float(v) for v in t[3:])
             db.add("dihedraltypes", names, funct, params)
+        elif section == "cmaptypes":
+            # name1..name5 funct nx ny v00 v01 ... (row = phi index)
+            names5 = tuple(t[:5])
+            nx, ny = int(t[6]), int(t[7])
+            vals = np.asarray([float(v) for v in t[8:8 + nx * ny]],
+                              np.float64)
+            if vals.size != nx * ny or nx != ny:
+                raise ValueError(
+                    f"cmaptypes {names5}: expected square {nx}x{ny} grid, "
+                    f"got {vals.size} values")
+            cmaptypes[names5] = len(cmap_grids)
+            cmap_grids.append(vals.reshape(nx, ny))
         elif section == "moleculetype":
             cur = _RawMol(name=t[0], nrexcl=int(t[1]))
             raw_mols[cur.name] = cur
@@ -353,10 +378,12 @@ def parse_top(text: str, include_dirs: Optional[List[str]] = None,
             cur.atoms.append((tname, charge, mass, tb, qb, mb, aname))
         elif section in ("bonds", "pairs", "angles", "dihedrals",
                          "constraints", "dihedral_restraints",
-                         "angle_restraints"):
+                         "angle_restraints", "cmap",
+                         "distance_restraints"):
             k = {"bonds": 2, "pairs": 2, "angles": 3, "dihedrals": 4,
                  "constraints": 2, "dihedral_restraints": 4,
-                 "angle_restraints": 4}[section]
+                 "angle_restraints": 4, "cmap": 5,
+                 "distance_restraints": 2}[section]
             idx = tuple(int(v) - 1 for v in t[:k])
             funct = int(t[k])
             vals = [float(v) for v in t[k + 1:]]
@@ -434,19 +461,24 @@ def parse_top(text: str, include_dirs: Optional[List[str]] = None,
     moltypes: Dict[str, MoleculeType] = {}
     for raw in raw_mols.values():
         moltypes[raw.name] = _resolve_molecule(
-            raw, atomtypes, db, nbfp, comb_rule, fudge_lj, fudge_qq, gen_pairs)
+            raw, atomtypes, db, nbfp, comb_rule, fudge_lj, fudge_qq,
+            gen_pairs, cmaptypes)
 
     return ParsedTop(system_name=system_name, molecules=molecules,
                      moltypes=moltypes, atomtypes=atomtypes,
                      nbfp=nbfp.astype(np.float32), fudge_lj=fudge_lj,
                      fudge_qq=fudge_qq, comb_rule=comb_rule,
-                     gen_pairs=gen_pairs, db=db)
+                     gen_pairs=gen_pairs, db=db,
+                     cmap_grids=(np.stack(cmap_grids)
+                                 if cmap_grids else None))
 
 
 def _resolve_molecule(raw: _RawMol, atomtypes: Dict[str, AtomType],
                       db: BondedDB, nbfp: np.ndarray, comb_rule: int,
-                      fudge_lj: float, fudge_qq: float, gen_pairs: bool
+                      fudge_lj: float, fudge_qq: float, gen_pairs: bool,
+                      cmaptypes: Optional[Dict[Tuple[str, ...], int]] = None
                       ) -> MoleculeType:
+    cmaptypes = cmaptypes or {}
     mol = MoleculeType(name=raw.name, types_a=[], charges_a=[], masses_a=[],
                        types_b=[], charges_b=[], masses_b=[],
                        nrexcl=raw.nrexcl)
@@ -481,6 +513,27 @@ def _resolve_molecule(raw: _RawMol, atomtypes: Dict[str, AtomType],
             "(grompp: toppush.cpp:2233)")
 
     for (section, funct, idx, vals) in raw.rows:
+        if section == "distance_restraints":
+            # ai aj funct type label lo up1 up2 weight
+            # (reference: topology section table, disre.cpp init_disres)
+            typ, label = int(vals[0]), int(vals[1])
+            lo, up1, up2 = vals[2], vals[3], vals[4]
+            weight = vals[5] if len(vals) > 5 else 1.0
+            if typ not in (1, 2):
+                raise ValueError(f"{raw.name}: distance_restraints type "
+                                 f"{typ} unsupported")
+            mol.disres.append(((idx[0], idx[1]),
+                               (lo, up1, up2, weight, float(label))))
+            continue
+        if section == "cmap":
+            # resolve the grid by the 5 atoms' bonded-type names
+            # (reference: toppush.cpp push_cmap)
+            key = tuple(atomtypes[type_names_a[i]].btype for i in idx)
+            hit = cmaptypes.get(key)
+            if hit is None:
+                raise ValueError(f"{raw.name}: no cmaptype for {key}")
+            mol.cmap.append((idx, hit))
+            continue
         npA = _NPARAM.get((section, funct))
         if npA is None:
             raise ValueError(f"{section} funct {funct} unsupported")
@@ -771,4 +824,5 @@ def system_from_top(text: str, include_dirs: Optional[List[str]] = None,
             mol.constraints = list(mol.constraints)
             make_hbond_constraints(mol, all_bonds=constraints == "all-bonds")
         mols.append((mol, count))
-    return build_system(mols, nbfp, fudge_qq=1.0, epsilon_r=epsilon_r)
+    return build_system(mols, nbfp, fudge_qq=1.0, epsilon_r=epsilon_r,
+                        cmap_grids=parsed.cmap_grids)

@@ -198,6 +198,45 @@ def restrbond_energy(x, box, il: InteractionList, lam) -> jnp.ndarray:
     return jnp.sum(il.mask * v)
 
 
+def disres_energy(x, box, il: InteractionList, lam,
+                  fc: float = 1000.0) -> jnp.ndarray:
+    """NMR distance restraints with instantaneous r^-3 averaging over the
+    pairs sharing a label (reference: listed_forces/disre.cpp ta_disres,
+    conservative disre-weighting — the force is the exact gradient of the
+    averaged potential, which AD provides).
+
+    params per pair: (lo, up1, up2, weight, label); labels were remapped
+    to dense 0..n-1 ids at build time (core/topology.py).  V per label:
+    0 in [lo, up1], harmonic 0.5 fc dr^2 outside up to up2, linear with
+    matching slope beyond up2 (disre.cpp L_r flattening)."""
+    if il.n == 0:
+        return jnp.zeros((), x.dtype)
+    ai, aj = il.atoms[:, 0], il.atoms[:, 1]
+    p = _interp(il.params_a, il.params_b, lam)
+    w = p[:, 3] * il.mask
+    label = il.params_a[:, 4].astype(jnp.int32)
+    n = il.n
+    dx = _bond_vec(x, box, ai, aj)
+    r2 = jnp.sum(dx * dx, -1) + 1e-32
+    rm3 = r2 ** (-1.5)
+    s3 = jax.ops.segment_sum(w * rm3, label, num_segments=n)
+    sw = jax.ops.segment_sum(w, label, num_segments=n)
+    valid = sw > 0.0
+    rav = jnp.where(valid, s3 / jnp.maximum(sw, 1e-32), 1.0) ** (-1.0 / 3.0)
+    # per-label bounds (identical across a label's pairs): masked max
+    def seg_first(v):
+        return jax.ops.segment_max(jnp.where(il.mask > 0, v, -1e30),
+                                   label, num_segments=n)
+    lo, up1, up2 = seg_first(p[:, 0]), seg_first(p[:, 1]), seg_first(p[:, 2])
+    v_lo = 0.5 * fc * (rav - lo) ** 2
+    v_up1 = 0.5 * fc * (rav - up1) ** 2
+    v_lin = 0.5 * fc * (up2 - up1) * (2.0 * rav - up2 - up1)
+    v = jnp.where(rav < lo, v_lo,
+                  jnp.where(rav <= up1, 0.0,
+                            jnp.where(rav <= up2, v_up1, v_lin)))
+    return jnp.sum(jnp.where(valid, v, 0.0))
+
+
 # term registry: name -> (arity k, n params p, energy fn)
 TERMS = {
     "bonds": (2, 2, bond_energy),
@@ -210,6 +249,9 @@ TERMS = {
     "dihres": (4, 3, dihres_energy),
     "angres": (4, 3, angres_energy),
     "restrbonds": (2, 4, restrbond_energy),
+    # disres takes an extra fc argument (mdp disre-fc); the force loops
+    # special-case it
+    "disres": (2, 5, disres_energy),
 }
 
 # energy-term channel each name accumulates into (EnergyTerms field)
@@ -224,9 +266,11 @@ TERM_CHANNEL = {
     "dihres": "restraints",
     "angres": "restraints",
     "restrbonds": "restraints",
+    "disres": "restraints",
 }
 
 # terms whose lambda dependence follows the RESTRAINT coupling component
 # (reference: ifunc.h IF_RESTRAINT-flagged types route dvdl to
 # FreeEnergyPerturbationCouplingType::Restraint)
-RESTRAINT_TERMS = frozenset({"posres", "dihres", "angres", "restrbonds"})
+RESTRAINT_TERMS = frozenset({"posres", "dihres", "angres", "restrbonds",
+                             "disres"})

@@ -90,9 +90,16 @@ def dense_energy(x, box, lam, system: System, params: MdParams,
             continue
         _, _, fn = bonded_mod.TERMS[name]
         lam_term = lam_r if name in bonded_mod.RESTRAINT_TERMS else lam_b
-        e = fn(x, box, il, lam_term)
+        e = (fn(x, box, il, lam_term, params.disre_fc)
+             if name == "disres" else fn(x, box, il, lam_term))
         ch = bonded_mod.TERM_CHANNEL[name]
         terms = terms.replace(**{ch: getattr(terms, ch) + e})
+
+    # ---- CMAP cross terms ----
+    if system.cmap is not None and system.cmap.n > 0:
+        from .cmap import cmap_energy
+        terms = terms.replace(
+            dihedrals=terms.dihedrals + cmap_energy(x, box, system.cmap))
 
     # ---- 1-4 pairs ----
     if system.pairs14.n > 0:
