@@ -180,6 +180,23 @@ def cmd_mdrun(args):
                        np.asarray(lam_arr),
                        max(int(params.fep.init_lambda_state), 0),
                        temperature=params.ref_t)
+    if params.awh is not None and state.dfhist is not None:
+        # AWH output: lambda-point PMF + bias free-energy estimate
+        # (reference: awh.cpp writeToEnergyFrame / gmx awh xvg layout)
+        from .md.awh import awh_free_energy, awh_pmf
+        pmf = np.asarray(awh_pmf(state.dfhist, params.ref_t))
+        dg = np.asarray(awh_free_energy(state.dfhist, params.ref_t))
+        with open(f"{deffnm}.awh.xvg", "w") as f:
+            f.write('@    title "AWH (lambda) PMF and bias"\n')
+            f.write('@    xaxis  label "lambda index"\n')
+            f.write('@    yaxis  label "(kJ/mol)"\n')
+            f.write('@ s0 legend "PMF"\n@ s1 legend "bias dG"\n')
+            for i in range(pmf.shape[0]):
+                f.write(f"{i:6d} {pmf[i]:14.6f} {dg[i]:14.6f}\n")
+        print(f"AWH: dG({len(dg) - 1}<-0) = {dg[-1]:.3f} kJ/mol "
+              f"(N = {float(state.dfhist.hist_size):.0f}, "
+              f"{'initial' if bool(state.dfhist.initial_stage) else 'final'}"
+              " stage)")
     # binary .edr with per-frame BAR delta-H blocks (gmx energy / gmx bar
     # interop; reference: fileio/enxio.cpp, mdlib/mdebin_bar.cpp)
     from .io.edrio import (DHBT_DH, DHBT_DHDL, EdrFrame, EdrWriter, dh_block,

@@ -315,6 +315,21 @@ class ExpandedParams:
 
 
 @dataclasses.dataclass(frozen=True)
+class AwhParams:
+    """Static AWH settings with the FEP lambda state as the reaction
+    coordinate (reference: mdtypes/awh_params.h; mdp keys awh-*,
+    awh1-dim1-coord-provider = fep-lambda)."""
+    nstsample: int = 10            # awh-nstsample: steps between samples
+    n_samples_update: int = 10     # awh-nsamples-update
+    error_init: float = 10.0       # awh1-error-init, kJ/mol
+    growth_factor: float = 3.0     # awh1-growth-factor (initial stage)
+    growth: str = "exp-linear"     # awh1-growth: exp-linear | linear
+    target: str = "constant"       # awh1-target (uniform only)
+    seed: int = 93                 # awh-seed
+    share: bool = False            # awh-share-multisim (ensemble axis)
+
+
+@dataclasses.dataclass(frozen=True)
 class MdParams:
     """Static run parameters — the t_inputrec analogue.  Hashable and held
     out of the pytree so that jit specializes on it."""
@@ -374,6 +389,9 @@ class MdParams:
 
     fep: FepParams = FepParams()
     expanded: Optional[ExpandedParams] = None
+    # AWH biasing on the FEP lambda coordinate
+    # (reference: applied_forces/awh/awh.h:256 fepLambdaState)
+    awh: Optional[AwhParams] = None
 
     # COM pulling (reference: pulling/pull.cpp, hooked via
     # computeSpecialForces sim_util.cpp:624): tuple of md.pull.PullCoord

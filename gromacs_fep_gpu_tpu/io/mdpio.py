@@ -221,6 +221,35 @@ def mdp_to_params(text: str) -> Tuple[MdParams, Optional[np.ndarray]]:
                                   "geometric").lower(),
         )
 
+    # AWH biasing on the FEP lambda coordinate (reference: readir.cpp
+    # awh keys; applied_forces/awh).  Only coord-provider = fep-lambda
+    # exists here — continuous pull-coordinate dims are not supported.
+    awh = None
+    if kv.get("awh", "no").lower() == "yes":
+        from ..core.types import AwhParams
+        nbias = int(kv.get("awh-nbias", "1"))
+        provider = kv.get("awh1-dim1-coord-provider", "").lower()
+        if nbias != 1 or provider not in ("fep-lambda", "fep_lambda"):
+            raise ValueError(
+                "awh: only awh-nbias = 1 with awh1-dim1-coord-provider = "
+                "fep-lambda is supported")
+        growth = kv.get("awh1-growth", "exp-linear").lower()
+        if growth not in ("exp-linear", "linear"):
+            raise ValueError(f"awh1-growth = {growth} unsupported")
+        target = kv.get("awh1-target", "constant").lower()
+        if target != "constant":
+            raise ValueError(f"awh1-target = {target} unsupported")
+        awh = AwhParams(
+            nstsample=get("awh-nstsample", 10, int),
+            n_samples_update=get("awh-nsamples-update", 10, int),
+            error_init=get("awh1-error-init", 10.0),
+            growth_factor=get("awh1-growth-factor", 3.0),
+            growth=growth,
+            target=target,
+            seed=get("awh-seed", 93, int),
+            share=kv.get("awh-share-multisim", "no").lower() == "yes",
+        )
+
     params = MdParams(
         dt=get("dt", 0.001),
         nsteps=get("nsteps", 0, int),
@@ -255,6 +284,7 @@ def mdp_to_params(text: str) -> Tuple[MdParams, Optional[np.ndarray]]:
         nstcalcenergy=get("nstcalcenergy", 1, int),
         fep=fep,
         expanded=expanded,
+        awh=awh,
         pull=_parse_pull(kv),
         nstpullout=get("pull-nstxout", 50, int),
         # distance restraints (reference: readir.cpp disre keys); only

@@ -354,6 +354,14 @@ class MdRunner:
             state = state.replace(dfhist=DfHist.init(
                 int(self.all_lambda.shape[0]),
                 self.params.expanded.init_wl_delta))
+        if (self.params.awh is not None and self.all_lambda is not None
+                and state.dfhist is None):
+            from ..core.units import BOLTZ
+            from .awh import AwhState
+            state = state.replace(dfhist=AwhState.init(
+                int(self.all_lambda.shape[0]),
+                self.params.awh.error_init
+                / (BOLTZ * self.params.ref_t)))
         if self.config.cell_size is None and not self.config.use_dense:
             vol = float(np.prod(np.diag(np.asarray(state.box))))
             n = max(self.system.n_atoms, 1)

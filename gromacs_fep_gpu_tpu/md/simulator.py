@@ -146,6 +146,11 @@ def make_step_fn(system: System, params: MdParams, force_fn: Callable,
     exp = params.expanded
     has_expanded = exp is not None and all_lambda is not None \
         and exp.nstexpanded > 0 and exp.lmc_move not in ("no", "")
+    # AWH biasing on the lambda coordinate (awh.h:256 fepLambdaState);
+    # mutually exclusive with expanded ensemble (readir.cpp checks)
+    has_awh = params.awh is not None and all_lambda is not None
+    if has_awh and has_expanded:
+        raise ValueError("awh and expanded ensemble are mutually exclusive")
     sim_temps = None
     if has_expanded and exp.sim_temp:
         from .expanded import simulated_tempering_temperatures
@@ -187,6 +192,10 @@ def make_step_fn(system: System, params: MdParams, force_fn: Callable,
             if has_expanded:
                 do_ener = do_ener | (((state.step % exp.nstexpanded) == 0)
                                      & (state.step > 0))
+            if has_awh:
+                do_ener = do_ener | (
+                    ((state.step % params.awh.nstsample) == 0)
+                    & (state.step > 0))
             f, terms = jax.lax.cond(
                 do_ener,
                 lambda: force_fn(state.x, state.box, lam),
@@ -214,6 +223,9 @@ def make_step_fn(system: System, params: MdParams, force_fn: Callable,
             need = do_dhdl
             if has_expanded:
                 need = need | (((state.step % exp.nstexpanded) == 0)
+                               & (state.step > 0))
+            if has_awh:
+                need = need | (((state.step % params.awh.nstsample) == 0)
                                & (state.step > 0))
             dh_vec = jax.lax.cond(
                 need,
@@ -256,6 +268,20 @@ def make_step_fn(system: System, params: MdParams, force_fn: Callable,
                 sc = jnp.sqrt(ts[lamnew] / ts[state.fep_state])
                 v_in = jnp.where(do_mc, state.v * sc, state.v)
                 tstate_idx = lamnew
+        elif has_awh:
+            from .awh import awh_fep_step
+            assert dh_vec is not None, "awh requires foreign_delta_fn"
+            do_mc = (((state.step % params.awh.nstsample) == 0)
+                     & (state.step > 0))
+            lamnew_raw, awh_new = awh_fep_step(
+                state.fep_state, state.dfhist, jnp.nan_to_num(dh_vec),
+                state.step, params.awh, params.ref_t)
+            lamnew = jnp.where(do_mc, lamnew_raw, state.fep_state)
+            dfhist_next = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(do_mc, a, b), awh_new, state.dfhist)
+            fep_state_next = lamnew
+            lam_next_vec = jnp.where(
+                do_mc, jnp.asarray(all_lambda, lam.dtype)[:, lamnew], lam)
 
         ref_t_eff = params.ref_t
         if sim_temps is not None:

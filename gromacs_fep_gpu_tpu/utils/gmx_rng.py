@@ -18,7 +18,8 @@ _KS2_LO = np.uint32(0xA9FC1A22)
 
 # RandomDomain values (reference: random/seed.h)
 DOMAIN_EXPANDED_ENSEMBLE = 0x00008000
-DOMAIN_REPLICA_EXCHANGE = 0x00009000
+DOMAIN_REPLICA_EXCHANGE = 0x00007000
+DOMAIN_AWH_BIASING = 0x00009000
 
 
 def _add64(alo, ahi, blo, bhi):
