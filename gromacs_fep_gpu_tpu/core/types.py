@@ -496,6 +496,10 @@ class EnergyTerms:
     dispcorr: Array
     # dV/dlambda per FepCoupling channel (7,)
     dvdl: Array
+    # (3,) diagonal potential virial Xi_aa accumulated in the force pass
+    # (zeros unless the force fn ran with need_virial; reference:
+    # sim_util.cpp shift-force virial / calc_virial)
+    vir_diag: Array = None
 
     @property
     def epot(self) -> Array:
@@ -509,7 +513,8 @@ class EnergyTerms:
         return EnergyTerms(lj=z, coulomb=z, lj_recip=z, coul_recip=z, bonds=z,
                            angles=z, dihedrals=z, impropers=z, lj14=z,
                            coul14=z, restraints=z, dispcorr=z,
-                           dvdl=jnp.zeros((int(FepCoupling.COUNT),), dtype))
+                           dvdl=jnp.zeros((int(FepCoupling.COUNT),), dtype),
+                           vir_diag=jnp.zeros((3,), dtype))
 
     def __add__(self, other: "EnergyTerms") -> "EnergyTerms":
         return jax.tree_util.tree_map(lambda a, b: a + b, self, other)

@@ -272,6 +272,16 @@ class MdRunner:
                     lambda x, box, lam: force_fn(x, box, lam, nlist,
                                                  feplist, prep,
                                                  need_energy=False))
+            # decomposed NPT virial: supported on the XLA cluster kernel
+            # and the v2u Pallas path (no DD override, no dense path)
+            bound_force_vir = None
+            if (compute_pressure and not cfg.use_dense
+                    and self._dd_mesh is None
+                    and (not cfg.use_pallas or cfg.pallas_mode == "v2u")):
+                bound_force_vir = (
+                    lambda x, box, lam: force_fn(x, box, lam, nlist,
+                                                 feplist, prep,
+                                                 need_virial=True))
 
             pull_static = (self.params.pull is not None
                            and len(self.params.pull) > 0
@@ -293,6 +303,7 @@ class MdRunner:
                 self.system, self.params, bound_force,
                 energy_epot_fn=epot_fn,
                 compute_pressure=compute_pressure,
+                force_vir_fn=bound_force_vir,
                 foreign_delta_fn=(foreign_factory(feplist)
                                   if foreign_factory else None),
                 n_foreign=n_foreign,

@@ -104,7 +104,8 @@ def make_step_fn(system: System, params: MdParams, force_fn: Callable,
                  n_foreign: int = 0,
                  all_lambda=None,
                  force_fn_noener: Optional[Callable] = None,
-                 temp_ladder=None):
+                 temp_ladder=None,
+                 force_vir_fn: Optional[Callable] = None):
     """force_fn(x, box, lam) -> (f, EnergyTerms).
     foreign_delta_fn(x, box, lam) -> (n_foreign,) Delta-H vector, evaluated
     every fep.nstdhdl steps (reference: mdebin_bar.cpp Delta-H collection)
@@ -130,8 +131,14 @@ def make_step_fn(system: System, params: MdParams, force_fn: Callable,
     if params.dispcorr:
         from ..ops.dispcorr import make_dispersion_correction
         _, p_extra_fn = make_dispersion_correction(system, params)
+    # decomposed virial: the force pass itself fills terms.vir_diag at
+    # pressure steps (NB kernel pair sums + cheap-term strain grad), so
+    # NPT costs no second full energy evaluation (reference:
+    # sim_util.cpp calc_virial from the same force pass)
+    pressure_from_force = compute_pressure and force_vir_fn is not None
     pressure_fn = (make_pressure_fn(energy_epot_fn, p_extra_fn)
-                   if compute_pressure and energy_epot_fn is not None else None)
+                   if compute_pressure and energy_epot_fn is not None
+                   and not pressure_from_force else None)
 
     from .vsites import construct_vsites, n_vsites, spread_vsite_forces
     has_vsites = n_vsites(system) > 0
@@ -183,8 +190,11 @@ def make_step_fn(system: System, params: MdParams, force_fn: Callable,
 
         # energies (and the dvdl backward pass) are only needed every
         # nstcalcenergy steps; in between the force-only kernel flavor
-        # runs (reference: do_md nstcalcenergy + F/VF kernel split)
+        # runs (reference: do_md nstcalcenergy + F/VF kernel split).
+        # Pressure steps run the virial flavor of the energy kernel.
         do_ener = jnp.asarray(True)
+        do_vir = ((state.step % params.nstpcouple) == 0 \
+                  if pressure_from_force else jnp.asarray(False))
         if force_fn_noener is not None and params.nstcalcenergy > 1:
             do_ener = (state.step % params.nstcalcenergy) == 0
             if params.fep.enabled:
@@ -196,12 +206,20 @@ def make_step_fn(system: System, params: MdParams, force_fn: Callable,
                 do_ener = do_ener | (
                     ((state.step % params.awh.nstsample) == 0)
                     & (state.step > 0))
-            f, terms = jax.lax.cond(
+            do_ener = do_ener | do_vir
+            ener_branch = lambda: jax.lax.cond(
                 do_ener,
                 lambda: force_fn(state.x, state.box, lam),
                 lambda: force_fn_noener(state.x, state.box, lam))
         else:
-            f, terms = force_fn(state.x, state.box, lam)
+            ener_branch = lambda: force_fn(state.x, state.box, lam)
+        if pressure_from_force:
+            f, terms = jax.lax.cond(
+                do_vir,
+                lambda: force_vir_fn(state.x, state.box, lam),
+                ener_branch)
+        else:
+            f, terms = ener_branch()
         pull_x = jnp.zeros((0,), state.x.dtype)
         pull_f_log = jnp.zeros((0,), state.x.dtype)
         if has_pull:
@@ -415,11 +433,36 @@ def make_step_fn(system: System, params: MdParams, force_fn: Callable,
 
         # --- pressure coupling ---
         box_new = state.box
-        if params.pcoupl != PcouplType.NO and pressure_fn is not None:
+
+        def pressure_from_terms():
+            """P from the force-pass virial (terms.vir_diag) + constraint
+            virial + pull strain term, with the half-step-consistent KE
+            (reference: coupling.cpp calc_pres)."""
+            vol = pbc_mod.box_volume(state.box)
+            vir = terms.vir_diag + constr_vir_diag
+            if has_pull:
+                t_ps = state.step.astype(state.x.dtype) * dt
+                from .pull import pull_energy
+                du = jax.grad(lambda e: pull_energy(
+                    state.x * (1.0 + e)[None, :],
+                    state.box * (1.0 + e)[None, :],
+                    mass, params.pull, t_ps))(jnp.zeros(3, state.x.dtype))
+                vir = vir + 0.5 * du
+            ekin_diag = 0.5 * jnp.sum(mass[:, None] * v_new * v_new, axis=0)
+            p_diag = 2.0 / vol * (ekin_diag - vir) * PRESFAC
+            if p_extra_fn is not None:
+                p_diag = p_diag + p_extra_fn(state.box)
+            return jnp.mean(p_diag), p_diag
+
+        if params.pcoupl != PcouplType.NO and (pressure_fn is not None
+                                               or pressure_from_force):
             do_p = (state.step % params.nstpcouple) == 0
             dt_p = params.nstpcouple * dt
-            p_scalar, p_diag = pressure_fn(x_new, state.box, lam, v_new, mass,
-                                           constr_vir_diag)
+            if pressure_from_force:
+                p_scalar, p_diag = pressure_from_terms()
+            else:
+                p_scalar, p_diag = pressure_fn(x_new, state.box, lam, v_new,
+                                               mass, constr_vir_diag)
             if params.pcoupl == PcouplType.BERENDSEN:
                 mu = coupling_mod.berendsen_pscale(
                     p_scalar, params.ref_p, dt_p, params.tau_p,
@@ -450,7 +493,10 @@ def make_step_fn(system: System, params: MdParams, force_fn: Callable,
                 mu = jnp.where(do_p, mu, 1.0)
                 box_new = state.box * mu
                 x_new = x_new * mu
-            pres = p_scalar
+            # decomposed path: the virial only exists at pressure steps;
+            # off-step frames log NaN (same convention as epot)
+            pres = (jnp.where(do_p, p_scalar, jnp.nan)
+                    if pressure_from_force else p_scalar)
         elif pressure_fn is not None:
             pres, _ = pressure_fn(x_new, state.box, lam, v_new, mass,
                                   constr_vir_diag)

@@ -58,10 +58,12 @@ def cluster_nb_kernel(x, box, nlist: ClusterPairlist, nbfp, params: MdParams,
                       beta: Optional[float], block: int = 64,
                       block_offset=None, n_blocks: Optional[int] = None,
                       total_blocks: Optional[int] = None,
-                      lj_mode: str = "table"):
+                      lj_mode: str = "table",
+                      compute_virial: bool = False):
     """Analytic forces + energies over the cluster pair list.
 
-    Returns (f_sorted (n_pad,3), e_coul, e_lj).  When block_offset /
+    Returns (f_sorted (n_pad,3), e_coul, e_lj[, vir_diag (3,) when
+    compute_virial]).  When block_offset /
     n_blocks are given, only cluster blocks [offset, offset+n_blocks) are
     computed and f covers just those rows — the hook spatial sharding uses
     to give each device its block range (parallel/spatial.py)."""
@@ -104,7 +106,7 @@ def cluster_nb_kernel(x, box, nlist: ClusterPairlist, nbfp, params: MdParams,
         xs_pad, qs_pad, ts_pad, pert_pad, valid_pad, excl_pad,
         nbr_p, nbrm_p, box, nbfp, params, beta, block,
         block_offset=off, n_blocks=n_blocks_eff, lj_mode=lj_mode,
-        n_keep=keep)
+        n_keep=keep, compute_virial=compute_virial)
 
 
 def cluster_nb_kernel_core(xs_pad, qs_pad, ts_pad, pert_pad, valid_pad,
@@ -113,7 +115,8 @@ def cluster_nb_kernel_core(xs_pad, qs_pad, ts_pad, pert_pad, valid_pad,
                            block: int, block_offset=None,
                            n_blocks: Optional[int] = None,
                            lj_mode: str = "table",
-                           n_keep: Optional[int] = None):
+                           n_keep: Optional[int] = None,
+                           compute_virial: bool = False):
     """Pair-interaction core over pre-arranged padded row arrays.
 
     xs_pad..excl_pad: (ncl*CLUSTER, ...) rows in cluster-sorted order,
@@ -334,15 +337,29 @@ def cluster_nb_kernel_core(xs_pad, qs_pad, ts_pad, pert_pad, valid_pad,
         f_i = jnp.stack([f_ix, f_iy, f_iz], axis=-1)
         e_lj = jnp.sum(e_lj_pair)
         e_c_tot = jnp.sum(e_c)
-        return f_i.reshape(block * CLUSTER, 3), e_c_tot, e_lj
+        if compute_virial:
+            # diagonal pair virial: the fscal*dx products are already in
+            # registers (reference: nbnxm kernels accumulate shift forces
+            # for calc_virial; here the per-pair form directly)
+            vir = jnp.stack([jnp.sum(fscal * dxx * dxx),
+                             jnp.sum(fscal * dxy * dxy),
+                             jnp.sum(fscal * dxz * dxz)])
+        else:
+            vir = jnp.zeros((3,), x.dtype)
+        return f_i.reshape(block * CLUSTER, 3), e_c_tot, e_lj, vir
 
     off = jnp.asarray(0 if block_offset is None else block_offset, jnp.int32)
     blocks = off + jnp.arange(n_blocks)
-    f_blocks, e_c, e_lj = jax.lax.map(one_block, blocks)
+    f_blocks, e_c, e_lj, vir_b = jax.lax.map(one_block, blocks)
     f_rows = f_blocks.reshape(n_blocks * block * CLUSTER, 3)
     if n_keep is not None:
         f_rows = f_rows[:n_keep]
-    return f_rows, 0.5 * jnp.sum(e_c), 0.5 * jnp.sum(e_lj)
+    # pairs are visited from both sides: halve sums; virial sign is
+    # Xi_aa = -1/2 sum_pairs fscal dx_a^2 over unique pairs
+    out = (f_rows, 0.5 * jnp.sum(e_c), 0.5 * jnp.sum(e_lj))
+    if compute_virial:
+        return out + (-0.25 * jnp.sum(vir_b, axis=0),)
+    return out
 
 
 def fep_pair_energy(x, box, lam_c, lam_v, feplist: FepPairlist,
@@ -443,18 +460,31 @@ def make_cluster_force_fn(system: System, params: MdParams,
 
     def force_fn(x, box, lam, nlist: ClusterPairlist,
                  feplist: Optional[FepPairlist] = None, prep=None,
-                 need_energy: bool = True):
+                 need_energy: bool = True, need_virial: bool = False):
         """need_energy=False runs the force-only kernel flavor and skips
         the dV/dlambda backward pass (the reference computes energies only
-        at nstcalcenergy steps; F vs VF kernels in nbnxm_cuda.cu)."""
+        at nstcalcenergy steps; F vs VF kernels in nbnxm_cuda.cu).
+
+        need_virial=True additionally fills terms.vir_diag with the
+        diagonal potential virial, assembled as kernel-accumulated pair
+        sums for the NB loop plus a strain gradient of the cheap terms
+        (reference: sim_util.cpp calc_virial from the same force pass) —
+        NPT then needs no second full force evaluation.  Supported on
+        the XLA cluster kernel and the v2u Pallas path."""
+        nb_vir = jnp.zeros((3,), x.dtype)
         if nb_kernel_override is not None:
             f_sorted, e_coul, e_lj = nb_kernel_override(x, box, nlist)
         elif use_pallas:
             if isinstance(prep, PallasPrepV2U):
-                f_sorted, e_coul, e_lj = pallas_cluster_forces_v2u(
+                out = pallas_cluster_forces_v2u(
                     x, box, nlist, system.nbfp, params, beta,
                     interpret=pallas_interpret, prep=prep,
-                    compute_energy=need_energy, prune=pallas_prune)
+                    compute_energy=need_energy, prune=pallas_prune,
+                    compute_virial=need_virial)
+                if need_virial:
+                    f_sorted, e_coul, e_lj, nb_vir = out
+                else:
+                    f_sorted, e_coul, e_lj = out
             elif isinstance(prep, PallasPrepV2) or (prep is None
                                                     and nlist.nbr_shift
                                                     is not None):
@@ -473,9 +503,13 @@ def make_cluster_force_fn(system: System, params: MdParams,
                     interpret=pallas_interpret, prep=prep,
                     compute_energy=need_energy)
         else:
-            f_sorted, e_coul, e_lj = cluster_nb_kernel(
+            out = cluster_nb_kernel(
                 x, box, nlist, system.nbfp, params, beta, block,
-                lj_mode=lj_mode)
+                lj_mode=lj_mode, compute_virial=need_virial)
+            if need_virial:
+                f_sorted, e_coul, e_lj, nb_vir = out
+            else:
+                f_sorted, e_coul, e_lj = out
         f_cluster = f_sorted[nlist.inv_perm]                  # gather, no scatter
 
         if need_energy:
@@ -484,6 +518,23 @@ def make_cluster_force_fn(system: System, params: MdParams,
             gx, terms = grad_other_f(x, lam, box, feplist)
             glam = jnp.full((int(FepCoupling.COUNT),), jnp.nan, x.dtype)
         f = f_cluster - gx
+        if need_virial:
+            # strain gradient of everything outside the NB kernel: FEP
+            # pairs, bonded, 1-4, and the reciprocal sum (cheap next to
+            # the NB loop; exact, including explicit box dependence)
+            def u_cheap(eps):
+                s = (1.0 + eps)[None, :]
+                e_o, _ = other_energy(x * s, lam, box * s, feplist)
+                if pme_recip_force_fn is not None and pme_recip_fn is not None:
+                    # recip rides the hand-written gather in the force
+                    # path; its virial comes from the AD-able energy fn
+                    e_o = e_o + pme_recip_fn(x * s, box * s,
+                                             lam[FepCoupling.COUL])
+                return e_o
+
+            dude = jax.grad(u_cheap)(jnp.zeros(3, x.dtype))
+            vir_total = nb_vir + 0.5 * dude
+            terms = terms.replace(vir_diag=vir_total)
         if pme_recip_force_fn is not None:
             # PME reciprocal via the hand-written gather pass (energy,
             # force, dvdl together) instead of AD through the spread

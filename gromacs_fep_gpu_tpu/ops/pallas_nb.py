@@ -1105,7 +1105,8 @@ GJU = 32        # j-clusters per group in the union stream (256 lanes)
 
 def _make_kernel_v2u(n_groups: int, params: MdParams, beta, epsfac: float,
                      compute_energy: bool = True,
-                     baked_shifts: bool = False):
+                     baked_shifts: bool = False,
+                     compute_virial: bool = False):
     """baked_shifts: j coordinates arrive pre-shifted to the i-block's
     periodic image (rebuild-time shifts folded in by the caller, the
     reference's per-entry shift-vector index, nbnxm/pairlist.h) — the
@@ -1119,6 +1120,8 @@ def _make_kernel_v2u(n_groups: int, params: MdParams, beta, epsfac: float,
     if params.coulomb == CoulombType.REACTION_FIELD:
         krf, crf = rf_constants(params)
     L = GJU * CLUSTER
+    if compute_virial:
+        assert compute_energy, "virial rides the energy kernel flavor"
 
     def kernel(box_ref,                      # SMEM (1, 3) box diagonal
                ng_ref,                       # SMEM (1, 1, 1) i32 trip count
@@ -1157,7 +1160,7 @@ def _make_kernel_v2u(n_groups: int, params: MdParams, beta, epsfac: float,
               + jax.lax.broadcasted_iota(jnp.int32, (BU, CLUSTER, 1), 1))
 
         def j_group(g, acc):
-            fx, fy, fz, e_c, e_lj = acc
+            fx, fy, fz, e_c, e_lj, vxx, vyy, vzz = acc
             xj = jx_ref[0, pl.ds(g, 1)]                  # (1, 256)
             yj = jy_ref[0, pl.ds(g, 1)]
             zj = jz_ref[0, pl.ds(g, 1)]
@@ -1231,17 +1234,27 @@ def _make_kernel_v2u(n_groups: int, params: MdParams, beta, epsfac: float,
                                 * (rinv - 1.0 / params.rcoulomb) * in_c)
                 e_c = e_c + jnp.sum(e_c_pair)
                 e_lj = e_lj + jnp.sum(e_lj_pair)
-            return fx, fy, fz, e_c, e_lj
+            if compute_virial:
+                # diagonal pair virial: fscal*dx already in registers
+                vxx = vxx + jnp.sum(fscal * dx * dx)
+                vyy = vyy + jnp.sum(fscal * dy * dy)
+                vzz = vzz + jnp.sum(fscal * dz * dz)
+            return fx, fy, fz, e_c, e_lj, vxx, vyy, vzz
 
         z = jnp.zeros((BU, CLUSTER, L), jnp.float32)
-        fx, fy, fz, e_c, e_lj = jax.lax.fori_loop(
+        zs = jnp.float32(0.0)
+        fx, fy, fz, e_c, e_lj, vxx, vyy, vzz = jax.lax.fori_loop(
             0, jnp.minimum(ng_ref[0, 0, 0], n_groups), j_group,
-            (z, z, z, jnp.float32(0.0), jnp.float32(0.0)))
+            (z, z, z, zs, zs, zs, zs, zs))
         fx_ref[...] = jnp.sum(fx, axis=2)[None]
         fy_ref[...] = jnp.sum(fy, axis=2)[None]
         fz_ref[...] = jnp.sum(fz, axis=2)[None]
         e_ref[0, 0, 0] = e_c
         e_ref[0, 0, 1] = e_lj
+        if compute_virial:
+            e_ref[0, 0, 2] = vxx
+            e_ref[0, 0, 3] = vyy
+            e_ref[0, 0, 4] = vzz
 
     return kernel
 
@@ -1426,7 +1439,8 @@ def pallas_cluster_forces_v2u(x, box, nlist: ClusterPairlist, nbfp,
                               prep: Optional[PallasPrepV2U] = None,
                               interpret: bool = False,
                               compute_energy: bool = True,
-                              prune: bool = False):
+                              prune: bool = False,
+                              compute_virial: bool = False):
     """(f_sorted (n_pad, 3), e_coul, e_lj) via the v2u union-stream
     kernel.
 
@@ -1486,7 +1500,8 @@ def pallas_cluster_forces_v2u(x, box, nlist: ClusterPairlist, nbfp,
     epsfac = float(ONE_4PI_EPS0 / params.epsilon_r)
     kernel = _make_kernel_v2u(G, params, beta, epsfac,
                               compute_energy=compute_energy,
-                              baked_shifts=prep.shift is not None)
+                              baked_shifts=prep.shift is not None,
+                              compute_virial=compute_virial)
 
     iblk = pl.BlockSpec((1, BU, CLUSTER), lambda i: (i, 0, 0),
                         memory_space=pltpu.VMEM)
@@ -1496,6 +1511,7 @@ def pallas_cluster_forces_v2u(x, box, nlist: ClusterPairlist, nbfp,
     def i3x(a):
         return a[:C_pad].reshape(S, BU, CLUSTER)
 
+    ne = 5 if compute_virial else 2
     fx, fy, fz, e = pl.pallas_call(
         kernel,
         grid=(S,),
@@ -1511,14 +1527,14 @@ def pallas_cluster_forces_v2u(x, box, nlist: ClusterPairlist, nbfp,
         ],
         out_specs=[
             iblk, iblk, iblk,
-            pl.BlockSpec((1, 1, 2), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, 1, ne), lambda i: (i, 0, 0),
                          memory_space=pltpu.SMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((S, BU, CLUSTER), jnp.float32),
             jax.ShapeDtypeStruct((S, BU, CLUSTER), jnp.float32),
             jax.ShapeDtypeStruct((S, BU, CLUSTER), jnp.float32),
-            jax.ShapeDtypeStruct((S, 1, 2), jnp.float32),
+            jax.ShapeDtypeStruct((S, 1, ne), jnp.float32),
         ],
         interpret=interpret,
     )(box_diag, ng,
@@ -1529,4 +1545,8 @@ def pallas_cluster_forces_v2u(x, box, nlist: ClusterPairlist, nbfp,
 
     f_sorted = jnp.stack([fx.reshape(-1)[:n_pad], fy.reshape(-1)[:n_pad],
                           fz.reshape(-1)[:n_pad]], axis=-1)
-    return f_sorted, 0.5 * jnp.sum(e[:, 0, 0]), 0.5 * jnp.sum(e[:, 0, 1])
+    out = (f_sorted, 0.5 * jnp.sum(e[:, 0, 0]), 0.5 * jnp.sum(e[:, 0, 1]))
+    if compute_virial:
+        # Xi_aa = -1/2 sum_unique fscal dx_a^2; pairs counted twice
+        return out + (-0.25 * jnp.sum(e[:, 0, 2:5], axis=0),)
+    return out
