@@ -112,22 +112,32 @@ def cmd_mdrun(args):
                       RunnerConfig(use_pallas=use_pallas, mesh=mesh),
                       all_lambda=lam_arr)
     traj_path = f"{args.deffnm}.trr"
+    xtc_path = f"{args.deffnm}.xtc"
     callback = None
-    if params.nstxout > 0:
+    if params.nstxout > 0 or params.nstxout_compressed > 0:
         from .io.trrio import write_trr_frame
-        if os.path.exists(traj_path):
-            os.unlink(traj_path)
+        from .io.xtcio import write_xtc_frame
+        for p in (traj_path, xtc_path):
+            if os.path.exists(p):
+                os.unlink(p)
         next_frame = [0]
+        next_xtc = [0]
 
         def callback(st, log, done):
             # chunk-granularity frames (every nstxout steps, rounded up to
             # the chunk boundary)
-            if done >= next_frame[0]:
+            if params.nstxout > 0 and done >= next_frame[0]:
                 write_trr_frame(traj_path, np.asarray(st.x),
                                 np.asarray(st.box), v=np.asarray(st.v),
                                 step=int(done), time=done * params.dt,
                                 lam=float(np.asarray(st.lam)[2]))
                 next_frame[0] = done + params.nstxout
+            if params.nstxout_compressed > 0 and done >= next_xtc[0]:
+                write_xtc_frame(xtc_path, np.asarray(st.x),
+                                np.asarray(st.box), step=int(done),
+                                time=done * params.dt,
+                                precision=params.compressed_x_precision)
+                next_xtc[0] = done + params.nstxout_compressed
 
     # stop handler: SIGTERM/SIGINT and -maxh end the run cleanly at the
     # next verified chunk boundary with all outputs + checkpoint written
@@ -276,12 +286,17 @@ def _do_rerun(args, system, params, state, lam_arr):
     post-processing workflow: run once, evaluate at every lambda later."""
     import jax
     import jax.numpy as jnp
-    from .io.trrio import read_trr_frame, scan_trr
     from .io.xvgio import write_dhdl_xvg
     from .md.verletbuf import effective_rlist
     from .ops.cluster_nb import make_cluster_force_fn
     from .ops.foreign import make_foreign_delta_fn
     from .ops.pairlist import build_cluster_pairlist, build_fep_pairlist
+
+    if args.rerun.endswith(".xtc"):
+        from .io.xtcio import read_xtc_frame as read_trr_frame
+        from .io.xtcio import scan_xtc as scan_trr
+    else:
+        from .io.trrio import read_trr_frame, scan_trr
 
     natoms, nframes = scan_trr(args.rerun)
     if natoms != system.n_atoms:

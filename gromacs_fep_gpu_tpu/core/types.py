@@ -382,6 +382,8 @@ class MdParams:
 
     # output
     nstxout: int = 0          # TRR coordinate frames every N steps (0 = off)
+    nstxout_compressed: int = 0   # XTC frames every N steps (0 = off)
+    compressed_x_precision: float = 1000.0   # XTC precision (1/nm)
     # energies/dvdl computed every N steps (1 = every step; the reference
     # defaults to 100 and runs force-only kernels in between,
     # nbnxm_cuda.cu F vs VF kernel tables).  Non-energy frames log NaN.

@@ -281,6 +281,8 @@ def mdp_to_params(text: str) -> Tuple[MdParams, Optional[np.ndarray]]:
         lincs_iter=get("lincs-iter", 2, int),
         nstcomm=get("nstcomm", 100, int),
         nstxout=get("nstxout", 0, int),
+        nstxout_compressed=get("nstxout-compressed", 0, int),
+        compressed_x_precision=get("compressed-x-precision", 1000.0),
         nstcalcenergy=get("nstcalcenergy", 1, int),
         fep=fep,
         expanded=expanded,

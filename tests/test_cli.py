@@ -219,3 +219,26 @@ def test_cli_maxh_stops_early(tmp_path):
     assert os.path.exists("mh.cpt") and os.path.exists("mh.ener.csv")
     data = np.genfromtxt("mh.ener.csv")
     assert 0 < data.shape[0] < 100000
+
+
+def test_cli_xtc_output_and_rerun(tmp_path):
+    """nstxout-compressed writes an .xtc (native codec, GROMACS bitstream)
+    that rerun can consume (reference: xtcio.cpp + rerun.cpp)."""
+    os.chdir(tmp_path)
+    make_water_gro("conf.gro")
+    with open("topol.top", "w") as f:
+        f.write(TOP)
+    with open("md.mdp", "w") as f:
+        f.write(MDP + "nstxout-compressed = 10\ncompressed-x-precision = 1000\n")
+    cli_main(["grompp", "-f", "md.mdp", "-p", "topol.top", "-c", "conf.gro",
+              "-o", "topol.tpz"])
+    cli_main(["mdrun", "-s", "topol.tpz", "-deffnm", "xc", "-fep", "cpu"])
+    from gromacs_fep_gpu_tpu.io.xtcio import read_xtc_frame, scan_xtc
+    na, nf = scan_xtc("xc.xtc")
+    assert na == 81 and nf >= 2
+    fr = read_xtc_frame("xc.xtc", nf - 1, na)
+    assert np.isfinite(fr["x"]).all() and fr["precision"] == 1000.0
+    # rerun over the compressed trajectory reproduces dhdl output
+    cli_main(["mdrun", "-s", "topol.tpz", "-deffnm", "rr", "-fep", "cpu",
+              "-rerun", "xc.xtc"])
+    assert os.path.exists("rr.dhdl.xvg")
