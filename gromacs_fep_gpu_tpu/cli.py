@@ -93,8 +93,15 @@ def cmd_mdrun(args):
         b = np.asarray(data["box"], dtype=np.float64)
         if np.abs(b - np.diag(np.diag(b))).max() > 1e-6:
             use_pallas = False
+    from .core.types import IntegratorType as _IT
+    if params.integrator == _IT.TPI:
+        return _do_tpi(args, system, params, state)
     if getattr(args, "rerun", None):
         return _do_rerun(args, system, params, state, lam_arr)
+    if params.integrator in (_IT.STEEP, _IT.CG, _IT.LBFGS):
+        return _do_minimize(args, system, params, state, data)
+    if params.integrator == _IT.NM:
+        return _do_nm(args, system, params, state)
 
     mesh = None
     n_dd = getattr(args, "dd", 0) or 0
@@ -368,6 +375,160 @@ def _do_rerun(args, system, params, state, lam_arr):
                        max(int(params.fep.init_lambda_state), 0),
                        temperature=params.ref_t)
     print(f"rerun: {len(rows)} frames evaluated from {args.rerun}")
+
+
+def _bound_force(system, params, box):
+    """force_fn(x, lam, nnbr) -> (f, terms, n_overflow) with a fresh
+    cluster pair list per call (minimizers rebuild between chunks)."""
+    import jax.numpy as jnp
+    from .core.types import CoulombType
+    from .md.verletbuf import effective_rlist
+    from .ops.cluster_nb import make_cluster_force_fn
+    from .ops.pairlist import build_cluster_pairlist
+
+    recip_fn = recip_force_fn = None
+    if params.coulomb == CoulombType.PME:
+        from .ops.pme import make_pme_recip_pair
+        recip_fn, recip_force_fn = make_pme_recip_pair(system, params)
+    force_fn = make_cluster_force_fn(system, params, recip_fn,
+                                     pme_recip_force_fn=recip_force_fn)
+    vol = float(np.abs(np.linalg.det(np.asarray(box))))
+    rl = effective_rlist(params, system=system, volume=vol)
+    cell = max((8.0 * vol / max(system.n_atoms, 1)) ** (1.0 / 3.0), 0.15)
+
+    def bound(x, box_, lam, nnbr):
+        nlist = build_cluster_pairlist(x, box_, system, rl, nnbr=nnbr,
+                                       cell_size=cell)
+        f, terms = force_fn(x, box_, lam, nlist, None)
+        return f, terms, nlist.n_overflow
+
+    return bound
+
+
+def _do_minimize(args, system, params, state, data):
+    """Energy minimization: steep / cg / l-bfgs (reference:
+    minimize.cpp do_steep/do_cg/do_lbfgs).  Runs in chunks with a pair
+    list rebuilt between chunks (atoms move during minimization)."""
+    import jax.numpy as jnp
+    from .io.groio import write_gro
+    from .md.minimize import conjugate_gradient, l_bfgs, steepest_descent
+    from .core.types import IntegratorType as _IT
+
+    bound = _bound_force(system, params, state.box)
+    algo = {_IT.STEEP: steepest_descent, _IT.CG: conjugate_gradient,
+            _IT.LBFGS: l_bfgs}[params.integrator]
+    nnbr = [96]
+
+    def force3(x, box, lam):
+        f, terms, ovf = bound(x, box, lam, nnbr[0])
+        return f, terms
+
+    x = state.x
+    nsteps = params.nsteps if params.nsteps > 0 else 1000
+    chunk = 50
+    done = 0
+    kw = ({"m": params.nbfgscorr} if params.integrator == _IT.LBFGS else {})
+    res = None
+    while done < nsteps:
+        res = algo(x, state.box, state.lam, force3,
+                   nsteps=min(chunk, nsteps - done), emtol=params.emtol,
+                   step0=params.emstep, **kw)
+        # fail-hard on list overflow at the converged structure
+        _, _, ovf = bound(res.x, state.box, state.lam, nnbr[0])
+        if int(ovf) > 0:
+            nnbr[0] *= 2
+            continue
+        x = res.x
+        done += int(res.n_steps)
+        if bool(res.converged) or int(res.n_steps) == 0:
+            break
+    print(f"{params.integrator.value}: {done} steps, "
+          f"Epot = {float(res.epot):.4f} kJ/mol, "
+          f"Fmax = {float(res.fmax):.4f} kJ/mol/nm "
+          f"({'converged' if bool(res.converged) else 'not converged'} "
+          f"at emtol {params.emtol})")
+    names = [str(n) for n in data["names"]]
+    resnames = [str(r) for r in data["resnames"]]
+    write_gro(f"{args.deffnm}.gro", "tpumd minimized", names, resnames,
+              np.asarray(x), None, np.asarray(state.box))
+
+
+def _do_nm(args, system, params, state):
+    """Normal-mode analysis at the input structure (reference:
+    minimize.cpp:3127 do_nm); writes eigenvalues/frequencies to
+    <deffnm>.nm.xvg."""
+    import jax.numpy as jnp
+    from .md.minimize import normal_modes
+
+    if system.n_atoms > 2000:
+        raise SystemExit("nm: dense Hessian limited to <= 2000 atoms")
+    bound = _bound_force(system, params, state.box)
+
+    def force3(x, box, lam):
+        f, terms, _ = bound(x, box, lam, 96)
+        return f, terms
+
+    evals, freqs, _ = normal_modes(state.x, state.box, state.lam, force3,
+                                   jnp.asarray(system.mass_a))
+    ev = np.asarray(evals)
+    fr = np.asarray(freqs)
+    # ps^-1 -> cm^-1 (c = 29.9792458 cm/ps; omega = sqrt(k/m))
+    cm1 = fr / (2.0 * np.pi) / 0.0299792458
+    with open(f"{args.deffnm}.nm.xvg", "w") as f:
+        f.write('@    title "Normal-mode eigenvalues"\n')
+        f.write('@ s0 legend "eigenvalue (kJ/mol/nm^2/amu)"\n')
+        f.write('@ s1 legend "frequency (1/cm)"\n')
+        for i in range(ev.shape[0]):
+            f.write(f"{i:6d} {ev[i]:16.6e} {cm1[i]:14.4f}\n")
+    nz = cm1[6:]
+    print(f"nm: {ev.shape[0]} modes; lowest nonzero frequency "
+          f"{nz[nz > 1e-3][0] if (nz > 1e-3).any() else 0.0:.2f} cm^-1 "
+          f"-> {args.deffnm}.nm.xvg")
+
+
+def _do_tpi(args, system, params, state):
+    """Widom test-particle insertion over an existing trajectory
+    (reference: mdrun/tpi.cpp).  The LAST atom of the topology is the
+    test particle; the trajectory holds the other n-1 atoms."""
+    import dataclasses as _dc
+    import jax.numpy as jnp
+    from .md.tpi import tpi_over_frames
+
+    if not getattr(args, "rerun", None):
+        raise SystemExit("integrator = tpi requires -rerun traj.{trr,xtc}")
+    if args.rerun.endswith(".xtc"):
+        from .io.xtcio import read_xtc_frame as read_frame
+        from .io.xtcio import scan_xtc as scan
+    else:
+        from .io.trrio import read_trr_frame as read_frame
+        from .io.trrio import scan_trr as scan
+    natoms, nframes = scan(args.rerun)
+    if natoms != system.n_atoms - 1:
+        raise SystemExit(f"tpi: trajectory has {natoms} atoms; topology "
+                         f"must have exactly one more (the test "
+                         f"particle), has {system.n_atoms}")
+    test_type = int(np.asarray(system.type_a)[-1])
+    test_q = float(np.asarray(system.charge_a)[-1])
+    # a sub-System without the test particle for the frame energies
+    sub = system.replace(
+        charge_a=system.charge_a[:-1], charge_b=system.charge_b[:-1],
+        type_a=system.type_a[:-1], type_b=system.type_b[:-1],
+        mass_a=system.mass_a[:-1], mass_b=system.mass_b[:-1],
+        perturbed=system.perturbed[:-1], n_atoms=system.n_atoms - 1)
+    frames_x, frames_box = [], []
+    for i in range(nframes):
+        fr = read_frame(args.rerun, i, natoms)
+        frames_x.append(fr["x"])
+        frames_box.append(fr["box"])
+    res = tpi_over_frames(frames_x, frames_box, sub, params,
+                          test_type, test_q, params.ref_t,
+                          n_insert=params.tpi_ninsert,
+                          seed=params.ld_seed)
+    print(f"tpi: mu_excess = {float(res.mu_excess):.4f} kJ/mol "
+          f"({res.n_insertions} insertions over {nframes} frames)")
+    with open(f"{args.deffnm}.tpi.xvg", "w") as f:
+        f.write('@    title "TPI excess chemical potential"\n')
+        f.write(f"{float(res.mu_excess):.6f}\n")
 
 
 def cmd_ensemble(args):

@@ -46,6 +46,9 @@ class IntegratorType(enum.Enum):
     BD = "bd"            # Brownian dynamics
     STEEP = "steep"
     CG = "cg"
+    LBFGS = "l-bfgs"
+    NM = "nm"            # normal-mode analysis
+    TPI = "tpi"          # test-particle insertion (requires -rerun)
 
 
 class TcouplType(enum.Enum):
@@ -376,6 +379,14 @@ class MdParams:
     # constraints
     lincs_order: int = 4
     lincs_iter: int = 2
+
+    # energy minimization (reference: inputrec em_tol/em_stepsize)
+    emtol: float = 10.0       # kJ/mol/nm max-force convergence
+    emstep: float = 0.01      # initial step, nm
+    nbfgscorr: int = 10       # L-BFGS history size
+
+    # test-particle insertion (reference: inputrec rtpi / nsteps per frame)
+    tpi_ninsert: int = 1000
 
     # COM motion removal
     nstcomm: int = 100

@@ -22,7 +22,9 @@ _VMOD = {"none": VdwModifier.NONE,
          "force-switch": VdwModifier.FORCE_SWITCH}
 _INTEG = {"md": IntegratorType.MD, "md-vv": IntegratorType.MD_VV,
           "sd": IntegratorType.SD, "bd": IntegratorType.BD,
-          "steep": IntegratorType.STEEP, "cg": IntegratorType.CG}
+          "steep": IntegratorType.STEEP, "cg": IntegratorType.CG,
+          "l-bfgs": IntegratorType.LBFGS, "nm": IntegratorType.NM,
+          "tpi": IntegratorType.TPI}
 _TC = {"no": TcouplType.NO, "berendsen": TcouplType.BERENDSEN,
        "v-rescale": TcouplType.V_RESCALE, "nose-hoover": TcouplType.NOSE_HOOVER}
 _PC = {"no": PcouplType.NO, "berendsen": PcouplType.BERENDSEN,
@@ -279,6 +281,10 @@ def mdp_to_params(text: str) -> Tuple[MdParams, Optional[np.ndarray]]:
         ld_seed=get("ld-seed", 1993, int),
         lincs_order=get("lincs-order", 4, int),
         lincs_iter=get("lincs-iter", 2, int),
+        emtol=get("emtol", 10.0),
+        emstep=get("emstep", 0.01),
+        nbfgscorr=get("nbfgscorr", 10, int),
+        tpi_ninsert=get("tpi-ninsert", 1000, int),
         nstcomm=get("nstcomm", 100, int),
         nstxout=get("nstxout", 0, int),
         nstxout_compressed=get("nstxout-compressed", 0, int),
