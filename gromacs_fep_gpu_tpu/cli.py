@@ -115,6 +115,15 @@ def cmd_mdrun(args):
         mesh = make_mesh(n_ens=1, n_spatial=n_dd,
                          devices=jax.devices()[:n_dd])
         use_pallas = False
+    if getattr(args, "tunepme", False) and mesh is None:
+        from .md.pme_tuning import tune_pme
+        tuned = tune_pme(system, params, state,
+                         RunnerConfig(use_pallas=use_pallas), verbose=True)
+        if tuned.scale != 1.0:
+            print(f"tunepme: scaled rcoulomb x{tuned.scale:.2f} -> "
+                  f"{tuned.params.rcoulomb:.3f} nm, grid "
+                  f"{tuned.params.pme_grid}")
+        params = tuned.params
     runner = MdRunner(system, params,
                       RunnerConfig(use_pallas=use_pallas, mesh=mesh),
                       all_lambda=lam_arr)
@@ -732,6 +741,9 @@ def main(argv=None):
     m.add_argument("-rerun", default=None, metavar="TRR",
                    help="recompute energies/dhdl over an existing "
                         "trajectory (reference: mdrun/rerun.cpp)")
+    m.add_argument("-tunepme", action="store_true",
+                   help="one-time PME cutoff/grid auto-tune before the "
+                        "run (reference: ewald/pme_load_balancing.cpp)")
     m.add_argument("-maxh", type=float, default=0.0,
                    help="stop cleanly (checkpoint + outputs) after "
                         "0.99*maxh hours (reference: mdrun -maxh)")
