@@ -356,6 +356,10 @@ class MdParams:
     fourier_spacing: float = 0.12
     pme_order: int = 4
     pme_grid: Optional[Tuple[int, int, int]] = None
+    # Ewald boundary handling (reference: inputrec ewald_geometry /
+    # epsilon_surface; ewald/long_range_correction.cpp)
+    ewald_geometry: str = "3d"        # 3d | 3dc (Yeh-Berkowitz slab)
+    epsilon_surface: float = 0.0      # 0 = tinfoil (no dipole term)
 
     # dispersion correction
     dispcorr: bool = False

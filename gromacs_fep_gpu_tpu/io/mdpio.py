@@ -268,6 +268,8 @@ def mdp_to_params(text: str) -> Tuple[MdParams, Optional[np.ndarray]]:
         ewald_rtol=get("ewald-rtol", 1e-5),
         fourier_spacing=get("fourier-spacing", 0.12),
         pme_order=get("pme-order", 4, int),
+        ewald_geometry=kv.get("ewald-geometry", "3d").lower(),
+        epsilon_surface=get("epsilon-surface", 0.0),
         dispcorr=kv.get("dispcorr", "no").lower() != "no",
         tcoupl=gete("tcoupl", _TC, TcouplType.NO),
         ref_t=float(kv.get("ref-t", "300").split()[0]),

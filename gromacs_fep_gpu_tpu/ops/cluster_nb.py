@@ -423,6 +423,8 @@ def make_cluster_force_fn(system: System, params: MdParams,
     if params.dispcorr:
         from .dispcorr import make_dispersion_correction
         disp_e_fn, _ = make_dispersion_correction(system, params)
+    from .ewald_surface import make_surface_corr_fn
+    surf_fn = make_surface_corr_fn(system, params)
 
     def other_energy(x, lam, box, feplist):
         """Everything except the plain cluster kernel, as one scalar for
@@ -453,6 +455,9 @@ def make_cluster_force_fn(system: System, params: MdParams,
             terms = terms.replace(coul14=e14c, lj14=e14l)
         if pme_recip_fn is not None and pme_recip_force_fn is None:
             terms = terms.replace(coul_recip=pme_recip_fn(x, box, lam_c))
+        if surf_fn is not None:
+            terms = terms.replace(
+                coul_recip=terms.coul_recip + surf_fn(x, box, lam_c))
         return terms.epot, terms
 
     grad_other = jax.value_and_grad(other_energy, argnums=(0, 1), has_aux=True)

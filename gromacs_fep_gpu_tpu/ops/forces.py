@@ -112,6 +112,13 @@ def dense_energy(x, box, lam, system: System, params: MdParams,
         e_recip = pme_recip_fn(x, box, lam_c)
         terms = terms.replace(coul_recip=terms.coul_recip + e_recip)
 
+    # ---- Ewald surface/dipole correction ----
+    from .ewald_surface import make_surface_corr_fn
+    surf_fn = make_surface_corr_fn(system, params)
+    if surf_fn is not None:
+        terms = terms.replace(
+            coul_recip=terms.coul_recip + surf_fn(x, box, lam_c))
+
     return terms
 
 
