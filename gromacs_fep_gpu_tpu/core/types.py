@@ -56,6 +56,7 @@ class TcouplType(enum.Enum):
     BERENDSEN = "berendsen"
     V_RESCALE = "v-rescale"
     NOSE_HOOVER = "nose-hoover"
+    ANDERSEN_MASSIVE = "andersen-massive"
 
 
 class PcouplType(enum.Enum):
@@ -369,6 +370,7 @@ class MdParams:
     ref_t: float = 300.0
     tau_t: float = 1.0
     nsttcouple: int = 10
+    nhchainlength: int = 10   # Nose-Hoover chain links (md-vv only)
 
     # pressure coupling
     pcoupl: PcouplType = PcouplType.NO
@@ -465,10 +467,13 @@ class State:
         return self.x.shape[0]
 
 
-def initial_coupling_state() -> CouplingState:
+def initial_coupling_state(nhchainlength: int = 1) -> CouplingState:
+    """xi/vxi carry the Nose-Hoover chain; length 1 covers leapfrog NH
+    and every other thermostat (reference: state.h nosehoover_xi with
+    inputrec opts.nhchainlength)."""
     return CouplingState(
-        xi=jnp.zeros(()),
-        vxi=jnp.zeros(()),
+        xi=jnp.zeros((nhchainlength,)),
+        vxi=jnp.zeros((nhchainlength,)),
         boxv=jnp.zeros((3, 3)),
         therm_integral=jnp.zeros(()),
         ekinh_prev=jnp.asarray(-1.0),

@@ -26,7 +26,9 @@ _INTEG = {"md": IntegratorType.MD, "md-vv": IntegratorType.MD_VV,
           "l-bfgs": IntegratorType.LBFGS, "nm": IntegratorType.NM,
           "tpi": IntegratorType.TPI}
 _TC = {"no": TcouplType.NO, "berendsen": TcouplType.BERENDSEN,
-       "v-rescale": TcouplType.V_RESCALE, "nose-hoover": TcouplType.NOSE_HOOVER}
+       "v-rescale": TcouplType.V_RESCALE,
+       "nose-hoover": TcouplType.NOSE_HOOVER,
+       "andersen-massive": TcouplType.ANDERSEN_MASSIVE}
 _PC = {"no": PcouplType.NO, "berendsen": PcouplType.BERENDSEN,
        "c-rescale": PcouplType.C_RESCALE,
        "parrinello-rahman": PcouplType.PARRINELLO_RAHMAN}
@@ -275,6 +277,7 @@ def mdp_to_params(text: str) -> Tuple[MdParams, Optional[np.ndarray]]:
         ref_t=float(kv.get("ref-t", "300").split()[0]),
         tau_t=float(kv.get("tau-t", "1.0").split()[0]),
         nsttcouple=get("nsttcouple", 10, int),
+        nhchainlength=get("nhchainlength", 10, int),
         pcoupl=gete("pcoupl", _PC, PcouplType.NO),
         ref_p=float(kv.get("ref-p", "1.0").split()[0]),
         tau_p=get("tau-p", 5.0),

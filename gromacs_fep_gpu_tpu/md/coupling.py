@@ -61,6 +61,67 @@ def nose_hoover_step(xi, vxi, ekin, ekin_ref, ndf, dt_coupl, tau_t):
     return scale, xi_new, vxi_new
 
 
+def nose_hoover_chain_step(xi, vxi, ekin, ekin_ref, ndf, dt_c, tau_t,
+                           ref_t):
+    """Nose-Hoover CHAIN half-update (Martyna-Tuckerman-Klein) for the
+    velocity-verlet integrator (reference: coupling.cpp NHC_trotter;
+    nhchainlength > 1 is a md-vv feature in the reference too).
+
+    xi, vxi: (M,) chain positions/velocities.  Returns (velocity scale,
+    xi', vxi').  Single Suzuki-Yoshida term; the thermostat period is
+    tau_t with the reference's Q convention Q0 = Ndf kT tau^2/(4 pi^2),
+    Qj = kT tau^2/(4 pi^2)."""
+    M = xi.shape[0]
+    kt = BOLTZ * ref_t
+    nkt = 2.0 * ekin_ref                    # Ndf kT_ref
+    qfac = tau_t ** 2 / (4.0 * jnp.pi ** 2)
+    Q = jnp.full((M,), kt * qfac).at[0].set(nkt * qfac)
+    ekin2 = 2.0 * ekin
+
+    def g_of(j, ekin2, vxi):
+        return jnp.where(
+            j == 0, (ekin2 - nkt) / Q[0],
+            (Q[jnp.maximum(j - 1, 0)] * vxi[jnp.maximum(j - 1, 0)] ** 2
+             - kt) / Q[j])
+
+    # backward sweep: update chain velocities tail -> head
+    def bw(k, carry):
+        vxi, ekin2 = carry
+        j = M - 1 - k
+        damp = jnp.where(j == M - 1, 1.0,
+                         jnp.exp(-0.125 * dt_c
+                                 * vxi[jnp.minimum(j + 1, M - 1)]))
+        vxi = vxi.at[j].set(
+            damp * (damp * vxi[j] + 0.25 * dt_c * g_of(j, ekin2, vxi)))
+        return vxi, ekin2
+
+    vxi, _ = jax.lax.fori_loop(0, M, bw, (vxi, ekin2))
+    scale = jnp.exp(-0.5 * dt_c * vxi[0])
+    ekin2 = ekin2 * scale * scale
+    xi = xi + 0.5 * dt_c * vxi
+
+    # forward sweep head -> tail
+    def fw(j, carry):
+        vxi, ekin2 = carry
+        damp = jnp.where(j == M - 1, 1.0,
+                         jnp.exp(-0.125 * dt_c
+                                 * vxi[jnp.minimum(j + 1, M - 1)]))
+        vxi = vxi.at[j].set(
+            damp * (damp * vxi[j] + 0.25 * dt_c * g_of(j, ekin2, vxi)))
+        return vxi, ekin2
+
+    vxi, _ = jax.lax.fori_loop(0, M, fw, (vxi, ekin2))
+    return scale, xi, vxi
+
+
+def andersen_massive(v, mass, ref_t, key):
+    """Andersen-massive thermostat: reassign EVERY velocity from the
+    Maxwell distribution (reference: coupling.cpp andersen_tcoupl,
+    etcANDERSENMASSIVE)."""
+    sigma = jnp.sqrt(BOLTZ * ref_t / mass)[:, None]
+    return sigma * jax.random.normal(key, v.shape, v.dtype)
+
+
 # ---------------------------------------------------------------------------
 # Barostats
 # ---------------------------------------------------------------------------

@@ -365,6 +365,15 @@ class MdRunner:
             state = state.replace(dfhist=DfHist.init(
                 int(self.all_lambda.shape[0]),
                 self.params.expanded.init_wl_delta))
+        from ..core.types import IntegratorType, TcouplType
+        nh_len = (self.params.nhchainlength
+                  if (self.params.tcoupl == TcouplType.NOSE_HOOVER
+                      and self.params.integrator == IntegratorType.MD_VV)
+                  else 1)
+        if state.coupling.xi.shape != (nh_len,):
+            state = state.replace(coupling=state.coupling.replace(
+                xi=jnp.zeros((nh_len,), state.x.dtype),
+                vxi=jnp.zeros((nh_len,), state.x.dtype)))
         if (self.params.awh is not None and self.all_lambda is not None
                 and state.dfhist is None):
             from ..core.units import BOLTZ

@@ -336,14 +336,30 @@ def make_step_fn(system: System, params: MdParams, force_fn: Callable,
                 coupl = coupl.replace(
                     therm_integral=coupl.therm_integral
                     + jnp.where(do_t, d_int, 0.0))
-            else:  # NOSE_HOOVER
-                s, xi_n, vxi_n = coupling_mod.nose_hoover_step(
+            elif params.tcoupl == TcouplType.ANDERSEN_MASSIVE:
+                # full velocity reassignment handled below (not a scale)
+                s = jnp.ones((), state.x.dtype)
+            elif is_vv and coupl.xi.shape[0] > 1:
+                # Nose-Hoover CHAINS: md-vv only, as in the reference
+                s, xi_n, vxi_n = coupling_mod.nose_hoover_chain_step(
                     coupl.xi, coupl.vxi, ekin_half, ekin_ref, ndf, dt_c,
-                    params.tau_t)
+                    params.tau_t, ref_t_eff)
                 coupl = coupl.replace(
                     xi=jnp.where(do_t, xi_n, coupl.xi),
                     vxi=jnp.where(do_t, vxi_n, coupl.vxi))
+            else:  # NOSE_HOOVER, single link (leapfrog convention)
+                s, xi_n, vxi_n = coupling_mod.nose_hoover_step(
+                    coupl.xi[0], coupl.vxi[0], ekin_half, ekin_ref, ndf,
+                    dt_c, params.tau_t)
+                coupl = coupl.replace(
+                    xi=jnp.where(do_t, coupl.xi.at[0].set(xi_n), coupl.xi),
+                    vxi=jnp.where(do_t, coupl.vxi.at[0].set(vxi_n),
+                                  coupl.vxi))
             v_scale = jnp.where(do_t, s, 1.0)
+            if params.tcoupl == TcouplType.ANDERSEN_MASSIVE:
+                v_rand = coupling_mod.andersen_massive(v_in, mass,
+                                                       ref_t_eff, k_therm)
+                v_in = jnp.where(do_t, v_rand, v_in)
         coupl = coupl.replace(ekinh_prev=ekinh_cur)
 
         # --- integrate ---
