@@ -58,6 +58,47 @@ def _load_tpz(path):
     return pp, data
 
 
+def _load_tpr_inputs(args):
+    """GROMACS .tpr + .mdp -> (system, params, state, all_lambda, data)
+    (reference interop: fileio/tpxio.cpp; the tpr carries topology +
+    state, run parameters come from the mdp as the tpr inputrec section
+    is not read)."""
+    from .io.grompp import gromacs_pme_grid, initial_lambda_vector
+    from .io.mdpio import mdp_to_params
+    from .io.tprio import read_tpr, tpr_to_system
+    from .core.types import CoulombType, make_state
+
+    if not getattr(args, "mdp", None):
+        raise SystemExit("running from a .tpr needs run parameters: "
+                         "add -mdp md.mdp (the tpr inputrec section is "
+                         "not read)")
+    t = read_tpr(args.s)
+    system, x, v, box = tpr_to_system(t)
+    if x is None:
+        raise SystemExit(f"{args.s}: no coordinates in file")
+    params, all_lambda = mdp_to_params(open(args.mdp).read())
+    if params.coulomb == CoulombType.PME and params.pme_grid is None:
+        params = params.replace(
+            pme_grid=gromacs_pme_grid(np.asarray(box),
+                                      params.fourier_spacing,
+                                      params.pme_order))
+    lam0 = initial_lambda_vector(params.fep, all_lambda)
+    fep_state = max(params.fep.init_lambda_state, 0)
+    state = make_state(np.asarray(x, np.float32),
+                       None if v is None else np.asarray(v, np.float32),
+                       np.asarray(box, np.float32),
+                       lam=lam0.astype(np.float32), fep_state=fep_state)
+    names, resnames = [], []
+    for mt_idx, nmol in t.molblocks:
+        mt = t.moltypes[mt_idx]
+        for _ in range(nmol):
+            names += list(mt.atomnames)
+            resnames += [mt.name[:5]] * len(mt.atomnames)
+    data = {"names": names, "resnames": resnames, "box": np.asarray(box),
+            "couple_moltype": "", "mdp": open(args.mdp).read(), "top": ""}
+    return system, params, state, all_lambda, data
+
+
 def cmd_mdrun(args):
     import jax
     import jax.numpy as jnp
@@ -68,9 +109,12 @@ def cmd_mdrun(args):
     from .md.runner import MdRunner, RunnerConfig, concat_logs
     from .ops.pme import pme_grid_size
 
-    pp, data = _load_tpz(args.s)
-    system, params, state, all_lambda = (pp.system, pp.params, pp.state,
-                                         pp.all_lambda)
+    if args.s.endswith(".tpr"):
+        system, params, state, all_lambda, data = _load_tpr_inputs(args)
+    else:
+        pp, data = _load_tpz(args.s)
+        system, params, state, all_lambda = (pp.system, pp.params, pp.state,
+                                             pp.all_lambda)
     if args.nsteps is not None:
         params = params.replace(nsteps=args.nsteps)
     if params.coulomb == CoulombType.PME and params.pme_grid is None:
@@ -676,6 +720,27 @@ def cmd_energy(args):
 
 
 def cmd_check(args):
+    if args.s.endswith(".tpr"):
+        # GROMACS run-input interop (reference: fileio/tpxio.cpp)
+        from .io.tprio import read_tpr, tpr_to_system
+        t = read_tpr(args.s)
+        system, x, v, box = tpr_to_system(t)
+        print(f"GROMACS tpr: '{t.system_name}' (tpx version {t.version}, "
+              f"{'double' if t.precision == 8 else 'single'} precision)")
+        print(f"atoms: {system.n_atoms}")
+        print(f"types: {system.n_types}")
+        print(f"perturbed atoms: {int(np.asarray(system.perturbed).sum())}")
+        print(f"settle waters: {system.settle.atoms.shape[0]}")
+        print(f"constraints: {system.lincs.atoms.shape[0]}")
+        for name, il in system.bonded.items():
+            print(f"{name}: {il.n}")
+        print(f"pairs14: {system.pairs14.n}")
+        if system.cmap is not None:
+            print(f"cmap: {system.cmap.n}")
+        print(f"box diag: {np.diag(np.asarray(box)).round(4)}")
+        print(f"coordinates: {'yes' if x is not None else 'no'}, "
+              f"velocities: {'yes' if v is not None else 'no'}")
+        return
     pp, _ = _load_tpz(args.s)
     system, params, state, all_lambda = (pp.system, pp.params, pp.state,
                                          pp.all_lambda)
@@ -734,7 +799,11 @@ def main(argv=None):
     g.set_defaults(fn=cmd_grompp)
 
     m = sub.add_parser("mdrun", help="run molecular dynamics")
-    m.add_argument("-s", required=True, help="tpz run file")
+    m.add_argument("-s", required=True,
+                   help="tpz run file (or a GROMACS .tpr with -mdp)")
+    m.add_argument("-mdp", default=None,
+                   help="run parameters when -s is a GROMACS .tpr "
+                        "(its inputrec section is not read)")
     m.add_argument("-deffnm", default="md")
     m.add_argument("-nsteps", type=int, default=None)
     m.add_argument("-cpi", default=None, help="checkpoint to restart from")
