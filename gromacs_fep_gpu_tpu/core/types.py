@@ -422,6 +422,10 @@ class MdParams:
     # r^-3-averaged potential, which is what AD yields.
     disre_fc: float = 1000.0
 
+    # applied electric field: (EfieldDim x, y, z) or None
+    # (reference: applied_forces/electricfield.cpp)
+    efield: Optional[tuple] = None
+
     def replace(self, **kw) -> "MdParams":
         return dataclasses.replace(self, **kw)
 

@@ -305,6 +305,10 @@ def mdp_to_params(text: str) -> Tuple[MdParams, Optional[np.ndarray]]:
         # disre-tau > 0, no ensemble averaging across simulations)
         disre_fc=get("disre-fc", 1000.0),
     )
+    from ..md.efield import parse_efield
+    ef = parse_efield(kv)
+    if ef is not None:
+        params = params.replace(efield=ef)
     dr = kv.get("disre", "no").lower()
     if dr not in ("no", "simple"):
         raise ValueError(f"disre = {dr} unsupported (no ensemble/"

@@ -148,6 +148,11 @@ def make_step_fn(system: System, params: MdParams, force_fn: Callable,
     if has_pull:
         from .pull import make_pull_force_fn
         pull_fn = make_pull_force_fn(params.pull, system.mass_a)
+    efield_fn = None
+    if params.efield is not None:
+        from .efield import make_efield_force_fn
+        efield_fn = make_efield_force_fn(params.efield, system.charge_a,
+                                         system.charge_b)
 
     # expanded ensemble / simulated tempering setup
     exp = params.expanded
@@ -228,6 +233,9 @@ def make_step_fn(system: System, params: MdParams, force_fn: Callable,
                                                          t_ps)
             f = f + f_pull
             terms = terms.replace(restraints=terms.restraints + e_pull)
+        if efield_fn is not None:
+            t_ps = state.step.astype(state.x.dtype) * dt
+            f = f + efield_fn(t_ps, lam[FepCoupling.COUL])
         if has_vsites:
             f = spread_vsite_forces(state.x, f, system.vsites)
 
