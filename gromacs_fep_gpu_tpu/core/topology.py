@@ -61,6 +61,8 @@ class MoleculeType:
     vsites4fdn: List[Tuple] = dataclasses.field(default_factory=list)  # ((s,i,j,k,l),(a,b,c))
     # CMAP cross terms: (idx5 tuple, grid type index)
     cmap: List[Tuple] = dataclasses.field(default_factory=list)
+    # orientation restraints: ((ai, aj), (exp, label, power, c, obs, w))
+    orires: List[Tuple] = dataclasses.field(default_factory=list)
     # explicit extra exclusions beyond bond graph
     extra_exclusions: List[Tuple[int, int]] = dataclasses.field(default_factory=list)
     nrexcl: int = 3
@@ -183,6 +185,8 @@ def build_system(molecules: Sequence[Tuple[MoleculeType, int]],
     lincs_rows: List[Tuple] = []
     vsite_rows: List[Tuple] = []   # (atoms4, params3, kind)
     cmap_rows: List[Tuple] = []    # (atoms5, grid type)
+    orires_rows: List[Tuple] = []
+    orires_fit: List[int] = []
     offset = 0
     disre_label_base = 0
     epsfac = ONE_4PI_EPS0 / epsilon_r
@@ -250,6 +254,15 @@ def build_system(molecules: Sequence[Tuple[MoleculeType, int]],
                 vsite_rows.append((off(idx), tuple(pars[:3]), 7))
             for row in mol.cmap:
                 cmap_rows.append((off(row[0]), int(row[1])))
+            if mol.orires:
+                if orires_rows:
+                    raise ValueError(
+                        "orientation restraints are limited to one "
+                        "molecule instance (reference: orires.cpp "
+                        "single-molecule requirement)")
+                for row in mol.orires:
+                    orires_rows.append((off(row[0]), row[1]))
+                orires_fit = list(range(offset, offset + nm))
             if mol.settle is not None:
                 o, h1, h2, doh, dhh = mol.settle
                 settle_rows.append((off((o, h1, h2)), doh, dhh))
@@ -319,6 +332,33 @@ def build_system(molecules: Sequence[Tuple[MoleculeType, int]],
             mask=jnp.ones((len(cmap_rows),), jnp.float32),
             tables=jnp.asarray(precompute_cmap_tables(cmap_grids)))
 
+    orires = None
+    if orires_rows:
+        from ..ops.orires import OriresList
+        exps = sorted({int(r[1][0]) for r in orires_rows})
+        exp_map = {e: i for i, e in enumerate(exps)}
+        fit_m = np.asarray([ma[i] for i in orires_fit], np.float32)
+        orires = OriresList(
+            atoms=jnp.asarray(np.array([r[0] for r in orires_rows],
+                                       np.int32)),
+            exp=jnp.asarray(np.array([exp_map[int(r[1][0])]
+                                      for r in orires_rows], np.int32)),
+            power=jnp.asarray(np.array([int(r[1][2])
+                                        for r in orires_rows], np.int32)),
+            c=jnp.asarray(np.array([r[1][3] for r in orires_rows],
+                                   np.float32)),
+            obs=jnp.asarray(np.array([r[1][4] for r in orires_rows],
+                                     np.float32)),
+            weight=jnp.asarray(np.array([r[1][5] for r in orires_rows],
+                                        np.float32)),
+            mask=jnp.ones((len(orires_rows),), jnp.float32),
+            fit_idx=jnp.asarray(np.asarray(orires_fit, np.int32)),
+            fit_mass=jnp.asarray(fit_m),
+            # reference orientation filled from the start coordinates by
+            # grompp/tpr loading (like posres reference positions)
+            xref=jnp.zeros((len(orires_fit), 3), jnp.float32),
+            n_exp=len(exps))
+
     qa = np.asarray(qa, np.float32); qb = np.asarray(qb, np.float32)
     ta_ = np.asarray(ta, np.int32); tb_ = np.asarray(tb, np.int32)
     ma_ = np.asarray(ma, np.float32); mb_ = np.asarray(mb, np.float32)
@@ -337,5 +377,6 @@ def build_system(molecules: Sequence[Tuple[MoleculeType, int]],
         lincs=lincs,
         vsites=vsites,
         cmap=cmap,
+        orires=orires,
         n_atoms=n,
     )

@@ -251,6 +251,8 @@ class System:
     vsites: VirtualSites = None
     # CHARMM CMAP cross terms; None when the topology has none
     cmap: Optional[CmapList] = None
+    # orientation restraints (ops/orires.py OriresList); None when absent
+    orires: Optional[Any] = None
 
     # FEP perturbed-pair list metadata filled by the pairlist machinery is
     # dynamic; but the set of perturbed atoms is static:
@@ -425,6 +427,10 @@ class MdParams:
     # applied electric field: (EfieldDim x, y, z) or None
     # (reference: applied_forces/electricfield.cpp)
     efield: Optional[tuple] = None
+
+    # orientation restraints force constant (mdp orire-fc; reference:
+    # listed_forces/orires.cpp, inputrec orires_fc)
+    orires_fc: float = 0.0
 
     def replace(self, **kw) -> "MdParams":
         return dataclasses.replace(self, **kw)

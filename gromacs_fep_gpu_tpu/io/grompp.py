@@ -143,6 +143,12 @@ def preprocess_arrays(mdp_text: str, top_text: str, names, resnames,
         system.bonded["posres"] = il.replace(params_a=jnp.asarray(pa),
                                              params_b=jnp.asarray(pb))
 
+    if system.orires is not None:
+        # reference orientation from the start structure
+        # (reference: orires.cpp init_orires)
+        from ..ops.orires import fill_orires_xref
+        system = fill_orires_xref(system, x)
+
     if params.coulomb == CoulombType.PME and params.pme_grid is None:
         params = params.replace(
             pme_grid=gromacs_pme_grid(box, params.fourier_spacing,

@@ -304,7 +304,12 @@ def mdp_to_params(text: str) -> Tuple[MdParams, Optional[np.ndarray]]:
         # the instantaneous "simple" treatment exists (no time-averaged
         # disre-tau > 0, no ensemble averaging across simulations)
         disre_fc=get("disre-fc", 1000.0),
+        orires_fc=(get("orire-fc", 0.0)
+                   if kv.get("orire", "no").lower() == "yes" else 0.0),
     )
+    if kv.get("orire", "no").lower() == "yes" and get("orire-tau", 0.0) > 0:
+        raise ValueError("orire-tau > 0 (time-averaged orientation "
+                         "restraints) unsupported")
     from ..md.efield import parse_efield
     ef = parse_efield(kv)
     if ef is not None:

@@ -379,11 +379,12 @@ def parse_top(text: str, include_dirs: Optional[List[str]] = None,
         elif section in ("bonds", "pairs", "angles", "dihedrals",
                          "constraints", "dihedral_restraints",
                          "angle_restraints", "cmap",
-                         "distance_restraints"):
+                         "distance_restraints", "orientation_restraints"):
             k = {"bonds": 2, "pairs": 2, "angles": 3, "dihedrals": 4,
                  "constraints": 2, "dihedral_restraints": 4,
                  "angle_restraints": 4, "cmap": 5,
-                 "distance_restraints": 2}[section]
+                 "distance_restraints": 2,
+                 "orientation_restraints": 2}[section]
             idx = tuple(int(v) - 1 for v in t[:k])
             funct = int(t[k])
             vals = [float(v) for v in t[k + 1:]]
@@ -513,6 +514,16 @@ def _resolve_molecule(raw: _RawMol, atomtypes: Dict[str, AtomType],
             "(grompp: toppush.cpp:2233)")
 
     for (section, funct, idx, vals) in raw.rows:
+        if section == "orientation_restraints":
+            # ai aj funct exp label alpha const obs weight
+            # (reference: topology table; orires.cpp init_orires)
+            exp, label = int(vals[0]), int(vals[1])
+            alpha, const, obs = vals[2], vals[3], vals[4]
+            weight = vals[5] if len(vals) > 5 else 1.0
+            mol.orires.append(((idx[0], idx[1]),
+                               (exp, label, int(alpha), const, obs,
+                                weight)))
+            continue
         if section == "distance_restraints":
             # ai aj funct type label lo up1 up2 weight
             # (reference: topology section table, disre.cpp init_disres)

@@ -597,9 +597,11 @@ def tpr_to_system(t: TprData):
                     mol.vsites4fdn.append((at, tuple(pp[:3])))
                 elif name == "CMAP":
                     mol.cmap.append((at, int(pp[0])))
-                elif name in ("ORIRES",):
-                    warnings.warn("tpr: orientation restraints skipped "
-                                  "(not implemented)")
+                elif name == "ORIRES":
+                    # iparams: (ex, label, power, c, obs, kfac)
+                    mol.orires.append((at, (int(pp[0]), int(pp[1]),
+                                            int(pp[2]), pp[3], pp[4],
+                                            pp[5])))
                 elif name == "CONNBONDS":
                     pass                             # topology-only bonds
                 else:
@@ -610,4 +612,7 @@ def tpr_to_system(t: TprData):
     ordered = [(mols[mt], nmol) for (mt, nmol) in t.molblocks]
     system = build_system(ordered, nbfp, fudge_qq=t.fudge_qq,
                           cmap_grids=t.cmap_grids)
+    if system.orires is not None and t.x is not None:
+        from ..ops.orires import fill_orires_xref
+        system = fill_orires_xref(system, t.x)
     return system, t.x, t.v, t.box

@@ -450,6 +450,11 @@ def make_cluster_force_fn(system: System, params: MdParams,
             from .cmap import cmap_energy
             terms = terms.replace(
                 dihedrals=terms.dihedrals + cmap_energy(x, box, system.cmap))
+        if system.orires is not None and params.orires_fc > 0:
+            from .orires import orires_energy
+            terms = terms.replace(
+                restraints=terms.restraints
+                + orires_energy(x, box, system.orires, params.orires_fc))
         if system.pairs14.n > 0:
             e14c, e14l = pairs14_energy(x, box, system, lam_c, lam_v, params)
             terms = terms.replace(coul14=e14c, lj14=e14l)

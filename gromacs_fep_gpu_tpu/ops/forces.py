@@ -101,6 +101,13 @@ def dense_energy(x, box, lam, system: System, params: MdParams,
         terms = terms.replace(
             dihedrals=terms.dihedrals + cmap_energy(x, box, system.cmap))
 
+    # ---- orientation restraints ----
+    if system.orires is not None and params.orires_fc > 0:
+        from .orires import orires_energy
+        terms = terms.replace(
+            restraints=terms.restraints
+            + orires_energy(x, box, system.orires, params.orires_fc))
+
     # ---- 1-4 pairs ----
     if system.pairs14.n > 0:
         e14c, e14l = pairs14_energy(x, box, system, lam_c, lam_v, params)
