@@ -52,7 +52,11 @@ def run_config(n_side: int, nsteps: int, use_pme: bool, eq_steps: int = 600):
         fep=FepParams(enabled=True, sc_alpha=0.5, sc_coul=True, sc_sigma=0.3))
     state = state.replace(lam=state.lam.at[2].set(0.5).at[3].set(0.5))
 
-    mk_cfg = lambda: RunnerConfig(use_pallas=True, super_nnbr=448,
+    # Pallas kernels are TPU-only; a CPU smoke run (CI) falls back to the
+    # XLA cluster kernels so bench.py stays executable everywhere
+    import jax
+    _pallas_ok = jax.default_backend() not in ("cpu",)
+    mk_cfg = lambda: RunnerConfig(use_pallas=_pallas_ok, super_nnbr=448,
                                   fep_max_nbr=512)
     runner = MdRunner(system, params, mk_cfg())
 
