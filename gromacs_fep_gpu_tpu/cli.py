@@ -77,7 +77,8 @@ def _load_tpr_inputs(args):
     if x is None:
         raise SystemExit(f"{args.s}: no coordinates in file")
     params, all_lambda = mdp_to_params(open(args.mdp).read())
-    if params.coulomb == CoulombType.PME and params.pme_grid is None:
+    if ((params.coulomb == CoulombType.PME or params.vdw_type == "pme")
+            and params.pme_grid is None):
         params = params.replace(
             pme_grid=gromacs_pme_grid(np.asarray(box),
                                       params.fourier_spacing,
@@ -117,7 +118,8 @@ def cmd_mdrun(args):
                                              pp.all_lambda)
     if args.nsteps is not None:
         params = params.replace(nsteps=args.nsteps)
-    if params.coulomb == CoulombType.PME and params.pme_grid is None:
+    if ((params.coulomb == CoulombType.PME or params.vdw_type == "pme")
+            and params.pme_grid is None):
         diag = tuple(float(v) for v in np.diag(data["box"]))
         params = params.replace(pme_grid=pme_grid_size(
             diag, params.fourier_spacing))
@@ -606,7 +608,8 @@ def cmd_ensemble(args):
                          "(or coul/vdw/bonded-lambdas) in the mdp")
     if args.nsteps is not None:
         params = params.replace(nsteps=args.nsteps)
-    if params.coulomb == CoulombType.PME and params.pme_grid is None:
+    if ((params.coulomb == CoulombType.PME or params.vdw_type == "pme")
+            and params.pme_grid is None):
         diag = tuple(float(v) for v in np.diag(data["box"]))
         params = params.replace(pme_grid=pme_grid_size(
             diag, params.fourier_spacing))

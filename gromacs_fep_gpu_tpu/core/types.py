@@ -350,6 +350,10 @@ class MdParams:
     nstlist: int = 10
     coulomb: CoulombType = CoulombType.REACTION_FIELD
     vdw_modifier: VdwModifier = VdwModifier.POTENTIAL_SHIFT
+    # vdwtype: "cut-off" | "pme" (LJ-PME dispersion grids; reference:
+    # ewald/pme.cpp LJ grids, solve_pme_lj_yzx)
+    vdw_type: str = "cut-off"
+    ewald_rtol_lj: float = 1e-3
     epsilon_r: float = 1.0
     epsilon_rf: float = 0.0            # 0 => infinity (conducting RF)
     rvdw_switch: float = 0.9

@@ -149,7 +149,8 @@ def preprocess_arrays(mdp_text: str, top_text: str, names, resnames,
         from ..ops.orires import fill_orires_xref
         system = fill_orires_xref(system, x)
 
-    if params.coulomb == CoulombType.PME and params.pme_grid is None:
+    if ((params.coulomb == CoulombType.PME or params.vdw_type == "pme")
+            and params.pme_grid is None):
         params = params.replace(
             pme_grid=gromacs_pme_grid(box, params.fourier_spacing,
                                       params.pme_order))

@@ -196,10 +196,17 @@ def mdp_to_params(text: str) -> Tuple[MdParams, Optional[np.ndarray]]:
     # Verlet scheme reinterprets legacy vdw-type = shift/switch as the
     # corresponding modifier on a plain cutoff (reference: readir.cpp)
     vdwtype = (_lookup("vdwtype") or "cut-off").lower()
+    vdw_type = "cut-off"
     if vdwtype == "shift":
         vdw_modifier = VdwModifier.FORCE_SWITCH
     elif vdwtype == "switch":
         vdw_modifier = VdwModifier.POTENTIAL_SWITCH
+    elif vdwtype == "pme":
+        vdw_type = "pme"
+        comb = kv.get("lj-pme-comb-rule", "geometric").lower()
+        if comb != "geometric":
+            raise ValueError(f"lj-pme-comb-rule = {comb} unsupported "
+                             "(geometric only)")
 
     expanded = None
     sim_temp = kv.get("simulated-tempering", "no").lower() == "yes"
@@ -264,6 +271,8 @@ def mdp_to_params(text: str) -> Tuple[MdParams, Optional[np.ndarray]]:
         nstlist=get("nstlist", 10, int),
         coulomb=gete("coulombtype", _COUL, CoulombType.REACTION_FIELD),
         vdw_modifier=vdw_modifier,
+        vdw_type=vdw_type,
+        ewald_rtol_lj=get("ewald-rtol-lj", 1e-3),
         epsilon_r=get("epsilon-r", 1.0),
         epsilon_rf=get("epsilon-rf", 0.0),
         rvdw_switch=get("rvdw-switch", 0.9),

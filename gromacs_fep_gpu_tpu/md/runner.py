@@ -113,7 +113,8 @@ class MdRunner:
             from ..ops.cluster_nb import lj_table_mode
             from ..core.types import VdwModifier
             if (lj_table_mode(np.asarray(system.nbfp)) != "geometric"
-                    or params.vdw_modifier != VdwModifier.POTENTIAL_SHIFT):
+                    or params.vdw_modifier != VdwModifier.POTENTIAL_SHIFT
+                    or params.vdw_type == "pme"):
                 self.config.use_pallas = False
 
         self._force_fn = None

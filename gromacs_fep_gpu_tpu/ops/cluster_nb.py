@@ -277,9 +277,35 @@ def cluster_nb_kernel_core(xs_pad, qs_pad, ts_pad, pert_pad, valid_pad,
                              preferred_element_type=x.dtype)
         rinv6 = jnp.minimum(rinv2 * rinv2 * rinv2, 1e15)
         rinv12 = rinv6 * rinv6
-        e_lj_pair = c12 * rinv12 - c6 * rinv6
-        f_lj = (12.0 * c12 * rinv12 - 6.0 * c6 * rinv6) * rinv2
-        if params.vdw_modifier == VdwModifier.POTENTIAL_SHIFT:
+        if params.vdw_type == "pme":
+            # LJ-PME real-space kernel: dispersion Ewald-split with
+            # g(u) = e^-u (1+u+u^2/2), u = beta6^2 r^2; force factor
+            # -(6 g + u^3 e^-u) c6 r^-8 (reference: nbnxm LJ-PME
+            # F_E kernels; reciprocal part in ops/ljpme.py)
+            from .nonbonded_ref import ewald_beta as _eb
+            import math as _math
+            b6 = _eb(params.rvdw, params.ewald_rtol_lj)
+            u = (b6 * b6) * r2
+            eu = jnp.exp(-u)
+            g6 = eu * (1.0 + u + 0.5 * u * u)
+            e_lj_pair = c12 * rinv12 - c6 * g6 * rinv6
+            f_lj = (12.0 * c12 * rinv12
+                    - (6.0 * g6 + u * u * u * eu) * c6 * rinv6) * rinv2
+            if params.vdw_modifier == VdwModifier.POTENTIAL_SHIFT:
+                u_c = (b6 * params.rvdw) ** 2
+                g_c = float(_math.exp(-u_c)
+                            * (1.0 + u_c + 0.5 * u_c * u_c))
+                e_lj_pair = e_lj_pair - (c12 * rcinv6 * rcinv6
+                                         - c6 * g_c * rcinv6)
+            e_lj_pair = e_lj_pair * in_v
+            f_lj = f_lj * in_v
+            # fall through to Coulomb with the pme-split LJ applied
+        else:
+            e_lj_pair = c12 * rinv12 - c6 * rinv6
+            f_lj = (12.0 * c12 * rinv12 - 6.0 * c6 * rinv6) * rinv2
+        if params.vdw_type == "pme":
+            pass
+        elif params.vdw_modifier == VdwModifier.POTENTIAL_SHIFT:
             e_lj_pair = e_lj_pair - (c12 * rcinv6 * rcinv6 - c6 * rcinv6)
         elif params.vdw_modifier == VdwModifier.FORCE_SWITCH:
             # force-switched LJ (reference: interaction_const.cpp:216
@@ -408,7 +434,8 @@ def make_cluster_force_fn(system: System, params: MdParams,
         has_fep = bool(_np.asarray(system.perturbed).any())
     lj_mode = lj_table_mode(_np.asarray(system.nbfp))
     if use_pallas and (lj_mode != "geometric"
-                       or params.vdw_modifier != VdwModifier.POTENTIAL_SHIFT):
+                       or params.vdw_modifier != VdwModifier.POTENTIAL_SHIFT
+                       or params.vdw_type == "pme"):
         # the Pallas kernel implements the potential-shift modifier and the
         # geometric LJ fast path only; other combinations fall back to the
         # XLA kernel (same physics, slower)
@@ -425,6 +452,10 @@ def make_cluster_force_fn(system: System, params: MdParams,
         disp_e_fn, _ = make_dispersion_correction(system, params)
     from .ewald_surface import make_surface_corr_fn
     surf_fn = make_surface_corr_fn(system, params)
+    ljpme_fn = None
+    if params.vdw_type == "pme":
+        from .ljpme import make_ljpme_recip_fn
+        ljpme_fn = make_ljpme_recip_fn(system, params)
 
     def other_energy(x, lam, box, feplist):
         """Everything except the plain cluster kernel, as one scalar for
@@ -463,6 +494,8 @@ def make_cluster_force_fn(system: System, params: MdParams,
         if surf_fn is not None:
             terms = terms.replace(
                 coul_recip=terms.coul_recip + surf_fn(x, box, lam_c))
+        if ljpme_fn is not None:
+            terms = terms.replace(lj_recip=terms.lj_recip + ljpme_fn(x, box))
         return terms.epot, terms
 
     grad_other = jax.value_and_grad(other_energy, argnums=(0, 1), has_aux=True)

@@ -126,6 +126,12 @@ def dense_energy(x, box, lam, system: System, params: MdParams,
         terms = terms.replace(
             coul_recip=terms.coul_recip + surf_fn(x, box, lam_c))
 
+    # ---- LJ-PME reciprocal dispersion ----
+    if params.vdw_type == "pme":
+        from .ljpme import make_ljpme_recip_fn
+        ljr = make_ljpme_recip_fn(system, params)
+        terms = terms.replace(lj_recip=terms.lj_recip + ljr(x, box))
+
     return terms
 
 

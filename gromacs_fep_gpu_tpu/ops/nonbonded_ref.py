@@ -117,6 +117,23 @@ def _coulomb_pair_energy(qq, r, rinv, incut, excluded, params: MdParams,
 
 def _lj_pair_energy(c6, c12, r2, rinv2, incut, params: MdParams):
     rinv6 = rinv2 * rinv2 * rinv2
+    if params.vdw_type == "pme":
+        # LJ-PME real space: the dispersion is Ewald-split, the grid
+        # carries the long tail (reference: nbnxm LJ-PME kernels;
+        # ops/ljpme.py for the reciprocal part)
+        from .ljpme import dispersion_g
+        beta6 = ewald_beta(params.rvdw, params.ewald_rtol_lj)
+        v = (c12 * rinv6 * rinv6
+             - c6 * dispersion_g(beta6 * beta6 * r2) * rinv6)
+        if params.vdw_modifier == VdwModifier.POTENTIAL_SHIFT:
+            rc2 = params.rvdw ** 2
+            rcinv6 = 1.0 / params.rvdw ** 6
+            import numpy as _np
+            g_rc = float(_np.exp(-beta6 ** 2 * rc2)
+                         * (1.0 + beta6 ** 2 * rc2
+                            + 0.5 * beta6 ** 4 * rc2 * rc2))
+            v = v - (c12 * rcinv6 * rcinv6 - c6 * g_rc * rcinv6)
+        return v * incut
     v = c12 * rinv6 * rinv6 - c6 * rinv6
     if params.vdw_modifier == VdwModifier.POTENTIAL_SHIFT:
         rcinv6 = 1.0 / params.rvdw**6
