@@ -128,6 +128,30 @@ def cmd_mdrun(args):
     if all_lambda is not None:
         lam_arr = jnp.asarray(all_lambda.T)   # (L, 7)
     if args.cpi and os.path.exists(args.cpi):
+        # the checkpoint restores by tree structure: give the template
+        # the same dfhist shape the runner will use, else the saved
+        # expanded-ensemble/AWH weight history would be dropped
+        if (params.expanded is not None and lam_arr is not None
+                and state.dfhist is None):
+            from .md.expanded import DfHist
+            state = state.replace(dfhist=DfHist.init(
+                int(lam_arr.shape[0]), params.expanded.init_wl_delta))
+        if (params.awh is not None and lam_arr is not None
+                and state.dfhist is None):
+            from .core.units import BOLTZ
+            from .md.awh import AwhState
+            state = state.replace(dfhist=AwhState.init(
+                int(lam_arr.shape[0]),
+                params.awh.error_init / (BOLTZ * params.ref_t)))
+        from .core.types import IntegratorType, TcouplType
+        nh_len = (params.nhchainlength
+                  if (params.tcoupl == TcouplType.NOSE_HOOVER
+                      and params.integrator == IntegratorType.MD_VV)
+                  else 1)
+        if state.coupling.xi.shape != (nh_len,):
+            state = state.replace(coupling=state.coupling.replace(
+                xi=jnp.zeros((nh_len,), jnp.float32),
+                vxi=jnp.zeros((nh_len,), jnp.float32)))
         state, _ = load_checkpoint(args.cpi, state)
         print(f"restarted from {args.cpi} at step {int(state.step)}")
 

@@ -242,3 +242,42 @@ def test_cli_xtc_output_and_rerun(tmp_path):
     cli_main(["mdrun", "-s", "topol.tpz", "-deffnm", "rr", "-fep", "cpu",
               "-rerun", "xc.xtc"])
     assert os.path.exists("rr.dhdl.xvg")
+
+
+def test_cli_expanded_restart_preserves_weights(tmp_path):
+    """Restarting an expanded-ensemble run from a checkpoint must carry
+    the Wang-Landau weight history (reference: exactcontinuation —
+    dfhist is part of t_state)."""
+    os.chdir(tmp_path)
+    make_water_gro("conf.gro")
+    with open("topol.top", "w") as f:
+        f.write(TOP)
+    mdp = MDP.replace("free-energy = yes", "free-energy = expanded") + """
+nstexpanded = 5
+lmc-stats = wang-landau
+lmc-move = metropolized-gibbs
+lmc-seed = 7
+init-wl-delta = 1.0
+"""
+    with open("md.mdp", "w") as f:
+        f.write(mdp)
+    cli_main(["grompp", "-f", "md.mdp", "-p", "topol.top", "-c", "conf.gro",
+              "-o", "topol.tpz"])
+    cli_main(["mdrun", "-s", "topol.tpz", "-deffnm", "e1", "-fep", "cpu"])
+    import numpy as np
+    cpt = np.load("e1.cpt")
+    # full State incl. the DfHist leaves (5 extra beyond the base 9)
+    n_leaves = len([k for k in cpt.files if k.startswith("leaf_")])
+    assert n_leaves >= 14
+    # restart: weights must not reset (run continues with history)
+    cli_main(["mdrun", "-s", "topol.tpz", "-deffnm", "e2", "-fep", "cpu",
+              "-cpi", "e1.cpt"])
+    cpt2 = np.load("e2.cpt")
+    assert len([k for k in cpt2.files if k.startswith("leaf_")]) == n_leaves
+    # visit counts accumulated across both runs (30 + 30 steps, MC
+    # every 5 steps -> n_at_lam total > one run's)
+    def total_visits(c):
+        # n_at_lam is the DfHist leaf with shape (3,) summing visits
+        return max(float(c[k].sum()) for k in c.files
+                   if k.startswith("leaf_") and c[k].shape == (3,))
+    assert total_visits(cpt2) > total_visits(cpt)
