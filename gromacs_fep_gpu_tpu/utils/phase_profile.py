@@ -18,10 +18,15 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-try:
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-except Exception:
-    pass
+def enable_compile_cache(path: str = "/tmp/jax_cache"):
+    """Opt-in persistent compile cache for profiling runs.  NOT enabled
+    at import: cached XLA:CPU AOT binaries are machine-specific, and
+    loading one compiled on a different host (e.g. after a VM
+    migration) can SIGILL/segfault the process."""
+    try:
+        jax.config.update("jax_compilation_cache_dir", path)
+    except Exception:
+        pass
 
 
 def time_fn(fn: Callable, *args, iters: int = 24, warmup: int = 2,
@@ -252,6 +257,7 @@ def profile_step_phases(n_side: int = 16, use_pme: bool = True,
 
 def main(argv=None):
     import sys
+    enable_compile_cache()
     args = list(sys.argv[1:] if argv is None else argv)
     n_side = int(args[0]) if args else 16
     res = profile_step_phases(n_side=n_side)

@@ -18,3 +18,20 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
+
+
+import pytest
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Free compiled executables between test modules.
+
+    One long pytest process accumulates every jitted program of every
+    module; on some hosts XLA:CPU eventually segfaults inside LLVM when
+    compiling yet another large program into the same process (observed
+    deterministically ~200 compilations in).  Clearing per module keeps
+    the live-executable set bounded at a small recompilation cost.
+    """
+    yield
+    jax.clear_caches()
