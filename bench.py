@@ -23,7 +23,11 @@ import jax.numpy as jnp
 import numpy as np
 
 try:
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    # persistent compile cache for the slow remote TPU compiles; NOT on
+    # CPU — cached XLA:CPU AOT binaries are machine-specific and can
+    # SIGILL after a host migration
+    if jax.default_backend() != "cpu":
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 except Exception:
     pass
 
