@@ -880,6 +880,14 @@ def main(argv=None):
     e.add_argument("-b", type=float, default=0.1, help="skip fraction")
     e.set_defaults(fn=cmd_energy)
 
+    pr = sub.add_parser("profile", help="per-phase on-device timing of "
+                        "the MD step (GPU kernel-timer analogue)")
+    pr.add_argument("-nside", type=int, default=16,
+                    help="water lattice edge (16 -> 12k atoms)")
+    pr.set_defaults(fn=lambda a: __import__(
+        "gromacs_fep_gpu_tpu.utils.phase_profile",
+        fromlist=["main"]).main([str(a.nside)]))
+
     args = p.parse_args(argv)
     try:
         args.fn(args)
