@@ -779,6 +779,13 @@ def cmd_check(args):
     for name, il in system.bonded.items():
         print(f"{name}: {il.n}")
     print(f"pairs14: {system.pairs14.n}")
+    if system.cmap is not None:
+        print(f"cmap: {system.cmap.n}")
+    if system.orires is not None:
+        print(f"orires: {system.orires.n} "
+              f"({system.orires.n_exp} experiment(s))")
+    if system.vsites is not None and system.vsites.atoms.shape[0] > 0:
+        print(f"vsites: {system.vsites.atoms.shape[0]}")
     print(f"integrator: {params.integrator.value}, dt={params.dt}")
     if all_lambda is not None:
         print(f"lambda windows: {all_lambda.shape[1]}")
