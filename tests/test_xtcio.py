@@ -91,6 +91,12 @@ def test_reads_real_gromacs_trr():
     f = ("/root/reference/src/testutils/simulationdatabase/spc2-traj.trr")
     na, nf = scan_trr(f)
     assert (na, nf) == (6, 2)
-    fr = read_trr_frame(f, 1, na)
+    fr = read_trr_frame(f, 0, na)
     assert fr["x"].shape == (6, 3) and fr["v"].shape == (6, 3)
-    np.testing.assert_allclose(np.diag(fr["box"]), 3.01005, rtol=1e-4)
+    np.testing.assert_allclose(np.diag(fr["box"]), 3.01, rtol=1e-4)
+    np.testing.assert_allclose(fr["x"][0], [0.569, 1.275, 1.165],
+                               atol=1e-3)
+    fr1 = read_trr_frame(f, 1, na)
+    np.testing.assert_allclose(np.diag(fr1["box"]), [4.01, 3.03, 9.01],
+                               rtol=1e-4)
+    assert fr1["step"] == 1 and abs(fr1["time"] - 1.0) < 1e-6
