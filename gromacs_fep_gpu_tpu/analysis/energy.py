@@ -31,7 +31,15 @@ def block_average_error(x: np.ndarray, nblocks: int = 5) -> float:
 def energy_statistics(path: str, terms: Sequence[str] = ("epot", "ekin",
                                                          "temp", "pres"),
                       skip_frac: float = 0.1) -> Dict[str, dict]:
-    header, data = read_ener_csv(path)
+    if path.endswith(".edr"):
+        # GROMACS binary energy file (ours or a stock build's)
+        from ..io.edrio import read_edr
+        names, units, frames = read_edr(path)
+        data = np.stack([fr.ener for fr in frames])
+        header = list(names)
+        terms = header          # report every stored term
+    else:
+        header, data = read_ener_csv(path)
     t0 = int(len(data) * skip_frac)
     out = {}
     for term in terms:

@@ -42,6 +42,8 @@ class _Xdr:
     def __init__(self, data: bytes = b""):
         self.buf = bytearray(data)
         self.pos = 0
+        # reals are 8 bytes in files written by double-precision builds
+        self.double = False
 
     # -- write ---------------------------------------------------------
     def w_int(self, v):
@@ -107,6 +109,9 @@ class _Xdr:
 
     def r_int64s(self, n):
         return np.frombuffer(self._take(8 * n), ">i8").astype(np.int64)
+
+    def r_real(self):
+        return self.r_double() if self.double else self.r_float()
 
     def r_string(self):
         n = self.r_int()
@@ -231,8 +236,19 @@ def read_edr(path: str):
         names.append(x.r_string())
         units.append(x.r_string() if ver >= 2 else "kJ/mol")
     frames = []
+    # precision detection (reference: enxio.cpp do_eheader magic real
+    # -2e10): try the first frame's leading real as float, else double
+    if not x.eof():
+        p0 = x.pos
+        f4 = x.r_float()
+        x.pos = p0
+        if not (f4 <= -1e10):
+            f8 = x.r_double()
+            x.pos = p0
+            if f8 <= -1e10:
+                x.double = True
     while not x.eof():
-        first = x.r_float()
+        first = x.r_real()
         if first > -1e10:
             raise ValueError("edr: old (version-1) frames not supported")
         if x.r_int() != MAGIC_FRAME:
@@ -257,10 +273,10 @@ def read_edr(path: str):
         x.r_int()
         ener = np.zeros(fnre)
         for i in range(fnre):
-            ener[i] = x.r_float()
+            ener[i] = x.r_real()
             if nsum > 1:
-                x.r_float()                    # eav
-                x.r_float()                    # esum
+                x.r_real()                     # eav
+                x.r_real()                     # esum
         out_blocks = []
         for bid, subs_hdr in blocks:
             blk = EdrBlock(id=bid)

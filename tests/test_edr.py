@@ -87,3 +87,35 @@ def test_edr_dh_blocks_roundtrip(tmp_path):
     np.testing.assert_allclose(blks[1].subs[2][1], dvdl, rtol=1e-6)
     np.testing.assert_allclose(blks[2].subs[1][1], [0.0, 0.0])
     np.testing.assert_allclose(blks[2].subs[2][1], dh01, rtol=1e-6)
+
+
+REAL_EDR = "/root/reference/src/gromacs/energyanalysis/tests"
+
+
+def test_reads_real_gromacs_edr_single_precision():
+    from gromacs_fep_gpu_tpu.io.edrio import read_edr
+    names, units, frames = read_edr(f"{REAL_EDR}/ener.edr")
+    assert len(names) == 40 and len(frames) == 51
+    assert names[0] == "LJ (SR)" and units[0] == "kJ/mol"
+    assert frames[0].t == 0.0 and abs(frames[-1].t - 10.0) < 1e-9
+    assert all(np.isfinite(fr.ener).all() for fr in frames)
+
+
+def test_reads_real_gromacs_edr_double_precision_with_dh_blocks():
+    """The 2016 double-precision FEP run's energy file: precision is
+    auto-detected and the BAR delta-H blocks decode."""
+    from gromacs_fep_gpu_tpu.io.edrio import read_edr
+    names, units, frames = read_edr(f"{REAL_EDR}/dhdl.edr")
+    assert len(frames) == 101
+    assert "Coulomb (SR)" in names
+    assert abs(frames[-1].t - 1.0) < 1e-9
+    # every frame carries the dH collection + series blocks
+    assert all(len(fr.blocks) == 9 for fr in frames)
+    assert all(np.isfinite(fr.ener).all() for fr in frames)
+
+
+def test_energy_statistics_on_real_edr():
+    from gromacs_fep_gpu_tpu.analysis.energy import energy_statistics
+    stats = energy_statistics(f"{REAL_EDR}/ener.edr")
+    assert "LJ (SR)" in stats and "Pressure" in " ".join(stats)
+    assert np.isfinite(stats["LJ (SR)"]["average"])
