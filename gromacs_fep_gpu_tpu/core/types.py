@@ -61,6 +61,7 @@ class TcouplType(enum.Enum):
 
 class PcouplType(enum.Enum):
     NO = "no"
+    MTTK = "mttk"
     BERENDSEN = "berendsen"
     C_RESCALE = "c-rescale"
     PARRINELLO_RAHMAN = "parrinello-rahman"

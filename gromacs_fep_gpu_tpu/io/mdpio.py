@@ -29,7 +29,8 @@ _TC = {"no": TcouplType.NO, "berendsen": TcouplType.BERENDSEN,
        "v-rescale": TcouplType.V_RESCALE,
        "nose-hoover": TcouplType.NOSE_HOOVER,
        "andersen-massive": TcouplType.ANDERSEN_MASSIVE}
-_PC = {"no": PcouplType.NO, "berendsen": PcouplType.BERENDSEN,
+_PC = {"no": PcouplType.NO, "mttk": PcouplType.MTTK,
+       "berendsen": PcouplType.BERENDSEN,
        "c-rescale": PcouplType.C_RESCALE,
        "parrinello-rahman": PcouplType.PARRINELLO_RAHMAN}
 _SC = {"beutler": SoftcoreType.BEUTLER, "gapsys": SoftcoreType.GAPSYS}

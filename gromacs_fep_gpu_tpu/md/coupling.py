@@ -154,6 +154,33 @@ def crescale_pscale(p_cur, ref_p, dt_coupl, tau_p, compressibility,
     return jnp.clip(mu, 0.98, 1.02)
 
 
+def mttk_winv(ref_t, tau_p, compressibility, vol0):
+    """Inverse barostat mass (reference: coupling.cpp init_npt_masses:
+    Winv = presfac 3*kappa kB Tref / (3 vol0 (tau_p/2pi)^2))."""
+    return (PRESFAC * 3.0 * compressibility * BOLTZ * ref_t
+            / (3.0 * vol0 * (tau_p / (2.0 * jnp.pi)) ** 2))
+
+
+def mttk_step(veta, p_scalar, ref_p, dt_p, winv, volume, ndf):
+    """Isotropic MTTK barostat update (reference: coupling.cpp
+    boxv_trotter + the vv veta coupling; Martyna-Tuckerman-Tobias-Klein).
+
+    veta: box log-volume velocity (1/ps).  Returns (veta', mu, vscale):
+    box and coordinates scale by mu = exp(veta' dt), velocities by
+    vscale = exp(-alpha veta' dt) with the MTK phase-space factor
+    alpha = 1 + 3/ndf.  Simplified sequencing relative to the
+    reference's full trotter decomposition (single update per
+    nstpcouple instead of interleaved half-steps; no barostat NH
+    chain), same stationary ensemble to O(dt^2)."""
+    gw = volume * (winv / PRESFAC) * 3.0 * (p_scalar - ref_p)
+    veta_new = veta + dt_p * gw
+    alpha = 1.0 + 3.0 / ndf
+    mu = jnp.exp(veta_new * dt_p)
+    mu = jnp.clip(mu, 0.98, 1.02)
+    vscale = jnp.exp(-alpha * veta_new * dt_p)
+    return veta_new, mu, vscale
+
+
 def parrinello_rahman_step(boxv, box, p_tensor, ref_p, dt, tau_p,
                            compressibility, volume):
     """Parrinello-Rahman box velocity update, isotropic-compressibility

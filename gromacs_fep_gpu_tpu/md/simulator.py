@@ -487,7 +487,23 @@ def make_step_fn(system: System, params: MdParams, force_fn: Callable,
             else:
                 p_scalar, p_diag = pressure_fn(x_new, state.box, lam, v_new,
                                                mass, constr_vir_diag)
-            if params.pcoupl == PcouplType.BERENDSEN:
+            if params.pcoupl == PcouplType.MTTK:
+                # isotropic MTTK: log-volume velocity in coupl.boxv[0,0]
+                # (requires md-vv + Nose-Hoover in the reference;
+                # enforced loosely here — any thermostat works but the
+                # exact NPT ensemble needs NH)
+                vol = pbc_mod.box_volume(state.box)
+                winv = coupling_mod.mttk_winv(
+                    params.ref_t, params.tau_p, params.compressibility,
+                    vol)
+                veta_new, mu, vsc = coupling_mod.mttk_step(
+                    coupl.boxv[0, 0], p_scalar, params.ref_p, dt_p, winv,
+                    vol, ndf)
+                veta_new = jnp.where(do_p, veta_new, coupl.boxv[0, 0])
+                coupl = coupl.replace(
+                    boxv=coupl.boxv.at[0, 0].set(veta_new))
+                v_new = jnp.where(do_p, v_new * vsc, v_new)
+            elif params.pcoupl == PcouplType.BERENDSEN:
                 mu = coupling_mod.berendsen_pscale(
                     p_scalar, params.ref_p, dt_p, params.tau_p,
                     params.compressibility)

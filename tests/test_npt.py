@@ -49,3 +49,44 @@ def test_npt_water_compresses_underdense_box(pcoupl):
         assert v1 < v0 * 1.001, (v0, v1)
     else:
         assert v1 < v0, (v0, v1)
+
+
+def test_mttk_nph_ideal_gas_oscillates_around_analytic_volume():
+    """Isotropic MTTK (reference: coupling.cpp boxv_trotter), validated
+    on the one system with an exact answer: an ideal gas under NPH
+    oscillates (undamped barostat) around V* = N kB T / Pref, with the
+    MTK velocity scaling supplying the piston's energy exchange."""
+    from gromacs_fep_gpu_tpu.core.topology import MoleculeType, build_system
+    from gromacs_fep_gpu_tpu.core.types import IntegratorType, make_state
+    from gromacs_fep_gpu_tpu.core.units import BOLTZ, PRESFAC
+
+    rng = np.random.default_rng(0)
+    n = 64
+    mol = MoleculeType(name="IG", types_a=[0], charges_a=[0.0],
+                       masses_a=[39.9])
+    system = build_system([(mol, n)], np.zeros((1, 1, 2), np.float32))
+    L = 3.0
+    x = rng.uniform(0, L, (n, 3)).astype(np.float32)
+    v = (rng.normal(0, 1, (n, 3))
+         * np.sqrt(BOLTZ * 300.0 / 39.9)).astype(np.float32)
+    state = make_state(x, v, np.eye(3, dtype=np.float32) * L)
+    K = 0.5 * 39.9 * (v ** 2).sum()
+    T0 = 2 * K / (3 * n * BOLTZ)
+    pref = 40.0                                   # bar
+    v_star = n * BOLTZ * T0 / (pref / PRESFAC)
+    params = MdParams(dt=0.002, coulomb=CoulombType.CUTOFF, rcoulomb=0.5,
+                      rvdw=0.5, rlist=0.6, nstcomm=0,
+                      integrator=IntegratorType.MD_VV,
+                      tcoupl=TcouplType.NO,
+                      pcoupl=PcouplType.MTTK, ref_p=pref, tau_p=1.0,
+                      nstpcouple=1)
+    runner = MdRunner(system, params, RunnerConfig(use_dense=True))
+    vols = []
+    s = state
+    for _ in range(12):
+        s, _logs = runner.run(s, 200)
+        vols.append(float(jnp.linalg.det(s.box)))
+    # oscillates around V* (through > one full period), mean near V*
+    assert max(vols) > v_star > min(vols)
+    assert abs(np.mean(vols[2:]) - v_star) < 0.25 * v_star
+    assert np.isfinite(vols).all() if hasattr(np, "isfinite") else True
