@@ -381,9 +381,14 @@ class MdParams:
 
     # pressure coupling
     pcoupl: PcouplType = PcouplType.NO
+    # isotropic | semiisotropic (xy coupled jointly, z independently;
+    # reference: epct enum, coupling.cpp berendsen_pcoupl)
+    pcoupltype: str = "isotropic"
     ref_p: float = 1.0
+    ref_p_z: Optional[float] = None          # semiisotropic z target
     tau_p: float = 5.0
     compressibility: float = 4.5e-5
+    compressibility_z: Optional[float] = None
     nstpcouple: int = 10
 
     # sd (Langevin) friction is per-atom gamma = m/tau_t

@@ -289,9 +289,16 @@ def mdp_to_params(text: str) -> Tuple[MdParams, Optional[np.ndarray]]:
         nsttcouple=get("nsttcouple", 10, int),
         nhchainlength=get("nhchainlength", 10, int),
         pcoupl=gete("pcoupl", _PC, PcouplType.NO),
+        pcoupltype=kv.get("pcoupltype", "isotropic").lower(),
         ref_p=float(kv.get("ref-p", "1.0").split()[0]),
+        ref_p_z=(float(kv.get("ref-p", "1.0").split()[-1])
+                 if len(kv.get("ref-p", "1.0").split()) > 1 else None),
         tau_p=get("tau-p", 5.0),
         compressibility=float(kv.get("compressibility", "4.5e-5").split()[0]),
+        compressibility_z=(
+            float(kv.get("compressibility", "4.5e-5").split()[-1])
+            if len(kv.get("compressibility", "4.5e-5").split()) > 1
+            else None),
         nstpcouple=get("nstpcouple", 10, int),
         ld_seed=get("ld-seed", 1993, int),
         lincs_order=get("lincs-order", 4, int),

@@ -503,6 +503,26 @@ def make_step_fn(system: System, params: MdParams, force_fn: Callable,
                 coupl = coupl.replace(
                     boxv=coupl.boxv.at[0, 0].set(veta_new))
                 v_new = jnp.where(do_p, v_new * vsc, v_new)
+            elif (params.pcoupl == PcouplType.BERENDSEN
+                  and params.pcoupltype == "semiisotropic"):
+                # membrane-style coupling: xy jointly, z independently
+                # (reference: coupling.cpp berendsen_pcoupl epctSEMIISOTROPIC)
+                p_xy = 0.5 * (p_diag[0] + p_diag[1])
+                mu_xy = coupling_mod.berendsen_pscale(
+                    p_xy, params.ref_p, dt_p, params.tau_p,
+                    params.compressibility)
+                mu_z = coupling_mod.berendsen_pscale(
+                    p_diag[2],
+                    params.ref_p if params.ref_p_z is None
+                    else params.ref_p_z,
+                    dt_p, params.tau_p,
+                    params.compressibility if params.compressibility_z
+                    is None else params.compressibility_z)
+                mu3 = jnp.stack([mu_xy, mu_xy, mu_z])
+                mu3 = jnp.where(do_p, mu3, 1.0)
+                mu = None
+                box_new = state.box * mu3[None, :]
+                x_new = x_new * mu3[None, :]
             elif params.pcoupl == PcouplType.BERENDSEN:
                 mu = coupling_mod.berendsen_pscale(
                     p_scalar, params.ref_p, dt_p, params.tau_p,

@@ -90,3 +90,28 @@ def test_mttk_nph_ideal_gas_oscillates_around_analytic_volume():
     assert max(vols) > v_star > min(vols)
     assert abs(np.mean(vols[2:]) - v_star) < 0.25 * v_star
     assert np.isfinite(vols).all() if hasattr(np, "isfinite") else True
+
+
+def test_semiisotropic_berendsen_couples_axes_independently():
+    """pcoupltype = semiisotropic: xy scale together, z separately
+    (reference: coupling.cpp epctSEMIISOTROPIC branch)."""
+    params = MdParams(dt=0.002, coulomb=CoulombType.REACTION_FIELD,
+                      rcoulomb=0.58, rvdw=0.58, rlist=0.62, nstcomm=0,
+                      tcoupl=TcouplType.V_RESCALE, ref_t=300.0,
+                      nsttcouple=1, tau_t=0.2,
+                      pcoupl=PcouplType.BERENDSEN,
+                      pcoupltype="semiisotropic",
+                      ref_p=1.0, ref_p_z=1.0, tau_p=1.0,
+                      nstpcouple=2, dispcorr=True)
+    system, state = water_box(3, spacing=0.34, temperature=300.0, seed=41)
+    runner = MdRunner(system, params, RunnerConfig(use_dense=True))
+    final, logs = runner.run(state, 60)
+    log = concat_logs(logs)
+    b0 = np.diag(np.asarray(state.box))
+    b1 = np.diag(np.asarray(final.box))
+    assert np.isfinite(np.asarray(log.epot)).all()
+    # xy stayed identical to each other; both xy and z compressed
+    np.testing.assert_allclose(b1[0], b1[1], rtol=1e-6)
+    assert b1[0] < b0[0] and b1[2] < b0[2]
+    # z moved differently from xy (independent coupling)
+    assert abs((b1[2] / b0[2]) - (b1[0] / b0[0])) > 1e-5
