@@ -719,12 +719,14 @@ def cmd_bar(args):
             _, _, frames = read_edr(path)
             rows = []
             for fr in frames:
-                vals = [float(b.subs[2][1][0]) for b in fr.blocks
-                        if b.id == ENX_DH
-                        and int(b.subs[0][1][0]) == DHBT_DH]
-                if vals:
-                    rows.append(vals)
-            dh = np.asarray(rows)
+                series = [np.atleast_1d(np.asarray(b.subs[2][1], float))
+                          for b in fr.blocks
+                          if b.id == ENX_DH
+                          and int(b.subs[0][1][0]) == DHBT_DH]
+                if series:
+                    # (n_foreign, nsamples) -> one row per stored sample
+                    rows.append(np.stack(series, axis=0).T)
+            dh = np.concatenate(rows) if rows else np.zeros((0, 0))
         else:
             data, legends = read_xvg(path)
             ndvdl = sum(1 for l in legends if l.startswith("dH/d"))
