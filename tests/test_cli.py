@@ -281,3 +281,30 @@ init-wl-delta = 1.0
         return max(float(c[k].sum()) for k in c.files
                    if k.startswith("leaf_") and c[k].shape == (3,))
     assert total_visits(cpt2) > total_visits(cpt)
+
+
+def test_cli_bar_from_edr(tmp_path):
+    """gmx-bar-style estimation directly from binary .edr dH blocks
+    (reference: gmx bar edr input; mdlib/mdebin_bar.cpp layout)."""
+    os.chdir(tmp_path)
+    make_water_gro("conf.gro")
+    with open("topol.top", "w") as f:
+        f.write(TOP)
+    for i in range(2):
+        with open("md.mdp", "w") as f:
+            f.write(MDP.replace("init-lambda-state = 0",
+                                f"init-lambda-state = {i}"))
+        cli_main(["grompp", "-f", "md.mdp", "-p", "topol.top", "-c",
+                  "conf.gro", "-o", f"w{i}.tpz"])
+        cli_main(["mdrun", "-s", f"w{i}.tpz", "-deffnm", f"w{i}",
+                  "-fep", "cpu"])
+        assert os.path.exists(f"w{i}.edr")
+    # pure water: all windows identical -> dG = 0 exactly
+    import contextlib, io
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        cli_main(["bar", "-f", "w0.edr", "w1.edr"])
+    out = buf.getvalue()
+    assert "total" in out
+    total = float(out.split("total")[1].split()[0])
+    assert abs(total) < 1e-6
