@@ -45,6 +45,8 @@ class MoleculeType:
     restrbonds: List[Tuple] = dataclasses.field(default_factory=list)
     # NMR distance restraints: ((ai, aj), (lo, up1, up2, weight, label))
     disres: List[Tuple] = dataclasses.field(default_factory=list)
+    # flat-bottom posres: ((ai,), (geom, x0, y0, z0, r, k))
+    fbposres: List[Tuple] = dataclasses.field(default_factory=list)
     pairs14: List[Tuple] = dataclasses.field(default_factory=list)
     # unresolved 1-4 pair rows (ai, aj, (c6,c12)A, (c6,c12)B); consumed by
     # the grompp transforms in io/topio.py which bake charges+fudge in
@@ -164,6 +166,7 @@ _TERM_SHAPES = {
     "rbdihs": (4, 6), "idihs": (4, 2), "posres": (1, 6),
     "dihres": (4, 3), "angres": (4, 3), "restrbonds": (2, 4),
     "disres": (2, 5),
+    "fbposres": (1, 6),
 }
 
 

@@ -142,6 +142,14 @@ def preprocess_arrays(mdp_text: str, top_text: str, names, resnames,
         pb[:, 0:3] = x[ai]
         system.bonded["posres"] = il.replace(params_a=jnp.asarray(pa),
                                              params_b=jnp.asarray(pb))
+    if "fbposres" in system.bonded:
+        import jax.numpy as jnp
+        il = system.bonded["fbposres"]
+        ai = np.asarray(il.atoms[:, 0])
+        pa = np.asarray(il.params_a).copy()
+        pa[:, 1:4] = x[ai]
+        system.bonded["fbposres"] = il.replace(params_a=jnp.asarray(pa),
+                                               params_b=jnp.asarray(pa))
 
     if system.orires is not None:
         # reference orientation from the start structure

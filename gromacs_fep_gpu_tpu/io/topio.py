@@ -280,6 +280,7 @@ class _RawMol:
     settle: Optional[Tuple] = None
     exclusions: List[Tuple[int, int]] = dataclasses.field(default_factory=list)
     posres: List[Tuple] = dataclasses.field(default_factory=list)
+    fbposres: List[Tuple] = dataclasses.field(default_factory=list)
     vsites2: List[Tuple] = dataclasses.field(default_factory=list)
     vsites3: List[Tuple] = dataclasses.field(default_factory=list)
     vsites3out: List[Tuple] = dataclasses.field(default_factory=list)
@@ -400,9 +401,13 @@ def parse_top(text: str, include_dirs: Optional[List[str]] = None,
         elif section == "position_restraints":
             ai, funct = int(t[0]) - 1, int(t[1])
             vals = [float(v) for v in t[2:]]
-            ka = tuple(vals[:3])
-            kb = tuple(vals[3:6]) if len(vals) >= 6 else ka
-            cur.posres.append((ai, ka, kb))
+            if funct == 2:
+                # flat-bottom: g r k (reference: toppush.cpp F_FBPOSRES)
+                cur.fbposres.append((ai, (vals[0], vals[1], vals[2])))
+            else:
+                ka = tuple(vals[:3])
+                kb = tuple(vals[3:6]) if len(vals) >= 6 else ka
+                cur.posres.append((ai, ka, kb))
         elif section == "virtual_sites2":
             sid, ai, aj = int(t[0]) - 1, int(t[1]) - 1, int(t[2]) - 1
             cur.vsites2.append(((sid, ai, aj), (float(t[4]),)))
@@ -624,6 +629,10 @@ def _resolve_molecule(raw: _RawMol, atomtypes: Dict[str, AtomType],
         # reference position filled at build time from coordinates
         mol.posres.append(((ai,), (0.0, 0.0, 0.0) + ka,
                            (0.0, 0.0, 0.0) + kb))
+    for (ai, grk) in raw.fbposres:
+        # (geom, r, k); reference position filled at build time
+        mol.fbposres.append(((ai,), (grk[0], 0.0, 0.0, 0.0,
+                                     grk[1], grk[2])))
     mol.vsites2 = raw.vsites2
     mol.vsites3fd = raw.vsites3fd
     mol.vsites3fad = raw.vsites3fad

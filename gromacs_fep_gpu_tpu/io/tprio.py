@@ -570,6 +570,11 @@ def tpr_to_system(t: TprData):
                 elif name == "POSRES":
                     mol.posres.append(((at[0],), tuple(pp[0:6]),
                                        tuple(pp[6:12])))
+                elif name == "FBPOSRES":
+                    # iparams: (geom, pos0(3), r, k)
+                    mol.fbposres.append(((at[0],),
+                                         (float(pp[0]), pp[1], pp[2],
+                                          pp[3], pp[4], pp[5])))
                 elif name == "DISRES":
                     mol.disres.append((at, (pp[2], pp[3], pp[4], pp[5],
                                             float(pp[0]))))

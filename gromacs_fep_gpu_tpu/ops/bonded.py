@@ -198,6 +198,43 @@ def restrbond_energy(x, box, il: InteractionList, lam) -> jnp.ndarray:
     return jnp.sum(il.mask * v)
 
 
+def fbposres_energy(x, box, il: InteractionList, lam) -> jnp.ndarray:
+    """Flat-bottomed position restraints (reference:
+    listed_forces/position_restraints.cpp fbposres + fbposres.h geoms).
+
+    params per atom: (geom, x0, y0, z0, r, k); lambda-independent.
+    geom 1 = sphere, 3/4/5 = x/y/z slab, 6/7/8 = cylinder around
+    x/y/z; negative r inverts (restrain to OUTSIDE radius |r|)."""
+    if il.n == 0:
+        return jnp.zeros((), x.dtype)
+    ai = il.atoms[:, 0]
+    geom = il.params_a[:, 0].astype(jnp.int32)
+    x0 = il.params_a[:, 1:4]
+    r = il.params_a[:, 4]
+    k = il.params_a[:, 5]
+    dx = pbc_mod.pbc_dx(x[ai] - x0, box)
+
+    def dist_for(g):
+        if g == 1:                       # sphere
+            return jnp.sqrt(jnp.sum(dx * dx, -1) + 1e-32)
+        if g in (3, 4, 5):               # x/y/z slab
+            return jnp.abs(dx[:, g - 3])
+        # 6/7/8: cylinder around x/y/z -> in-plane distance
+        a = g - 6
+        idx = [d for d in range(3) if d != a]
+        return jnp.sqrt(dx[:, idx[0]] ** 2 + dx[:, idx[1]] ** 2 + 1e-32)
+
+    dr = dist_for(1)
+    for g in (3, 4, 5, 6, 7, 8):
+        dr = jnp.where(geom == g, dist_for(g), dr)
+    inverted = r < 0.0
+    rabs = jnp.abs(r)
+    dev = jnp.where(inverted,
+                    jnp.maximum(rabs - dr, 0.0),     # inside the shell
+                    jnp.maximum(dr - rabs, 0.0))     # outside the bottom
+    return jnp.sum(il.mask * 0.5 * k * dev * dev)
+
+
 def disres_energy(x, box, il: InteractionList, lam,
                   fc: float = 1000.0) -> jnp.ndarray:
     """NMR distance restraints with instantaneous r^-3 averaging over the
@@ -252,6 +289,7 @@ TERMS = {
     # disres takes an extra fc argument (mdp disre-fc); the force loops
     # special-case it
     "disres": (2, 5, disres_energy),
+    "fbposres": (1, 6, fbposres_energy),
 }
 
 # energy-term channel each name accumulates into (EnergyTerms field)
@@ -267,10 +305,11 @@ TERM_CHANNEL = {
     "angres": "restraints",
     "restrbonds": "restraints",
     "disres": "restraints",
+    "fbposres": "restraints",
 }
 
 # terms whose lambda dependence follows the RESTRAINT coupling component
 # (reference: ifunc.h IF_RESTRAINT-flagged types route dvdl to
 # FreeEnergyPerturbationCouplingType::Restraint)
 RESTRAINT_TERMS = frozenset({"posres", "dihres", "angres", "restrbonds",
-                             "disres"})
+                             "disres", "fbposres"})

@@ -123,3 +123,71 @@ def test_top_disres_labels_per_copy():
     assert labels[0] != labels[1]
     np.testing.assert_allclose(np.asarray(il.params_a)[0, :4],
                                [0.2, 0.3, 0.4, 1.0])
+
+
+def test_fbposres_geometries():
+    """Flat-bottom position restraints (reference:
+    position_restraints.cpp fbposres): sphere, z-slab, z-cylinder,
+    inverted sphere."""
+    from gromacs_fep_gpu_tpu.ops.bonded import fbposres_energy
+
+    def il_one(geom, r, k=100.0, x0=(1.0, 1.0, 1.0)):
+        p = np.array([[geom, *x0, r, k]], np.float32)
+        return InteractionList(atoms=jnp.zeros((1, 1), jnp.int32),
+                               params_a=jnp.asarray(p),
+                               params_b=jnp.asarray(p),
+                               mask=jnp.ones((1,), jnp.float32))
+
+    box = jnp.eye(3, dtype=jnp.float32) * 10.0
+
+    def e(geom, r, pos):
+        x = jnp.asarray([pos], jnp.float32)
+        return float(fbposres_energy(x, box, il_one(geom, r), 0.0))
+
+    # sphere: inside flat, outside harmonic in (d - r)
+    assert e(1, 0.3, (1.2, 1.0, 1.0)) == 0.0
+    np.testing.assert_allclose(e(1, 0.3, (1.5, 1.0, 1.0)),
+                               0.5 * 100 * 0.2 ** 2, rtol=1e-5)
+    # inverted sphere (r < 0): restrained OUTSIDE radius |r|
+    assert e(1, -0.3, (1.5, 1.0, 1.0)) == 0.0
+    np.testing.assert_allclose(e(1, -0.3, (1.1, 1.0, 1.0)),
+                               0.5 * 100 * 0.2 ** 2, rtol=1e-4)
+    # z-slab (geom 5): only z distance counts
+    assert e(5, 0.2, (3.0, 3.0, 1.1)) == 0.0
+    np.testing.assert_allclose(e(5, 0.2, (3.0, 3.0, 1.5)),
+                               0.5 * 100 * 0.3 ** 2, rtol=1e-5)
+    # z-cylinder (geom 8): xy-plane distance
+    assert e(8, 0.3, (1.2, 1.0, 5.0)) == 0.0
+    np.testing.assert_allclose(e(8, 0.3, (1.0, 1.5, 5.0)),
+                               0.5 * 100 * 0.2 ** 2, rtol=1e-4)
+
+
+def test_fbposres_top_parse(tmp_path):
+    """[ position_restraints ] funct 2 parses and fills the reference
+    position from the conformation (grompp gen_posres analogue)."""
+    import os
+    from gromacs_fep_gpu_tpu.cli import main as cli_main
+    from tests.test_cli import TOP, make_water_gro
+    os.chdir(tmp_path)
+    make_water_gro("conf.gro")
+    top = TOP.replace("[ settles ]", """[ position_restraints ]
+; ai funct g r k
+1 2 1 0.5 400.0
+
+[ settles ]""")
+    with open("topol.top", "w") as f:
+        f.write(top)
+    with open("md.mdp", "w") as f:
+        f.write("integrator = md\nnsteps = 0\nrcoulomb = 0.55\n"
+                "rvdw = 0.55\nrlist = 0.6\n"
+                "coulombtype = reaction-field\n")
+    cli_main(["grompp", "-f", "md.mdp", "-p", "topol.top", "-c",
+              "conf.gro", "-o", "t.tpz"])
+    from gromacs_fep_gpu_tpu.cli import _load_tpz
+    pp, _ = _load_tpz("t.tpz")
+    il = pp.system.bonded["fbposres"]
+    assert il.n == 27                 # one per water molecule
+    p = np.asarray(il.params_a)
+    assert (p[:, 0] == 1).all() and (p[:, 4] == 0.5).all()
+    # reference positions = the conformation's oxygens
+    assert np.abs(p[:, 1:4]).max() > 0.1
