@@ -97,6 +97,35 @@ def make_pressure_fn(energy_epot_fn: Callable,
     return pressure
 
 
+def make_pressure_tensor_fn(energy_epot_fn: Callable,
+                            p_extra_fn: Optional[Callable] = None):
+    """FULL 3x3 stress via strain gradient: deform coordinates and box
+    by (I + E) and differentiate (one backward pass for all nine
+    components); P_ab = (2 K_ab - dU/dE_ab) / V (reference semantics:
+    sim_util.cpp calc_virial full tensor).  Used by the anisotropic
+    Parrinello-Rahman branch."""
+
+    def pressure(x, box, lam, v, mass, extra_virial_diag=None):
+        vol = pbc_mod.box_volume(box)
+        eye = jnp.eye(3, dtype=x.dtype)
+
+        def u_of_strain(E):
+            A = eye + E
+            return energy_epot_fn(x @ A.T, box @ A.T, lam)
+
+        dude = jax.grad(u_of_strain)(jnp.zeros((3, 3), x.dtype))
+        vir = 0.5 * (dude + dude.T) * 0.5      # symmetrized, Xi = dU/dE/2
+        if extra_virial_diag is not None:
+            vir = vir + jnp.diag(extra_virial_diag)
+        ekin_t = 0.5 * jnp.einsum("ni,nj->ij", v * mass[:, None], v)
+        p_t = 2.0 / vol * (ekin_t - vir) * PRESFAC
+        if p_extra_fn is not None:
+            p_t = p_t + jnp.eye(3, dtype=x.dtype) * p_extra_fn(box) / 1.0
+        return jnp.trace(p_t) / 3.0, p_t
+
+    return pressure
+
+
 def make_step_fn(system: System, params: MdParams, force_fn: Callable,
                  energy_epot_fn: Optional[Callable] = None,
                  compute_pressure: bool = False,
@@ -135,10 +164,17 @@ def make_step_fn(system: System, params: MdParams, force_fn: Callable,
     # pressure steps (NB kernel pair sums + cheap-term strain grad), so
     # NPT costs no second full energy evaluation (reference:
     # sim_util.cpp calc_virial from the same force pass)
-    pressure_from_force = compute_pressure and force_vir_fn is not None
+    pressure_from_force = (compute_pressure and force_vir_fn is not None
+                           and params.pcoupltype != "anisotropic")
     pressure_fn = (make_pressure_fn(energy_epot_fn, p_extra_fn)
                    if compute_pressure and energy_epot_fn is not None
                    and not pressure_from_force else None)
+    # full-stress variant for anisotropic Parrinello-Rahman
+    pressure_tensor_fn = (
+        make_pressure_tensor_fn(energy_epot_fn, p_extra_fn)
+        if (compute_pressure and energy_epot_fn is not None
+            and params.pcoupl == PcouplType.PARRINELLO_RAHMAN
+            and params.pcoupltype == "anisotropic") else None)
 
     from .vsites import construct_vsites, n_vsites, spread_vsite_forces
     has_vsites = n_vsites(system) > 0
@@ -532,6 +568,36 @@ def make_step_fn(system: System, params: MdParams, force_fn: Callable,
                     p_scalar, params.ref_p, dt_p, params.tau_p,
                     params.compressibility, pbc_mod.box_volume(state.box),
                     temp, k_baro)
+            elif (params.pcoupl == PcouplType.PARRINELLO_RAHMAN
+                  and params.pcoupltype == "anisotropic"
+                  and pressure_tensor_fn is not None):
+                # FULL Parrinello-Rahman: integrate the lower-triangular
+                # box-velocity matrix from the full stress tensor
+                # (reference: coupling.cpp:763 parrinellorahman_pcoupl)
+                _, p_t = pressure_tensor_fn(x_new, state.box, lam, v_new,
+                                            mass, constr_vir_diag)
+                vol = pbc_mod.box_volume(state.box)
+                maxl = jnp.max(jnp.diag(state.box))
+                winv = (4.0 * jnp.pi ** 2 * params.compressibility) / \
+                    (3.0 * params.tau_p ** 2 * maxl) / PRESFAC
+                pdiff = p_t - params.ref_p * jnp.eye(3, dtype=state.x.dtype)
+                boxv_new = coupl.boxv + dt_p * vol * winv / maxl * pdiff
+                boxv_new = jnp.tril(boxv_new)    # GROMACS box convention
+                boxv_new = jnp.where(do_p, boxv_new, coupl.boxv)
+                coupl = coupl.replace(boxv=boxv_new)
+                box_prop = state.box + dt_p * boxv_new
+                # bound the per-step deformation like the diagonal path
+                scale = jnp.clip(jnp.diag(box_prop) / jnp.diag(state.box),
+                                 0.99, 1.01)
+                box_prop = box_prop * (scale
+                                       / jnp.maximum(jnp.diag(box_prop)
+                                                     / jnp.diag(state.box),
+                                                     1e-12))[:, None]
+                box_new = jnp.where(do_p, box_prop, state.box)
+                # remap by fractional coordinates: x' = x box^-1 box'
+                A = pbc_mod.inv3(state.box) @ box_new
+                x_new = jnp.where(do_p, x_new @ A, x_new)
+                mu = None
             elif params.pcoupl == PcouplType.PARRINELLO_RAHMAN:
                 # anisotropic (diagonal) PR: integrate box velocities, scale
                 # box columns and coordinates per axis

@@ -115,3 +115,35 @@ def test_semiisotropic_berendsen_couples_axes_independently():
     assert b1[0] < b0[0] and b1[2] < b0[2]
     # z moved differently from xy (independent coupling)
     assert abs((b1[2] / b0[2]) - (b1[0] / b0[0])) > 1e-5
+
+
+def test_full_parrinello_rahman_anisotropic():
+    """pcoupltype = anisotropic + PR: the full stress tensor drives a
+    lower-triangular box-velocity matrix (reference: coupling.cpp:763).
+    An isotropic liquid must keep off-diagonals ~0 while the volume
+    responds; the box stays in the GROMACS lower-triangular convention."""
+    params = MdParams(dt=0.002, coulomb=CoulombType.REACTION_FIELD,
+                      rcoulomb=0.58, rvdw=0.58, rlist=0.62, nstcomm=0,
+                      tcoupl=TcouplType.V_RESCALE, ref_t=300.0,
+                      nsttcouple=1, tau_t=0.2,
+                      pcoupl=PcouplType.PARRINELLO_RAHMAN,
+                      pcoupltype="anisotropic",
+                      ref_p=1.0, tau_p=2.0, nstpcouple=2, dispcorr=True)
+    system, state = water_box(3, spacing=0.34, temperature=300.0, seed=41)
+    runner = MdRunner(system, params, RunnerConfig(use_dense=True))
+    final, logs = runner.run(state, 80)
+    log = concat_logs(logs)
+    assert np.isfinite(np.asarray(log.epot)).all()
+    b1 = np.asarray(final.box)
+    # GROMACS convention preserved: strictly lower-triangular box
+    assert abs(b1[0, 1]) < 1e-7 and abs(b1[0, 2]) < 1e-7 \
+        and abs(b1[1, 2]) < 1e-7
+    # isotropic liquid: shear stays small relative to the box edges
+    assert abs(b1[1, 0]) < 0.05 * b1[0, 0]
+    assert abs(b1[2, 0]) < 0.05 * b1[0, 0]
+    # the box moved (PR responded to the pressure imbalance)
+    assert abs(float(np.diag(b1).prod())
+               - float(np.linalg.det(np.asarray(state.box)))) > 1e-5
+    # boxv holds the lower-triangular velocities
+    bv = np.asarray(final.coupling.boxv)
+    assert abs(bv[0, 1]) < 1e-10 and np.isfinite(bv).all()
