@@ -523,7 +523,37 @@ def make_step_fn(system: System, params: MdParams, force_fn: Callable,
             else:
                 p_scalar, p_diag = pressure_fn(x_new, state.box, lam, v_new,
                                                mass, constr_vir_diag)
-            if params.pcoupl == PcouplType.MTTK:
+            if (params.pcoupl == PcouplType.MTTK
+                    and params.pcoupltype == "semiisotropic"):
+                # membrane MTTK: independent pistons for xy and z,
+                # log-extent velocities in boxv[0,0] (xy) and boxv[2,2]
+                vol = pbc_mod.box_volume(state.box)
+                winv = coupling_mod.mttk_winv(
+                    params.ref_t, params.tau_p, params.compressibility,
+                    vol)
+                p_xy = 0.5 * (p_diag[0] + p_diag[1])
+                ref_z = (params.ref_p if params.ref_p_z is None
+                         else params.ref_p_z)
+                # per-piston: 2 xy dims share one veta, z has its own;
+                # the dim-count factor 3 splits 2:1
+                v_xy = coupl.boxv[0, 0] + dt_p * vol * (
+                    winv / PRESFAC) * 2.0 * (p_xy - params.ref_p)
+                v_z = coupl.boxv[2, 2] + dt_p * vol * (
+                    winv / PRESFAC) * 1.0 * (p_diag[2] - ref_z)
+                v_xy = jnp.where(do_p, v_xy, coupl.boxv[0, 0])
+                v_z = jnp.where(do_p, v_z, coupl.boxv[2, 2])
+                coupl = coupl.replace(boxv=coupl.boxv.at[0, 0].set(v_xy)
+                                      .at[2, 2].set(v_z))
+                mu_xy = jnp.clip(jnp.exp(v_xy * dt_p), 0.98, 1.02)
+                mu_z = jnp.clip(jnp.exp(v_z * dt_p), 0.98, 1.02)
+                mu3 = jnp.where(do_p, jnp.stack([mu_xy, mu_xy, mu_z]), 1.0)
+                alpha = 1.0 + 3.0 / ndf
+                vsc = jnp.exp(-alpha * (2.0 * v_xy + v_z) / 3.0 * dt_p)
+                v_new = jnp.where(do_p, v_new * vsc, v_new)
+                mu = None
+                box_new = state.box * mu3[None, :]
+                x_new = x_new * mu3[None, :]
+            elif params.pcoupl == PcouplType.MTTK:
                 # isotropic MTTK: log-volume velocity in coupl.boxv[0,0]
                 # (requires md-vv + Nose-Hoover in the reference;
                 # enforced loosely here — any thermostat works but the

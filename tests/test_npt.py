@@ -147,3 +147,39 @@ def test_full_parrinello_rahman_anisotropic():
     # boxv holds the lower-triangular velocities
     bv = np.asarray(final.coupling.boxv)
     assert abs(bv[0, 1]) < 1e-10 and np.isfinite(bv).all()
+
+
+def test_mttk_semiisotropic_independent_pistons():
+    """Semi-isotropic MTTK: the xy and z pistons respond independently;
+    an NPH ideal gas with a higher z reference pressure ends with the
+    z extent compressed relative to xy."""
+    from gromacs_fep_gpu_tpu.core.topology import MoleculeType, build_system
+    from gromacs_fep_gpu_tpu.core.types import IntegratorType, make_state
+    from gromacs_fep_gpu_tpu.core.units import BOLTZ
+
+    rng = np.random.default_rng(1)
+    n = 64
+    mol = MoleculeType(name="IG", types_a=[0], charges_a=[0.0],
+                       masses_a=[39.9])
+    system = build_system([(mol, n)], np.zeros((1, 1, 2), np.float32))
+    L = 3.0
+    x = rng.uniform(0, L, (n, 3)).astype(np.float32)
+    v = (rng.normal(0, 1, (n, 3))
+         * np.sqrt(BOLTZ * 300.0 / 39.9)).astype(np.float32)
+    state = make_state(x, v, np.eye(3, dtype=np.float32) * L)
+    params = MdParams(dt=0.002, coulomb=CoulombType.CUTOFF, rcoulomb=0.5,
+                      rvdw=0.5, rlist=0.6, nstcomm=0,
+                      integrator=IntegratorType.MD_VV,
+                      tcoupl=TcouplType.NO,
+                      pcoupl=PcouplType.MTTK, pcoupltype="semiisotropic",
+                      ref_p=20.0, ref_p_z=200.0, tau_p=1.0,
+                      nstpcouple=1)
+    runner = MdRunner(system, params, RunnerConfig(use_dense=True))
+    final, _ = runner.run(state, 800)
+    b = np.diag(np.asarray(final.box))
+    assert np.isfinite(b).all()
+    np.testing.assert_allclose(b[0], b[1], rtol=1e-6)   # xy locked
+    # much higher z target pressure squeezes z relative to xy
+    assert b[2] / 3.0 < b[0] / 3.0
+    bv = np.asarray(final.coupling.boxv)
+    assert abs(bv[0, 0] - bv[2, 2]) > 1e-6              # independent pistons
