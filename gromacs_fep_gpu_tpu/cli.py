@@ -354,6 +354,17 @@ def cmd_mdrun(args):
             for t in sel:
                 f.write("%.4f " % times[t]
                         + " ".join("%.6f" % v for v in pf[t]) + "\n")
+    if params.densfit is not None and log.densfit_sim is not None:
+        # density-fitting similarity time series (the reference reports
+        # it as an energy-file term, densityfittingoutputprovider.cpp)
+        sim = np.asarray(log.densfit_sim)
+        with open(f"{deffnm}.densfit.xvg", "w") as f:
+            f.write("@    title \"Density fitting\"\n"
+                    "@    xaxis  label \"Time (ps)\"\n"
+                    "@    yaxis  label \"Similarity\"\n")
+            for t in range(len(times)):
+                if np.isfinite(sim[t]):
+                    f.write("%.4f %.8g\n" % (times[t], sim[t]))
     save_checkpoint(f"{deffnm}.cpt", state)
     names = [str(n) for n in data["names"]]
     resnames = [str(r) for r in data["resnames"]]

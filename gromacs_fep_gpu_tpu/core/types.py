@@ -442,6 +442,10 @@ class MdParams:
     # listed_forces/orires.cpp, inputrec orires_fc)
     orires_fc: float = 0.0
 
+    # density-guided simulation (md.densfit.DensfitParams or None;
+    # reference: applied_forces/densityfitting/)
+    densfit: Optional[Any] = None
+
     def replace(self, **kw) -> "MdParams":
         return dataclasses.replace(self, **kw)
 
@@ -481,6 +485,9 @@ class State:
     # expanded-ensemble weight history (md/expanded.py DfHist); None when
     # expanded ensemble is off (reference: t_state::dfhist)
     dfhist: Optional[Any] = None
+    # density-fitting adaptive-scaling state (md/densfit.py DensfitState;
+    # reference: DensityFittingForceProviderState)
+    densfit: Optional[Any] = None
 
     @property
     def n_atoms(self) -> int:

@@ -331,6 +331,10 @@ def mdp_to_params(text: str) -> Tuple[MdParams, Optional[np.ndarray]]:
     ef = parse_efield(kv)
     if ef is not None:
         params = params.replace(efield=ef)
+    from ..md.densfit import parse_densfit
+    df = parse_densfit(kv)
+    if df is not None:
+        params = params.replace(densfit=df)
     dr = kv.get("disre", "no").lower()
     if dr not in ("no", "simple"):
         raise ValueError(f"disre = {dr} unsupported (no ensemble/"

@@ -139,6 +139,19 @@ class MdRunner:
                 pme_recip_force_fn=self.recip_force_fn,
                 nb_kernel_override=nb_override)
 
+        # density-guided simulation: load the reference map and build the
+        # force provider once (reference: densityfitting.cpp:349-365)
+        self._densfit_fn = None
+        if params.densfit is not None:
+            from ..io.mrcio import read_mrc
+            from .densfit import make_densfit_force_fn
+            m = read_mrc(params.densfit.reference_density)
+            scale, trans = m.lattice_transform()
+            self._densfit_fn = make_densfit_force_fn(
+                params.densfit, m.data, scale, trans,
+                np.asarray(system.mass_a), np.asarray(system.charge_a),
+                params.dt)
+
         self._chunk = None
         self._compiled_for = None
         self._rlist = None   # kinetic-theory sized at run() (needs volume)
@@ -310,7 +323,8 @@ class MdRunner:
                 n_foreign=n_foreign,
                 all_lambda=(self.all_lambda.T
                             if self.all_lambda is not None else None),
-                force_fn_noener=bound_force_noener)
+                force_fn_noener=bound_force_noener,
+                densfit_fn=self._densfit_fn)
             state_out, log = jax.lax.scan(step_fn, state, length=seg_len)
             return state_out, log
 
@@ -360,6 +374,9 @@ class MdRunner:
         if n_vsites(self.system) > 0:
             state = state.replace(
                 x=construct_vsites(state.x, self.system.vsites))
+        if self._densfit_fn is not None and state.densfit is None:
+            from .densfit import DensfitState
+            state = state.replace(densfit=DensfitState.init())
         if (self.params.expanded is not None and self.all_lambda is not None
                 and state.dfhist is None):
             from .expanded import DfHist

@@ -39,6 +39,9 @@ class StepLog:
     dekindl: jnp.ndarray        # dEkin/dlambda-mass (reference: F_DKDL)
     pull_x: jnp.ndarray         # (P,) pull-coordinate values; (0,) if off
     pull_f: jnp.ndarray         # (P,) pull scalar forces
+    # density-fitting similarity (NaN when off or on a non-calc step;
+    # reference: densityfittingforceprovider.cpp:375 similarity output)
+    densfit_sim: jnp.ndarray = None
 
 
 def degrees_of_freedom(system: System, params: MdParams) -> float:
@@ -134,7 +137,8 @@ def make_step_fn(system: System, params: MdParams, force_fn: Callable,
                  all_lambda=None,
                  force_fn_noener: Optional[Callable] = None,
                  temp_ladder=None,
-                 force_vir_fn: Optional[Callable] = None):
+                 force_vir_fn: Optional[Callable] = None,
+                 densfit_fn: Optional[Callable] = None):
     """force_fn(x, box, lam) -> (f, EnergyTerms).
     foreign_delta_fn(x, box, lam) -> (n_foreign,) Delta-H vector, evaluated
     every fep.nstdhdl steps (reference: mdebin_bar.cpp Delta-H collection)
@@ -189,6 +193,10 @@ def make_step_fn(system: System, params: MdParams, force_fn: Callable,
         from .efield import make_efield_force_fn
         efield_fn = make_efield_force_fn(params.efield, system.charge_a,
                                          system.charge_b)
+    # density-guided simulation (another computeSpecialForces provider;
+    # reference: densityfittingforceprovider.cpp:255 calculateForces)
+    has_densfit = densfit_fn is not None and params.densfit is not None
+    densfit_nst = params.densfit.nst if has_densfit else 1
 
     # expanded ensemble / simulated tempering setup
     exp = params.expanded
@@ -272,6 +280,19 @@ def make_step_fn(system: System, params: MdParams, force_fn: Callable,
         if efield_fn is not None:
             t_ps = state.step.astype(state.x.dtype) * dt
             f = f + efield_fn(t_ps, lam[FepCoupling.COUL])
+        densfit_sim = jnp.asarray(jnp.nan, state.x.dtype)
+        densfit_next = state.densfit
+        if has_densfit:
+            def df_off():
+                return (jnp.zeros_like(state.x),
+                        jnp.zeros((), state.x.dtype),
+                        jnp.asarray(jnp.nan, state.x.dtype), state.densfit)
+            f_df, e_df, densfit_sim, densfit_next = jax.lax.cond(
+                (state.step % densfit_nst) == 0,
+                lambda: densfit_fn(state.x, state.box, state.densfit),
+                df_off)
+            f = f + f_df
+            terms = terms.replace(restraints=terms.restraints + e_df)
         if has_vsites:
             f = spread_vsite_forces(state.x, f, system.vsites)
 
@@ -460,6 +481,17 @@ def make_step_fn(system: System, params: MdParams, force_fn: Callable,
                 t2 = (state.step + 1).astype(state.x.dtype) * dt
                 f2p, _, _, _ = pull_fn(x_new, state.box, t2)
                 f2 = f2 + f2p
+            if has_densfit:
+                # force-only re-evaluation at t+dt with the state of step
+                # t+1 (the reference applies providers in every do_force)
+                f2d, _, _, _ = jax.lax.cond(
+                    ((state.step + 1) % densfit_nst) == 0,
+                    lambda: densfit_fn(x_new, state.box, densfit_next),
+                    lambda: (jnp.zeros_like(x_new),
+                             jnp.zeros((), state.x.dtype),
+                             jnp.asarray(jnp.nan, state.x.dtype),
+                             densfit_next))
+                f2 = f2 + f2d
             if has_vsites:
                 f2 = spread_vsite_forces(x_new, f2, system.vsites)
             v_new = integ_mod.velocity_verlet_2(v_new, f2, invmass, dt)
@@ -662,6 +694,7 @@ def make_step_fn(system: System, params: MdParams, force_fn: Callable,
         new_state = state.replace(
             x=x_new, v=v_new, box=box_new, lam=lam_next_vec,
             fep_state=fep_state_next, dfhist=dfhist_next,
+            densfit=densfit_next,
             step=state.step + 1, coupling=coupl)
         epot_log = jnp.where(do_ener, terms.epot,
                              jnp.asarray(jnp.nan, state.x.dtype))
@@ -678,7 +711,8 @@ def make_step_fn(system: System, params: MdParams, force_fn: Callable,
         log = StepLog(epot=epot_log, ekin=ekin, temp=temp, pres=pres,
                       lam=lam, dvdl=dvdl_out, terms=terms,
                       constr_rmsd=constr_rmsd, delta_h=delta_h,
-                      dekindl=dekindl, pull_x=pull_x, pull_f=pull_f_log)
+                      dekindl=dekindl, pull_x=pull_x, pull_f=pull_f_log,
+                      densfit_sim=densfit_sim)
         return new_state, log
 
     return step
