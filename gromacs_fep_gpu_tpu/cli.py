@@ -375,6 +375,14 @@ def cmd_mdrun(args):
     print(runner.wallcycle.report())
     print(f"\nPerformance: {ns_day:10.3f} ns/day  ({wall:.1f} s wall, "
           f"{nsteps_done} steps, {system.n_atoms} atoms)")
+    # md.log: setup report + nstlog energy blocks + averages + perf
+    # (reference: MDLogger + EnergyOutput, energyoutput.cpp:1288,1340)
+    from .io.logio import MdLogWriter
+    mdlog = MdLogWriter(f"{deffnm}.log", params, system, argv=sys.argv)
+    mdlog.write_frames(log, times, params.nstlog, params.dt)
+    mdlog.write_performance(runner.wallcycle.report(), ns_day, wall,
+                            nsteps_done, system.n_atoms)
+    mdlog.close()
 
 
 def _do_rerun(args, system, params, state, lam_arr):

@@ -417,6 +417,8 @@ class MdParams:
     # defaults to 100 and runs force-only kernels in between,
     # nbnxm_cuda.cu F vs VF kernel tables).  Non-energy frames log NaN.
     nstcalcenergy: int = 1
+    # md.log energy-block interval (reference: inputrec nstlog)
+    nstlog: int = 1000
 
     fep: FepParams = FepParams()
     expanded: Optional[ExpandedParams] = None

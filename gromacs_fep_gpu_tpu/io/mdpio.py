@@ -312,6 +312,7 @@ def mdp_to_params(text: str) -> Tuple[MdParams, Optional[np.ndarray]]:
         nstxout_compressed=get("nstxout-compressed", 0, int),
         compressed_x_precision=get("compressed-x-precision", 1000.0),
         nstcalcenergy=get("nstcalcenergy", 1, int),
+        nstlog=get("nstlog", 1000, int),
         fep=fep,
         expanded=expanded,
         awh=awh,

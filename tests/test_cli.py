@@ -97,6 +97,16 @@ def test_cli_grompp_mdrun_bar(tmp_path):
     assert os.path.exists("md.ener.csv")
     assert os.path.exists("md.dhdl.xvg")
 
+    # md.log: setup report, nstlog energy blocks, averages, performance
+    # (reference: energyoutput.cpp:1288 pr_ebin blocks)
+    assert os.path.exists("md.log")
+    mdlog = open("md.log").read()
+    assert "Input Parameters:" in mdlog
+    assert "Energies (kJ/mol)" in mdlog
+    assert "A V E R A G E S" in mdlog
+    assert "Performance:" in mdlog
+    assert "LJ (SR)" in mdlog and "Potential" in mdlog
+
     data = np.genfromtxt("md.ener.csv")
     assert data.shape[0] == 30
     assert np.isfinite(data).all()
