@@ -206,6 +206,55 @@ def matmul_fft3(grid, dft_mats):
     return re, im
 
 
+def make_pencil_dft(grid_shape, nsh: int):
+    """Padded per-axis DFT matrices + geometry for the pencil-decomposed
+    distributed transform (the fft5d / cuFFTMp analogue,
+    reference: fft/fft5d.cpp pencil decomposition,
+    fft/gpu_3dfft_cufftmp.cpp).
+
+    The grid is slab-sharded along axis 0 (S1 = ceil(K1/nsh) rows per
+    device, zero-padded to K1p = S1*nsh); the axis-0 transform runs after
+    an all-to-all transpose to axis-1 sharding (S2 columns per device,
+    K2p padded).  Padding is absorbed into the transform matrices as
+    zero columns (forward: padded input rows contribute nothing) and
+    zero rows (inverse: padded output rows stay zero), so every device
+    computes exactly 1/nsh of each axis transform with no correction
+    passes.
+
+    Returns a dict of numpy arrays; cast to the grid dtype at use time.
+    """
+    K1, K2, K3 = grid_shape
+    S1 = -(-K1 // nsh)
+    K1p = S1 * nsh
+    S2 = -(-K2 // nsh)
+    K2p = S2 * nsh
+    base = make_dft_matrices(grid_shape)
+
+    def pad_cols(m, cols):        # (K, K) -> (K, cols), zero-padded
+        out = np.zeros((m.shape[0], cols))
+        out[:, : m.shape[1]] = m
+        return out
+
+    def pad_rows(m, rows):        # (K, K) -> (rows, K), zero-padded
+        out = np.zeros((rows, m.shape[1]))
+        out[: m.shape[0], :] = m
+        return out
+
+    c0, s0 = base[0]
+    c1, s1 = base[1]
+    return {
+        "S1": S1, "K1p": K1p, "S2": S2, "K2p": K2p,
+        # axis 0: forward consumes the K1p-padded axis, inverse returns it
+        "fwd0": (pad_cols(c0, K1p), pad_cols(s0, K1p)),
+        "inv0": (pad_rows(c0, K1p), pad_rows(s0, K1p)),
+        # axis 1: forward is the square transform applied on the slab;
+        # inverse consumes the K2p-padded axis after the transpose back
+        "fwd1": base[1],
+        "inv1": (pad_cols(c1, K2p), pad_cols(s1, K2p)),
+        "fwd2": base[2],
+    }
+
+
 def spread_charges(x, box, charges, grid_shape, order: int = 4,
                    chunk: int = 8192):
     """MXU-formulated charge spread: per-axis dense one-hot weight rows

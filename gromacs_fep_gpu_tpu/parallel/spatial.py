@@ -253,13 +253,24 @@ def make_sharded_pme(system: System, params: MdParams, mesh: Mesh,
                      grid_shape=None):
     """Sharded PME reciprocal: pme_fn(x, box, lam_c) -> (E, F, dvdl_c).
 
-    Each device spreads its own atom block to a full local charge grid;
-    one psum over ICI reduces the grids (the analogue of the reference's
-    pme grid overlap reduction, pme_gpu_internal.cpp grid gather); the
-    small matmul-DFT solve runs replicated; the force gather reads the
-    (replicated) potential grid for local atoms only.  Per-step
-    communication: one grid psum (42^3 fp32 = 296 kB) + the sharded
-    force rows, both on ICI."""
+    Fully decomposed pipeline (the fft5d / cuFFTMp pencil analogue,
+    reference: fft/fft5d.cpp, fft/gpu_3dfft_cufftmp.cpp, pme grid overlap
+    reduction pme_gpu_internal.cpp):
+
+      1. each device spreads its own atom block to a local partial grid,
+      2. psum_scatter reduces+slabs it along grid axis 0 (dd_move/grid
+         overlap analogue, half the bytes of a full-grid psum),
+      3. axis-1/2 DFTs run on the local slab (1/nsh of the matmul work),
+      4. one all_to_all transposes slabs -> axis-1 pencils,
+      5. the axis-0 DFT, influence multiply and energy partial run on the
+         pencil (the k-space solve is sharded too),
+      6. the inverse transforms retrace the same path back,
+      7. all_gather rebuilds the potential grid for the local force
+         gather.
+
+    All collectives ride ICI inside shard_map; padding to multiples of
+    nsh is absorbed into zero rows/columns of the transform matrices
+    (ops/pme.py make_pencil_dft)."""
     import numpy as _np
     from ..core import pbc as pbc_mod
     from ..ops import pme as pme_mod
@@ -269,9 +280,12 @@ def make_sharded_pme(system: System, params: MdParams, mesh: Mesh,
     if grid_shape is None:
         grid_shape = params.pme_grid
     order = params.pme_order
+    K1, K2, K3 = grid_shape
     influence = pme_mod.make_influence_function(grid_shape, order)
-    dft_mats = pme_mod.make_dft_matrices(grid_shape)
     nsh = mesh.shape[SPATIAL_AXIS]
+    pencil = pme_mod.make_pencil_dft(grid_shape, nsh)
+    S1, K1p = pencil["S1"], pencil["K1p"]
+    S2, K2p = pencil["S2"], pencil["K2p"]
     n = int(system.n_atoms)
     chunk = -(-n // nsh)
     n_pad = chunk * nsh
@@ -298,16 +312,44 @@ def make_sharded_pme(system: System, params: MdParams, mesh: Mesh,
             q_blk = qa_blk
         grid_local = pme_mod.spread_charges(x_blk, box, q_blk, grid_shape,
                                             order)
-        grid = jax.lax.psum(grid_local, SPATIAL_AXIS)
-        q_re, q_im = pme_mod.matmul_fft3(grid, dft_mats)
+        # reduce the partial grids AND slab them along axis 0 in one
+        # collective (grid overlap reduction)
+        grid_p = jnp.pad(grid_local, ((0, K1p - K1), (0, 0), (0, 0)))
+        slab = jax.lax.psum_scatter(grid_p, SPATIAL_AXIS,
+                                    scatter_dimension=0, tiled=True)
+        # local axis-1/2 transforms on the slab (square matrices)
+        re, im = pme_mod._axis_dft(slab, None, *pencil["fwd1"], 1)
+        re, im = pme_mod._axis_dft(re, im, *pencil["fwd2"], 2)
+        # transpose: axis-0 slabs -> axis-1 pencils
+        re = jnp.pad(re, ((0, 0), (0, K2p - K2), (0, 0)))
+        im = jnp.pad(im, ((0, 0), (0, K2p - K2), (0, 0)))
+        re = jax.lax.all_to_all(re, SPATIAL_AXIS, split_axis=1,
+                                concat_axis=0, tiled=True)
+        im = jax.lax.all_to_all(im, SPATIAL_AXIS, split_axis=1,
+                                concat_axis=0, tiled=True)
+        # axis-0 transform (padded input columns) -> (K1, S2, K3)
+        q_re, q_im = pme_mod._axis_dft(re, im, *pencil["fwd0"], 0)
+        # sharded solve: this device's y-pencil of the influence function
         G, scale = pme_mod._influence_scaled(box, influence, beta,
                                              x_blk.dtype)
-        energy = scale * jnp.sum(G * (q_re * q_re + q_im * q_im))
-        rr, ii = G * q_re, -(G * q_im)
-        for ax in range(3):
-            rr, ii = pme_mod._axis_dft(rr, ii, dft_mats[ax][0],
-                                       dft_mats[ax][1], ax)
-        phi = 2.0 * scale * rr
+        G_pad = jnp.pad(G, ((0, 0), (0, K2p - K2), (0, 0)))
+        G_sh = jax.lax.dynamic_slice(G_pad, (0, sid * S2, 0), (K1, S2, K3))
+        energy = jax.lax.psum(
+            scale * jnp.sum(G_sh * (q_re * q_re + q_im * q_im)),
+            SPATIAL_AXIS)
+        rr, ii = G_sh * q_re, -(G_sh * q_im)
+        # inverse: axis-0 back to the padded slab axis, transpose back,
+        # then the axis-1 (padded) and axis-2 inverses on the slab
+        rr, ii = pme_mod._axis_dft(rr, ii, *pencil["inv0"], 0)
+        rr = jax.lax.all_to_all(rr, SPATIAL_AXIS, split_axis=0,
+                                concat_axis=1, tiled=True)
+        ii = jax.lax.all_to_all(ii, SPATIAL_AXIS, split_axis=0,
+                                concat_axis=1, tiled=True)
+        rr, ii = pme_mod._axis_dft(rr, ii, *pencil["inv1"], 1)
+        rr, _ = pme_mod._axis_dft(rr, ii, *pencil["fwd2"], 2)
+        phi_slab = 2.0 * scale * rr                    # (S1, K2, K3)
+        phi = jax.lax.all_gather(phi_slab, SPATIAL_AXIS, axis=0,
+                                 tiled=True)[:K1]
         f_blk, dEdq_blk = pme_mod.phi_gather(x_blk, box, q_blk, phi,
                                              grid_shape, order)
         return energy, jnp.concatenate([f_blk, dEdq_blk[:, None]], axis=1)
