@@ -174,16 +174,22 @@ def cmd_mdrun(args):
         return _do_nm(args, system, params, state)
 
     mesh = None
-    n_dd = getattr(args, "dd", 0) or 0
+    dd_grid = None
+    dd_spec = str(getattr(args, "dd", "0") or "0").lower()
+    # "-dd 8" = 1-D slab ring; "-dd 4x2" / "-dd 2x2x2" = N-D grid with
+    # per-axis ppermute halo sweeps (reference: mdrun -dd nx ny nz,
+    # domdec_setup.cpp rank grids)
+    dims = [int(v) for v in dd_spec.split("x") if v]
+    n_dd = int(np.prod(dims)) if dims else 0
     if n_dd > 1:
-        # spatial domain decomposition over n_dd devices (reference:
-        # mdrun -dd / domdec; here a 1-D slab mesh over the jax devices)
         from .parallel.mesh import make_mesh
         if len(jax.devices()) < n_dd:
-            raise SystemExit(f"-dd {n_dd}: only {len(jax.devices())} "
+            raise SystemExit(f"-dd {dd_spec}: only {len(jax.devices())} "
                              "devices visible")
         mesh = make_mesh(n_ens=1, n_spatial=n_dd,
                          devices=jax.devices()[:n_dd])
+        if len(dims) > 1:
+            dd_grid = tuple(dims)
         use_pallas = False
     if getattr(args, "tunepme", False) and mesh is None:
         from .md.pme_tuning import tune_pme
@@ -195,7 +201,8 @@ def cmd_mdrun(args):
                   f"{tuned.params.pme_grid}")
         params = tuned.params
     runner = MdRunner(system, params,
-                      RunnerConfig(use_pallas=use_pallas, mesh=mesh),
+                      RunnerConfig(use_pallas=use_pallas, mesh=mesh,
+                                   dd_grid=dd_grid),
                       all_lambda=lam_arr)
     traj_path = f"{args.deffnm}.trr"
     xtc_path = f"{args.deffnm}.xtc"
@@ -871,10 +878,11 @@ def main(argv=None):
     m.add_argument("-maxh", type=float, default=0.0,
                    help="stop cleanly (checkpoint + outputs) after "
                         "0.99*maxh hours (reference: mdrun -maxh)")
-    m.add_argument("-dd", type=int, default=0,
-                   help="spatial domain decomposition over N devices "
-                        "(1-D slab mesh + ppermute halo; reference: "
-                        "mdrun -dd)")
+    m.add_argument("-dd", type=str, default="0",
+                   help="spatial domain decomposition: N (1-D slab ring)"
+                        " or NxM / NxMxK (N-D grid with per-axis "
+                        "ppermute halo sweeps; reference: mdrun -dd "
+                        "nx ny nz, domdec_setup.cpp)")
     m.add_argument("-fep", choices=["auto", "cpu", "tpu"], default="auto",
                    help="FEP kernel target (parity with the reference's "
                    "mdrun -fep flag)")

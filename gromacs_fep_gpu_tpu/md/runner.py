@@ -68,6 +68,11 @@ class RunnerConfig:
     # XLA cluster kernel (use_pallas off).
     mesh: Optional[object] = None
     dd_block: int = 8           # clusters per kernel block on the DD path
+    # N-D decomposition grid (P0, P1, P2) with prod == mesh spatial size;
+    # None = 1-D slab ring.  2-D/3-D grids use the hierarchical
+    # equal-count sort (ops/pairlist.py sort_atoms_dd) and per-axis
+    # ppermute halo sweeps (reference: domdec_setup.cpp rank grids)
+    dd_grid: Optional[Tuple[int, ...]] = None
 
 
 class MdRunner:
@@ -88,11 +93,25 @@ class MdRunner:
         self.has_fep = self.pert_idx.size > 0
 
         self._dd_mesh = None
+        self._dd_sort = None
         if self.config.mesh is not None and not self.config.use_dense:
             from ..parallel.mesh import SPATIAL_AXIS
             if self.config.mesh.shape.get(SPATIAL_AXIS, 1) > 1:
                 self._dd_mesh = self.config.mesh
                 self.config.use_pallas = False   # DD path = XLA kernel
+                if self.config.dd_grid is not None:
+                    from ..ops.pairlist import dd_geometry
+                    grid = tuple(self.config.dd_grid) + (1,) * (
+                        3 - len(self.config.dd_grid))
+                    nsh = self.config.mesh.shape[SPATIAL_AXIS]
+                    if int(np.prod(grid)) != nsh:
+                        raise ValueError(
+                            f"dd_grid {grid} does not cover the "
+                            f"{nsh}-device spatial mesh axis")
+                    self.config.dd_grid = grid
+                    ps, _ = dd_geometry(system.n_atoms, grid,
+                                        self.config.dd_block)
+                    self._dd_sort = (grid, ps)
 
         self.recip_fn = None
         self.recip_force_fn = None
@@ -129,7 +148,8 @@ class MdRunner:
                 from ..parallel.spatial import make_dd_nb_override
                 nb_override = make_dd_nb_override(
                     system, params, self._dd_mesh, get_beta(params),
-                    block=self.config.dd_block)
+                    block=self.config.dd_block,
+                    grid=self.config.dd_grid)
             self._force_fn = make_cluster_force_fn(
                 system, params, self.recip_fn, has_fep=self.has_fep,
                 block=self.config.kernel_block,
@@ -217,9 +237,14 @@ class MdRunner:
                             and cfg.pallas_mode in ("super", "v2u")
                             else None),
                 super_block=(4 if v2u else 8),
-                # DD: slab-sort along x so contiguous cluster ranges are
-                # spatial slabs the ring halo can own (domdec cell order)
-                slab_axis=(0 if self._dd_mesh is not None else None),
+                # DD: slab-sort along x (1-D ring) or the hierarchical
+                # equal-count sort (N-D grid) so contiguous cluster
+                # ranges are the spatial cells the halo owns (domdec
+                # cell order, domdec_setup.cpp)
+                slab_axis=(0 if (self._dd_mesh is not None
+                                 and self.config.dd_grid is None)
+                           else None),
+                dd_sort=self._dd_sort,
                 # v2 (and v2u when opted in) folds build-time periodic
                 # shifts into the gathered j coordinates (kernel skips
                 # per-pair min-image folds)
@@ -256,7 +281,9 @@ class MdRunner:
                 from ..parallel.mesh import SPATIAL_AXIS
                 from ..parallel.spatial import halo_violations
                 halo_bad = halo_violations(
-                    nlist, self._dd_mesh.shape[SPATIAL_AXIS],
+                    nlist,
+                    self.config.dd_grid
+                    or self._dd_mesh.shape[SPATIAL_AXIS],
                     self.config.dd_block).astype(jnp.int32)
             flags = jnp.stack([n_ovf, fep_ovf, n_max,
                                s_ovf, s_max, excl_bad, shift_bad,

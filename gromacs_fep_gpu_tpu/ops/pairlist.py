@@ -171,6 +171,82 @@ def sort_atoms_by_cell(x, box, cell_size: float,
     return perm
 
 
+def dd_geometry(n_atoms: int, grid, block: int):
+    """(ps, c_pad): clusters per device for an N-D DD grid, aligned to
+    the kernel block, and the padded total cluster count.  Shared by the
+    hierarchical sort below and the halo machinery
+    (parallel/spatial.py) so device ownership boundaries agree."""
+    import numpy as _np
+    C = (n_atoms + CLUSTER - 1) // CLUSTER
+    nsh = int(_np.prod(grid))
+    ps = -(-C // nsh)
+    ps = -(-ps // block) * block
+    return ps, ps * nsh
+
+
+def sort_atoms_dd(x, box, cell_size: float, grid, ps: int):
+    """Hierarchical equal-count sort for an N-D domain-decomposition
+    grid (reference: domdec_setup.cpp per-dimension cell grids +
+    redistribute.cpp atom migration — here migration IS the re-sort at
+    every NS rebuild).
+
+    grid = (P0, P1, P2) devices per axis (row-major device ids); ps =
+    clusters per device (dd_geometry).  Axis 0 is split into P0
+    equal-atom-count groups by rank, each group is re-ranked along axis
+    1 and split into P1 chunks, and so on — so device d's clusters
+    [d*ps, (d+1)*ps) form a spatially compact box with exactly equal
+    load (static load balance; the reference's DLB adjusts cell sizes
+    for the same goal, dlb.cpp)."""
+    n = x.shape[0]
+    xw = pbc_mod.wrap_into_box(x, box)
+    diag = jnp.diag(box)
+    raw = jnp.clip(diag / cell_size, 1.0, 255.0)
+    ncell = jnp.exp2(jnp.ceil(jnp.log2(raw))).astype(jnp.int32)
+    frac = xw @ pbc_mod.inv3(box)
+    ic = jnp.clip((frac * ncell).astype(jnp.int32), 0, ncell - 1)
+
+    P0, P1, P2 = grid
+    if P0 * P1 * P2 > 127:
+        raise ValueError("sort_atoms_dd int32 key packing supports up "
+                         "to 127 devices per spatial grid")
+    # atoms per group at each level (cluster-aligned by construction)
+    a0 = ps * P1 * P2 * CLUSTER
+    a1 = ps * P2 * CLUSTER
+
+    def ranks(key):
+        order = jnp.argsort(key)
+        r = jnp.zeros((n,), jnp.int32).at[order].set(
+            jnp.arange(n, dtype=jnp.int32))
+        return r
+
+    # int32 key packing: cells are 8-bit (ncell clipped to 255) and the
+    # group/device prefixes get the high bits; everything stays < 2^31
+    i0, i1, i2 = (ic[:, d].astype(jnp.int32) for d in range(3))
+    # level 0: rank along axis 0 (cell, then in-cell morton tiebreak)
+    r0 = ranks((i0 << 16) | _morton2(i1, i2))
+    g0 = jnp.minimum(r0 // a0, P0 - 1)
+    # level 1: within the axis-0 group, rank along axis 1
+    r1 = ranks((g0 << 16) | (i1 << 8) | i2)
+    g1 = jnp.minimum((r1 - g0 * a0) // a1, P1 - 1)
+    # level 2: within the (axis-0, axis-1) chunk, rank along axis 2
+    a2 = ps * CLUSTER
+    g01 = g0 * P1 + g1
+    r2 = ranks((g01 << 24) | (i2 << 16) | _morton2(i0, i1))
+    g2 = jnp.minimum((r2 - g01 * a1) // a2, P2 - 1)
+    dev = g01 * P2 + g2
+    # final order: device-major, then spatial cells for cluster
+    # compactness within each device box
+    key3 = (dev << 24) | (i2 << 16) | (i1 << 8) | i0
+    return jnp.argsort(key3).astype(jnp.int32)
+
+
+def _morton2(a, b):
+    m2 = jnp.zeros_like(a)
+    for bit in range(7, -1, -1):
+        m2 = (m2 << 2) | (((a >> bit) & 1) << 1) | ((b >> bit) & 1)
+    return m2
+
+
 @partial(jax.jit, static_argnames=("nnbr", "block"))
 def _cluster_neighbors(bb_lo_i, bb_hi_i, bb_lo, bb_hi, box, rlist2, nnbr: int,
                        block: int = 256):
@@ -248,11 +324,15 @@ def build_cluster_pairlist(x, box, system: System, rlist: float,
                            super_nnbr: Optional[int] = None,
                            slab_axis: Optional[int] = None,
                            compute_shifts: bool = False,
-                           super_block: int = 8) -> ClusterPairlist:
+                           super_block: int = 8,
+                           dd_sort=None) -> ClusterPairlist:
     """Rebuild the cluster pair list (NS step analogue).
 
     super_block: i-clusters per block for the union (super) list — 8 for
-    the v1 supercluster kernel, 4 for the v2u union-stream kernel."""
+    the v1 supercluster kernel, 4 for the v2u union-stream kernel.
+    dd_sort: ((P0, P1, P2), ps) — N-D DD hierarchical equal-count sort
+    (sort_atoms_dd) instead of the Hilbert/slab order; device d owns
+    clusters [d*ps, (d+1)*ps)."""
     n = system.n_atoms
     C = (n + CLUSTER - 1) // CLUSTER
     n_pad = C * CLUSTER
@@ -264,7 +344,10 @@ def build_cluster_pairlist(x, box, system: System, rlist: float,
         vol = float(_np.prod(_np.diagonal(_np.asarray(box))))
         cell_size = max((CLUSTER * vol / max(n, 1)) ** (1.0 / 3.0), 0.15)
 
-    perm = sort_atoms_by_cell(x, box, cell_size, slab_axis=slab_axis)
+    if dd_sort is not None:
+        perm = sort_atoms_dd(x, box, cell_size, dd_sort[0], dd_sort[1])
+    else:
+        perm = sort_atoms_by_cell(x, box, cell_size, slab_axis=slab_axis)
     perm = jnp.concatenate([perm, jnp.full((n_pad - n,), n, jnp.int32)])
     inv_perm = jnp.zeros((n,), jnp.int32).at[perm[:n]].set(
         jnp.arange(n, dtype=jnp.int32))

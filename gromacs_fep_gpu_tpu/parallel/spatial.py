@@ -69,34 +69,66 @@ def make_spatial_cluster_force(system: System, params: MdParams, mesh: Mesh,
 
 
 # ---------------------------------------------------------------------------
-# Real halo exchange: positions sharded by cluster slab, one ppermute to
-# each ring neighbour per step (dd_move_x analogue, domdec.cpp:263).  With
+# Real halo exchange: positions sharded over an N-D device grid, one
+# ppermute sweep per decomposed axis per step (dd_move_x analogue,
+# domdec.cpp:263; the N-D cell grid mirrors domdec_setup.cpp).  With
 # the full (symmetric) pair list every device accumulates only its own
 # atoms' forces, so no reverse force halo (dd_move_f) is needed.
+# Atom "migration" between devices happens at every NS rebuild via the
+# hierarchical equal-count re-sort (ops/pairlist.py sort_atoms_dd —
+# the redistribute.cpp analogue).
 # ---------------------------------------------------------------------------
 
-def halo_shard_geometry(nlist: ClusterPairlist, nsh: int, block: int):
+def _as_grid(grid_or_nsh):
+    """Accept a device count (1-D ring) or an explicit (P0, P1, P2)."""
+    if isinstance(grid_or_nsh, int):
+        return (grid_or_nsh, 1, 1)
+    g = tuple(int(p) for p in grid_or_nsh)
+    return g + (1,) * (3 - len(g))
+
+
+def _grid_nsh(grid):
+    import numpy as _np
+    return int(_np.prod(grid))
+
+
+def _axis_offsets(grid):
+    """Per-axis halo offsets: {-1, 0, +1} on decomposed axes, {0} on
+    trivial ones (block factor 3 vs 1 in the cat layout)."""
+    return [([-1, 0, 1] if p > 1 else [0]) for p in grid]
+
+
+def halo_shard_geometry(nlist: ClusterPairlist, grid_or_nsh, block: int):
     """(per_shard, c_pad): clusters per shard (multiple of `block`) and the
-    padded cluster count c_pad = per_shard * nsh."""
+    padded cluster count c_pad = per_shard * prod(grid)."""
+    nsh = _grid_nsh(_as_grid(grid_or_nsh))
     C = nlist.n_clusters
     per_shard = -(-C // nsh)
     per_shard = -(-per_shard // block) * block
     return per_shard, per_shard * nsh
 
 
-def halo_violations(nlist: ClusterPairlist, nsh: int, block: int):
+def halo_violations(nlist: ClusterPairlist, grid_or_nsh, block: int):
     """Number of listed pairs whose j-cluster lies outside the i-cluster's
-    ring neighbourhood {left, self, right} — nonzero means the slab is
-    thinner than the list cutoff and the halo path would MISS interactions
-    (the runner must fall back to replicated positions).  The reference
+    halo neighbourhood (offset beyond +-1 on any decomposed axis) —
+    nonzero means a DD cell is thinner than the list cutoff and the halo
+    path would MISS interactions (the runner must abort).  The reference
     errors out the same way when a DD cell shrinks below the cutoff
     (domdec.cpp check_grid_jump)."""
-    ps, c_pad = halo_shard_geometry(nlist, nsh, block)
+    grid = _as_grid(grid_or_nsh)
+    P0, P1, P2 = grid
+    ps, c_pad = halo_shard_geometry(nlist, grid, block)
     ci = jnp.arange(nlist.nbr.shape[0], dtype=jnp.int32) // ps
-    sj = nlist.nbr // ps
-    ds = jnp.mod(sj - ci[:, None] + 1, nsh)
-    bad = (ds >= 3) & (nlist.nbr_mask > 0)
-    return jnp.sum(bad.astype(jnp.int32))
+    oj = nlist.nbr // ps
+    bad = jnp.zeros(nlist.nbr.shape, bool)
+    for axis, P in enumerate(grid):
+        if P <= 1:
+            continue
+        div = {0: P1 * P2, 1: P2, 2: 1}[axis]
+        gi = (ci[:, None] // div) % P
+        gj = (oj // div) % P
+        bad |= jnp.mod(gj - gi + 1, P) >= 3
+    return jnp.sum((bad & (nlist.nbr_mask > 0)).astype(jnp.int32))
 
 
 def sort_state_arrays(x, nlist: ClusterPairlist, c_pad: int):
@@ -114,28 +146,43 @@ def sort_state_arrays(x, nlist: ClusterPairlist, c_pad: int):
 
 
 def make_halo_cluster_force(system: System, params: MdParams, mesh: Mesh,
-                            beta, nlist: ClusterPairlist, block: int = 8):
+                            beta, nlist: ClusterPairlist, block: int = 8,
+                            grid=None):
     """Returns halo_force(xs_sorted, box) -> (f_sorted, e_coul, e_lj).
 
     xs_sorted: (c_pad*CLUSTER, 3) cluster-sorted padded positions (from
     sort_state_arrays), sharded P('spatial') over rows.  Each device owns
-    a contiguous slab of clusters and receives only its ring neighbours'
-    blocks via jax.lax.ppermute — communication is 2 blocks/step over ICI
-    instead of a full allgather.  Requires halo_violations() == 0 for
-    this nlist/mesh combination.
+    a contiguous block of clusters forming an N-D cell (grid = (P0, P1,
+    P2) devices per axis; 1-D ring when grid is None) and receives only
+    its halo neighbours' blocks via jax.lax.ppermute sweeps — one +-1
+    exchange per decomposed axis, each sweep forwarding the strip
+    assembled by the previous axis (the 8th-shell dimension-sweep trick,
+    domdec.cpp dd_move_x / dd_sandwich comm order).  Communication is
+    2 strips per decomposed axis per step over ICI instead of a full
+    allgather.  Requires halo_violations() == 0 for this nlist/grid.
 
     Static per-rebuild data (charges, types, exclusions, neighbour ids)
     is replicated; only positions move per step."""
     import numpy as _np
     from ..ops.cluster_nb import lj_table_mode
     lj_mode = lj_table_mode(_np.asarray(system.nbfp))
-    nsh = mesh.shape[SPATIAL_AXIS]
-    ps, c_pad = halo_shard_geometry(nlist, nsh, block)
+    grid = _as_grid(grid if grid is not None
+                    else mesh.shape[SPATIAL_AXIS])
+    P0, P1, P2 = grid
+    nsh = _grid_nsh(grid)
+    assert mesh.shape[SPATIAL_AXIS] == nsh
+    ps, c_pad = halo_shard_geometry(nlist, grid, block)
     C = nlist.n_clusters
     n_pad = nlist.n_pad
     n = nlist.inv_perm.shape[0]
     extra = c_pad * CLUSTER - n_pad
     nnbr = nlist.nbr.shape[1]
+    offs = _axis_offsets(grid)
+    b0, b1, b2 = (len(o) for o in offs)
+    B = b0 * b1 * b2                   # cat-space blocks
+    own_blk = ((1 if P0 > 1 else 0) * b1 + (1 if P1 > 1 else 0)) * b2 \
+        + (1 if P2 > 1 else 0)
+    dummy_cl = B * ps                  # cat-space dummy cluster index
 
     zpad = jnp.zeros(extra, jnp.float32)
     qs_pad = jnp.concatenate([nlist.q_a, zpad])
@@ -151,16 +198,37 @@ def make_halo_cluster_force(system: System, params: MdParams, mesh: Mesh,
                     constant_values=c_pad)
     nbrm_p = jnp.pad(nlist.nbr_mask, ((0, c_pad - C), (0, 0)))
 
-    ring_fwd = [(i, (i + 1) % nsh) for i in range(nsh)]
-    ring_bwd = [(i, (i - 1) % nsh) for i in range(nsh)]
-    dummy_cl = 3 * ps          # cat-space dummy cluster index
+    def _compose(g):
+        return (g[0] * P1 + g[1]) * P2 + g[2]
 
-    def cat_remap(ids_cl, sid):
-        """Global cluster ids -> [left|own|right|dummy] cat-space ids."""
-        sj = ids_cl // ps
-        ds = jnp.mod(sj - sid + 1, nsh)
-        ok = (ds < 3) & (ids_cl < c_pad)
-        return jnp.where(ok, ds * ps + jnp.mod(ids_cl, ps), dummy_cl)
+    def _decompose_py(s):
+        return (s // (P1 * P2), (s // P2) % P1, s % P2)
+
+    def _shift_perm(axis, d):
+        """Device s sends to the device at +d along `axis` (so every
+        device receives its -d neighbour's strip)."""
+        pairs = []
+        for s in range(nsh):
+            g = list(_decompose_py(s))
+            g[axis] = (g[axis] + d) % grid[axis]
+            pairs.append((s, _compose(g)))
+        return pairs
+
+    def cat_remap(ids_cl, g_dev):
+        """Global cluster ids -> cat-space ids for device g_dev =
+        (g0, g1, g2) traced scalars; out-of-halo ids -> dummy."""
+        owner = ids_cl // ps
+        ok = ids_cl < c_pad
+        blk = jnp.zeros_like(ids_cl)
+        for axis, P in enumerate(grid):
+            div = {0: P1 * P2, 1: P2, 2: 1}[axis]
+            bfac = {0: b1 * b2, 1: b2, 2: 1}[axis]
+            if P <= 1:
+                continue
+            ds = jnp.mod((owner // div) % P - g_dev[axis] + 1, P)
+            ok &= ds < 3
+            blk = blk + jnp.minimum(ds, 2) * bfac
+        return jnp.where(ok, blk * ps + jnp.mod(ids_cl, ps), dummy_cl)
 
     @partial(shard_map, mesh=mesh,
              in_specs=(P(SPATIAL_AXIS), P()),
@@ -168,58 +236,79 @@ def make_halo_cluster_force(system: System, params: MdParams, mesh: Mesh,
              check_vma=False)
     def halo_force(xs, box):
         sid = jax.lax.axis_index(SPATIAL_AXIS)
-        left = jax.lax.ppermute(xs, SPATIAL_AXIS, ring_fwd)
-        right = jax.lax.ppermute(xs, SPATIAL_AXIS, ring_bwd)
+        g_dev = (sid // (P1 * P2), (sid // P2) % P1, sid % P2)
+
+        # dimension-sweep halo: axes processed 2 -> 0 so the cat layout
+        # is row-major over (slot0, slot1, slot2)
+        strip = xs
+        for axis in (2, 1, 0):
+            if grid[axis] <= 1:
+                continue
+            minus = jax.lax.ppermute(strip, SPATIAL_AXIS,
+                                     _shift_perm(axis, +1))
+            plus = jax.lax.ppermute(strip, SPATIAL_AXIS,
+                                    _shift_perm(axis, -1))
+            strip = jnp.concatenate([minus, strip, plus])
         dummy = (3e4 + jnp.arange(CLUSTER, dtype=xs.dtype)[:, None]
                  * jnp.ones(3, xs.dtype))
-        xcat = jnp.concatenate([left, xs, right, dummy])
+        xcat = jnp.concatenate([strip, dummy])
 
         def cat_rows(arr, fill):
-            """Static per-atom rows in cat order via the ring-contiguity
-            of [sid-1, sid, sid+1] slabs in the global sorted layout."""
-            arr2 = jnp.concatenate([arr, arr, arr])  # covers nsh in {1, 2}
-            start = jnp.mod(sid - 1, nsh) * ps * CLUSTER
-            sl = jax.lax.dynamic_slice(
-                arr2, (start,) + (0,) * (arr.ndim - 1),
-                (3 * ps * CLUSTER,) + arr.shape[1:])
+            """Static per-atom rows assembled in cat order: one slice of
+            the global sorted layout per halo block."""
+            parts = []
+            for o0 in offs[0]:
+                for o1 in offs[1]:
+                    for o2 in offs[2]:
+                        src = (jnp.mod(g_dev[0] + o0, P0) * P1
+                               + jnp.mod(g_dev[1] + o1, P1)) * P2 \
+                            + jnp.mod(g_dev[2] + o2, P2)
+                        parts.append(jax.lax.dynamic_slice(
+                            arr, (src * ps * CLUSTER,)
+                            + (0,) * (arr.ndim - 1),
+                            (ps * CLUSTER,) + arr.shape[1:]))
             tail = jnp.full((CLUSTER,) + arr.shape[1:], fill, arr.dtype)
-            return jnp.concatenate([sl, tail])
+            return jnp.concatenate(parts + [tail])
 
         q_cat = cat_rows(qs_pad, 0.0)
         t_cat = cat_rows(ts_pad, 0)
         p_cat = cat_rows(pert_pad, 0.0)
         v_cat = cat_rows(valid_pad, 0.0)
 
-        # own slab's neighbour list and exclusions, remapped to cat space
+        # own block's neighbour list and exclusions, remapped to cat space
         nbr_own = jax.lax.dynamic_slice(nbr_p, (sid * ps, 0), (ps, nnbr))
         nbrm_own = jax.lax.dynamic_slice(nbrm_p, (sid * ps, 0), (ps, nnbr))
-        nbr_cat_own = cat_remap(nbr_own, sid)
+        nbr_cat_own = cat_remap(nbr_own, g_dev)
         excl_own = jax.lax.dynamic_slice(
             excl_pad, (sid * ps * CLUSTER, 0),
             (ps * CLUSTER, excl_pad.shape[1]))
         e_ok = excl_own >= 0
-        e_cl = cat_remap(jnp.where(e_ok, excl_own, 0) // CLUSTER, sid)
+        e_cl = cat_remap(jnp.where(e_ok, excl_own, 0) // CLUSTER, g_dev)
         excl_cat_own = jnp.where(
             e_ok & (e_cl != dummy_cl),
             e_cl * CLUSTER + jnp.mod(excl_own, CLUSTER), -1)
 
-        # place own rows in the middle of a cat-sized frame for the core's
-        # block indexing (i-blocks run over [ps, 2 ps))
-        filler_nbr = jnp.full((ps, nnbr), dummy_cl, jnp.int32)
-        nbr_cat = jnp.concatenate([filler_nbr, nbr_cat_own, filler_nbr])
-        zeros_m = jnp.zeros((ps, nnbr), nbrm_own.dtype)
-        nbrm_cat = jnp.concatenate([zeros_m, nbrm_own, zeros_m])
-        filler_e = jnp.full((ps * CLUSTER, excl_pad.shape[1]), -1, jnp.int32)
+        # place own rows at the own-block position of a cat-sized frame
+        # for the core's block indexing
+        filler_pre = jnp.full((own_blk * ps, nnbr), dummy_cl, jnp.int32)
+        filler_post = jnp.full(((B - own_blk - 1) * ps, nnbr), dummy_cl,
+                               jnp.int32)
+        nbr_cat = jnp.concatenate([filler_pre, nbr_cat_own, filler_post])
+        nbrm_cat = jnp.concatenate(
+            [jnp.zeros((own_blk * ps, nnbr), nbrm_own.dtype), nbrm_own,
+             jnp.zeros(((B - own_blk - 1) * ps, nnbr), nbrm_own.dtype)])
+        ne = excl_pad.shape[1]
         excl_cat = jnp.concatenate(
-            [filler_e, excl_cat_own,
-             jnp.full((ps * CLUSTER + CLUSTER, excl_pad.shape[1]), -1,
-                      jnp.int32)])
+            [jnp.full((own_blk * ps * CLUSTER, ne), -1, jnp.int32),
+             excl_cat_own,
+             jnp.full(((B - own_blk - 1) * ps * CLUSTER + CLUSTER, ne),
+                      -1, jnp.int32)])
 
         f_rows, e_c, e_lj = cluster_nb_kernel_core(
             xcat, q_cat, t_cat, p_cat, v_cat, excl_cat,
             nbr_cat, nbrm_cat, box, system.nbfp, params, beta,
-            block=block, block_offset=ps // block, n_blocks=ps // block,
-            lj_mode=lj_mode)
+            block=block, block_offset=own_blk * ps // block,
+            n_blocks=ps // block, lj_mode=lj_mode)
         e_c = jax.lax.psum(e_c, SPATIAL_AXIS)
         e_lj = jax.lax.psum(e_lj, SPATIAL_AXIS)
         return f_rows, e_c, e_lj
@@ -228,21 +317,23 @@ def make_halo_cluster_force(system: System, params: MdParams, mesh: Mesh,
 
 
 def make_dd_nb_override(system: System, params: MdParams, mesh: Mesh,
-                        beta, block: int = 8):
+                        beta, block: int = 8, grid=None):
     """nb_kernel_override for make_cluster_force_fn: routes the plain NB
-    cluster kernel through the ppermute ring halo (each device owns a
-    contiguous slab of clusters; positions move to ring neighbours only).
-    Requires the pair list built with slab_axis=0 and
-    halo_violations(nlist, nsh, block) == 0 — the DD runner checks that
+    cluster kernel through the ppermute halo (each device owns a
+    contiguous cluster block forming an N-D cell; positions move to halo
+    neighbours only).  Requires the pair list built with the matching
+    sort (slab_axis=0 for 1-D, sort_atoms_dd for N-D) and
+    halo_violations(nlist, grid, block) == 0 — the DD runner checks that
     at every rebuild and fails hard (reference: domdec.cpp
     check_grid_jump / dd cell-size-vs-cutoff error)."""
-    nsh = mesh.shape[SPATIAL_AXIS]
+    grid = _as_grid(grid if grid is not None
+                    else mesh.shape[SPATIAL_AXIS])
 
     def nb(x, box, nlist: ClusterPairlist):
-        _, c_pad = halo_shard_geometry(nlist, nsh, block)
+        _, c_pad = halo_shard_geometry(nlist, grid, block)
         xs = sort_state_arrays(x, nlist, c_pad)
         halo = make_halo_cluster_force(system, params, mesh, beta, nlist,
-                                       block=block)
+                                       block=block, grid=grid)
         f_rows, e_c, e_lj = halo(xs, box)
         return f_rows[: nlist.n_pad], e_c, e_lj
 

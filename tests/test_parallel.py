@@ -188,6 +188,45 @@ def test_dd_runner_matches_single_device():
                                atol=5e-3)
 
 
+def test_dd_runner_nd_grids_match_single_device():
+    """2-D (4x2) and 3-D (2x2x2) decompositions: hierarchical
+    equal-count sort + per-axis ppermute halo sweeps must reproduce the
+    single-device trajectory (reference: domdec_setup.cpp rank grids,
+    domain_decomposition.cpp acceptance)."""
+    from gromacs_fep_gpu_tpu.core.types import TcouplType
+    from gromacs_fep_gpu_tpu.md.runner import MdRunner, RunnerConfig
+    from gromacs_fep_gpu_tpu.md.runner import concat_logs
+    from gromacs_fep_gpu_tpu.ops.pme import pme_grid_size
+
+    assert len(jax.devices()) == 8
+    system, state = water_box(8, spacing=0.4, seed=31, temperature=300.0)
+    box_l = 8 * 0.4
+    params = MdParams(
+        dt=0.001, nstlist=20, coulomb=CoulombType.PME,
+        rcoulomb=0.35, rvdw=0.35, rlist=0.4,
+        pme_grid=pme_grid_size((box_l,) * 3, 0.12),
+        tcoupl=TcouplType.V_RESCALE, ref_t=300.0, nsttcouple=10,
+        nstcomm=0)
+
+    r1 = MdRunner(system, params, RunnerConfig(nnbr=96))
+    s1, logs1 = r1.run(state, 40)
+    l1 = concat_logs(logs1)
+    e1 = np.asarray(l1.epot)
+
+    for grid in ((4, 2, 1), (2, 2, 2)):
+        mesh = make_mesh(n_ens=1, n_spatial=8)
+        r2 = MdRunner(system, params,
+                      RunnerConfig(nnbr=96, mesh=mesh, dd_block=2,
+                                   dd_grid=grid))
+        s2, logs2 = r2.run(state, 40)
+        l2 = concat_logs(logs2)
+        e2 = np.asarray(l2.epot)
+        assert np.isfinite(e2).all(), grid
+        np.testing.assert_allclose(e2, e1, rtol=5e-4, err_msg=str(grid))
+        np.testing.assert_allclose(np.asarray(s2.x), np.asarray(s1.x),
+                                   atol=5e-3, err_msg=str(grid))
+
+
 def test_dd_runner_fails_hard_on_thin_slabs():
     """Cutoff larger than the slab must abort, not drop interactions."""
     from gromacs_fep_gpu_tpu.md.runner import MdRunner, RunnerConfig
