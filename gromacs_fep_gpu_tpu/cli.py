@@ -731,6 +731,24 @@ def cmd_ensemble(args):
         print(f"BAR skipped: {e}")
 
 
+def cmd_wham(args):
+    """Umbrella-sampling PMF via WHAM (reference: gmxana/gmx_wham.cpp)."""
+    from .analysis.wham import read_pullx, wham, write_pmf_xvg
+
+    if not (len(args.ix) == len(args.x0) == len(args.k)):
+        raise SystemExit("wham: -ix, -x0 and -k need one entry per window")
+    samples = [read_pullx(p, args.coord) for p in args.ix]
+    centers, pmf, _ = wham(samples, args.x0, args.k, temp=args.temp,
+                           n_bins=args.bins)
+    write_pmf_xvg(args.o, centers, pmf)
+    lo = np.nanargmin(pmf)
+    print(f"wham: {len(samples)} windows, "
+          f"{sum(len(s) for s in samples)} samples, {args.bins} bins")
+    print(f"PMF written to {args.o}; minimum at "
+          f"{centers[lo]:.3f} nm, max barrier "
+          f"{np.nanmax(pmf):.2f} kJ/mol")
+
+
 def cmd_bar(args):
     from .analysis.bar import bar_profile
     from .io.xvgio import read_xvg
@@ -905,6 +923,21 @@ def main(argv=None):
     b.add_argument("-temp", type=float, default=300.0)
     b.add_argument("-b", type=float, default=0.1, help="skip fraction")
     b.set_defaults(fn=cmd_bar)
+
+    wh = sub.add_parser("wham", help="umbrella PMF from pullx windows "
+                                     "(reference: gmx wham)")
+    wh.add_argument("-ix", nargs="+", required=True,
+                    help="pullx.xvg files, one per umbrella window")
+    wh.add_argument("-x0", nargs="+", type=float, required=True,
+                    help="umbrella centers (nm), one per window")
+    wh.add_argument("-k", nargs="+", type=float, required=True,
+                    help="spring constants (kJ/mol/nm^2), one per window")
+    wh.add_argument("-temp", type=float, default=300.0)
+    wh.add_argument("-bins", type=int, default=200)
+    wh.add_argument("-coord", type=int, default=1,
+                    help="pullx column of the reaction coordinate")
+    wh.add_argument("-o", default="pmf.xvg")
+    wh.set_defaults(fn=cmd_wham)
 
     c = sub.add_parser("check", help="inspect a run file")
     c.add_argument("-s", required=True)
