@@ -378,6 +378,11 @@ class MdParams:
     tau_t: float = 1.0
     nsttcouple: int = 10
     nhchainlength: int = 10   # Nose-Hoover chain links (md-vv only)
+    # simulated annealing: ("single"|"periodic", times_ps, temps_K)
+    # piecewise-linear ref_t(t) (reference: inputrec SimulatedAnnealing,
+    # mdlib/update.cpp update_annealing_target_temp)
+    annealing: Optional[Tuple[str, Tuple[float, ...],
+                              Tuple[float, ...]]] = None
 
     # pressure coupling
     pcoupl: PcouplType = PcouplType.NO

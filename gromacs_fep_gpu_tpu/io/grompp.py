@@ -16,6 +16,7 @@ from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
+from ..core.units import BOLTZ
 from ..core.types import (CoulombType, FepCoupling, MdParams, State, System,
                           make_state)
 from .groio import read_gro
@@ -162,6 +163,27 @@ def preprocess_arrays(mdp_text: str, top_text: str, names, resnames,
         params = params.replace(
             pme_grid=gromacs_pme_grid(box, params.fourier_spacing,
                                       params.pme_order))
+
+    if extras.get("gen_vel"):
+        # Maxwell-Boltzmann start velocities at gen-temp, COM-stopped and
+        # rescaled to the exact target temperature (reference:
+        # gmxpreprocess/grompp.cpp maxwell_speed/low_mspeed + stopcm_gr)
+        gseed = int(extras.get("gen_seed", -1))
+        if gseed < 0:
+            gseed = seed
+        rng = np.random.default_rng(gseed & 0x7FFFFFFF)
+        masses = np.asarray(system.mass_a, np.float64)
+        has_m = masses > 0
+        kT = BOLTZ * float(extras.get("gen_temp", 300.0))
+        sd = np.sqrt(kT / np.where(has_m, masses, 1.0))[:, None]
+        v = np.where(has_m[:, None],
+                     rng.normal(size=(system.n_atoms, 3)) * sd, 0.0)
+        v -= (masses[:, None] * v).sum(0) / masses.sum()
+        ndf = 3 * int(has_m.sum()) - 3
+        t_cur = (masses[:, None] * v * v).sum() / (ndf * BOLTZ)
+        v *= np.sqrt(float(extras.get("gen_temp", 300.0))
+                     / max(t_cur, 1e-12))
+        v = v.astype(np.float32)
 
     lam0 = initial_lambda_vector(params.fep, all_lambda)
     fep_state = max(params.fep.init_lambda_state, 0)

@@ -336,6 +336,22 @@ def mdp_to_params(text: str) -> Tuple[MdParams, Optional[np.ndarray]]:
     df = parse_densfit(kv)
     if df is not None:
         params = params.replace(densfit=df)
+    ann = kv.get("annealing", "no").split()[0].lower() \
+        if kv.get("annealing") else "no"
+    if ann in ("single", "periodic"):
+        # one tcoupl group (readir.cpp annealing arrays, group 0)
+        npts = int(kv.get("annealing-npoints", "0").split()[0])
+        at = tuple(float(v) for v in kv.get("annealing-time", "").split())
+        atemp = tuple(float(v)
+                      for v in kv.get("annealing-temp", "").split())
+        if npts and (len(at) != npts or len(atemp) != npts):
+            raise ValueError("annealing-time/-temp length != "
+                             "annealing-npoints")
+        if len(at) < 2:
+            raise ValueError("annealing needs >= 2 points")
+        params = params.replace(annealing=(ann, at, atemp))
+    elif ann not in ("no",):
+        raise ValueError(f"annealing = {ann}")
     dr = kv.get("disre", "no").lower()
     if dr not in ("no", "simple"):
         raise ValueError(f"disre = {dr} unsupported (no ensemble/"

@@ -372,6 +372,17 @@ def make_step_fn(system: System, params: MdParams, force_fn: Callable,
         elif temp_ladder is not None:
             ref_t_eff = jnp.asarray(temp_ladder,
                                     state.x.dtype)[state.fep_state]
+        elif params.annealing is not None:
+            # simulated annealing: piecewise-linear ref_t(t) (reference:
+            # mdlib/update.cpp update_annealing_target_temp; "single"
+            # clamps past the last point, "periodic" wraps)
+            ann_mode, ann_t, ann_temp = params.annealing
+            t_ps = state.step.astype(state.x.dtype) * dt
+            if ann_mode == "periodic":
+                t_ps = jnp.mod(t_ps, ann_t[-1])
+            ref_t_eff = jnp.interp(
+                t_ps, jnp.asarray(ann_t, state.x.dtype),
+                jnp.asarray(ann_temp, state.x.dtype))
 
         # --- thermostat scale (applied in the update) ---
         # Leapfrog uses the half-step-average T of the PREVIOUS step's
