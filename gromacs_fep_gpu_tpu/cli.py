@@ -731,6 +731,84 @@ def cmd_ensemble(args):
         print(f"BAR skipped: {e}")
 
 
+def cmd_trjconv(args):
+    """Trajectory conversion/filtering (reference: gmx trjconv,
+    gmxana/gmx_trjconv.cpp): trr/xtc in -> trr/xtc/gro out, with -b/-e
+    time window, -skip, and -pbc atom wrapping."""
+    from .io.trrio import read_trr_frame, scan_trr, write_trr_frame
+    from .io.xtcio import read_xtc_frame, scan_xtc, write_xtc_frame
+
+    src = args.f
+    if src.endswith(".trr"):
+        natoms, nframes = scan_trr(src)
+        read = lambda i: read_trr_frame(src, i, natoms)
+    elif src.endswith(".xtc"):
+        natoms, nframes = scan_xtc(src)
+        read = lambda i: read_xtc_frame(src, i, natoms)
+    else:
+        raise SystemExit(f"trjconv: unsupported input {src} "
+                         "(.trr/.xtc)")
+    out = args.o
+    if os.path.exists(out):
+        os.unlink(out)
+    names = resnames = None
+    if out.endswith(".gro"):
+        if args.s:
+            pp, data = _load_tpz(args.s)
+            names = [str(n) for n in data["names"]]
+            resnames = [str(r) for r in data["resnames"]]
+        else:
+            names = ["X"] * natoms
+            resnames = ["MOL"] * natoms
+
+    kept = 0
+    last_t = None
+    for i in range(nframes):
+        fr = read(i)
+        t = fr["time"]
+        if args.b is not None and t < args.b - 1e-9:
+            continue
+        if args.e is not None and t > args.e + 1e-9:
+            break
+        if args.skip > 1 and (i % args.skip) != 0:
+            continue
+        if args.dt and last_t is not None and t - last_t < args.dt - 1e-9:
+            continue
+        x = fr["x"]
+        if x is None:
+            continue
+        if args.pbc == "atom":
+            # wrap every atom into the primary cell (trjconv -pbc atom)
+            from .core.pbc import wrap_into_box
+            import jax.numpy as jnp
+            x = np.asarray(wrap_into_box(jnp.asarray(x),
+                                         jnp.asarray(fr["box"])))
+        if out.endswith(".trr"):
+            write_trr_frame(out, x, fr["box"], v=fr.get("v"),
+                            step=fr["step"], time=t,
+                            lam=fr.get("lam", 0.0))
+        elif out.endswith(".xtc"):
+            write_xtc_frame(out, x, fr["box"], step=fr["step"], time=t,
+                            precision=fr.get("precision", 1000.0))
+        elif out.endswith(".gro"):
+            # multi-frame gro = concatenated frames (trjconv convention)
+            from .io.groio import write_gro
+            import tempfile
+            with tempfile.NamedTemporaryFile("r", suffix=".gro",
+                                             delete=False) as tf:
+                tmpname = tf.name
+            write_gro(tmpname, f"frame t={t:g}", names, resnames, x,
+                      fr.get("v"), fr["box"])
+            with open(tmpname) as tf, open(out, "a" if kept else "w") as of:
+                of.write(tf.read())
+            os.unlink(tmpname)
+        else:
+            raise SystemExit(f"trjconv: unsupported output {out}")
+        kept += 1
+        last_t = t
+    print(f"trjconv: {kept}/{nframes} frames -> {out}")
+
+
 def cmd_wham(args):
     """Umbrella-sampling PMF via WHAM (reference: gmxana/gmx_wham.cpp)."""
     from .analysis.wham import read_pullx, wham, write_pmf_xvg
@@ -923,6 +1001,22 @@ def main(argv=None):
     b.add_argument("-temp", type=float, default=300.0)
     b.add_argument("-b", type=float, default=0.1, help="skip fraction")
     b.set_defaults(fn=cmd_bar)
+
+    tc = sub.add_parser("trjconv", help="convert/filter trajectories "
+                                        "(reference: gmx trjconv)")
+    tc.add_argument("-f", required=True, help="input .trr or .xtc")
+    tc.add_argument("-o", default="trajout.xtc",
+                    help="output .trr/.xtc/.gro")
+    tc.add_argument("-s", default=None,
+                    help="run file for atom names (gro output)")
+    tc.add_argument("-b", type=float, default=None, help="start time (ps)")
+    tc.add_argument("-e", type=float, default=None, help="end time (ps)")
+    tc.add_argument("-skip", type=int, default=1,
+                    help="keep every Nth frame")
+    tc.add_argument("-dt", type=float, default=0.0,
+                    help="minimum time between kept frames (ps)")
+    tc.add_argument("-pbc", choices=["none", "atom"], default="none")
+    tc.set_defaults(fn=cmd_trjconv)
 
     wh = sub.add_parser("wham", help="umbrella PMF from pullx windows "
                                      "(reference: gmx wham)")
