@@ -127,7 +127,45 @@ def cmd_mdrun(args):
     lam_arr = None
     if all_lambda is not None:
         lam_arr = jnp.asarray(all_lambda.T)   # (L, 7)
-    if args.cpi and os.path.exists(args.cpi):
+    from .io.cptio import is_gmx_cpt
+    if args.cpi and os.path.exists(args.cpi) and is_gmx_cpt(args.cpi):
+        # GROMACS-format checkpoint interop (fileio/checkpoint.cpp):
+        # restore the core MD state fields
+        from .io.cptio import read_gmx_cpt
+        cp = read_gmx_cpt(args.cpi)
+        if cp.natoms != system.n_atoms:
+            raise SystemExit(f"{args.cpi}: checkpoint has {cp.natoms} "
+                             f"atoms, topology {system.n_atoms}")
+        upd = dict(x=jnp.asarray(cp.state["x"], jnp.float32),
+                   box=jnp.asarray(cp.state["box"], jnp.float32),
+                   step=jnp.asarray(cp.step, jnp.int32))
+        if cp.get("v") is not None:
+            upd["v"] = jnp.asarray(cp.state["v"], jnp.float32)
+        if cp.get("lambda") is not None and cp.state["lambda"].size == 7:
+            upd["lam"] = jnp.asarray(cp.state["lambda"], jnp.float32)
+        if cp.get("fep_state") is not None:
+            upd["fep_state"] = jnp.asarray(int(cp.state["fep_state"][0]),
+                                           jnp.int32)
+        state = state.replace(**upd)
+        coup = {}
+        if cp.get("nosehoover_xi") is not None:
+            coup["xi"] = jnp.asarray(cp.state["nosehoover_xi"],
+                                     jnp.float32)
+            coup["vxi"] = jnp.asarray(
+                cp.state.get("nosehoover_vxi",
+                             np.zeros_like(cp.state["nosehoover_xi"])),
+                jnp.float32)
+        if cp.get("therm_integral") is not None:
+            coup["therm_integral"] = jnp.asarray(
+                float(cp.state["therm_integral"][0]), jnp.float32)
+        if cp.get("boxv") is not None:
+            coup["boxv"] = jnp.asarray(cp.state["boxv"], jnp.float32)
+        if coup:
+            state = state.replace(
+                coupling=state.coupling.replace(**coup))
+        print(f"restarted from GROMACS checkpoint {args.cpi} "
+              f"(written by {cp.version_string}, step {cp.step})")
+    elif args.cpi and os.path.exists(args.cpi):
         # the checkpoint restores by tree structure: give the template
         # the same dfhist shape the runner will use, else the saved
         # expanded-ensemble/AWH weight history would be dropped
@@ -373,6 +411,26 @@ def cmd_mdrun(args):
                 if np.isfinite(sim[t]):
                     f.write("%.4f %.8g\n" % (times[t], sim[t]))
     save_checkpoint(f"{deffnm}.cpt", state)
+    # GROMACS-format twin checkpoint for interop
+    # (fileio/checkpoint.cpp write_checkpoint_data)
+    from .io.cptio import write_gmx_cpt
+    from .core.types import TcouplType as _Tc, IntegratorType as _It
+    write_gmx_cpt(
+        f"{deffnm}.gmx.cpt",
+        x=np.asarray(state.x), v=np.asarray(state.v),
+        box=np.asarray(state.box), lam=np.asarray(state.lam),
+        fep_state=int(state.fep_state), step=int(state.step),
+        t=float(state.step) * params.dt,
+        nosehoover_xi=(np.asarray(state.coupling.xi, np.float64)
+                       if params.tcoupl == _Tc.NOSE_HOOVER else None),
+        nosehoover_vxi=(np.asarray(state.coupling.vxi, np.float64)
+                        if params.tcoupl == _Tc.NOSE_HOOVER else None),
+        therm_integral=(float(state.coupling.therm_integral)
+                        if params.tcoupl == _Tc.V_RESCALE else None),
+        boxv=(np.asarray(state.coupling.boxv)
+              if params.pcoupl.value != "no" else None),
+        integrator={_It.MD: 0, _It.SD: 9, _It.MD_VV: 10,
+                    _It.BD: 3}.get(params.integrator, 0))
     names = [str(n) for n in data["names"]]
     resnames = [str(r) for r in data["resnames"]]
     write_gro(f"{deffnm}.gro", "tpumd output", names, resnames,
@@ -871,6 +929,26 @@ def cmd_energy(args):
 
 
 def cmd_check(args):
+    from .io.cptio import is_gmx_cpt
+    if args.s.endswith(".cpt") and is_gmx_cpt(args.s):
+        # gmx dump -cp analogue (reference: checkpoint.cpp list_checkpoint)
+        from .io.cptio import read_gmx_cpt
+        cp = read_gmx_cpt(args.s)
+        print(f"GROMACS checkpoint (file version {cp.file_version}, "
+              f"written by '{cp.version_string}')")
+        print(f"atoms: {cp.natoms}")
+        print(f"step: {cp.step}  t: {cp.t:g} ps  "
+              f"part: {cp.simulation_part}")
+        print(f"integrator: {cp.integrator}  ngtc: {cp.ngtc}  "
+              f"nhchainlength: {cp.nhchainlength}")
+        print(f"state entries: {sorted(cp.state.keys())}")
+        if cp.get("lambda") is not None:
+            print(f"lambda: {np.asarray(cp.state['lambda'])}")
+        if cp.output_files:
+            print("output files:")
+            for fname, off in cp.output_files:
+                print(f"  {fname} @ {off}")
+        return
     if args.s.endswith(".tpr"):
         # GROMACS run-input interop (reference: fileio/tpxio.cpp)
         from .io.tprio import read_tpr, tpr_to_system
