@@ -867,6 +867,73 @@ def cmd_trjconv(args):
     print(f"trjconv: {kept}/{nframes} frames -> {out}")
 
 
+def _read_traj_frames(path):
+    """(frames, boxes, times) from a .trr or .xtc."""
+    if path.endswith(".trr"):
+        from .io.trrio import read_trr_frame, scan_trr
+        natoms, nf = scan_trr(path)
+        frames, boxes, times = [], [], []
+        for i in range(nf):
+            fr = read_trr_frame(path, i, natoms)
+            if fr["x"] is None:
+                continue
+            frames.append(fr["x"])
+            boxes.append(fr["box"])
+            times.append(fr["time"])
+        return frames, boxes, times
+    if path.endswith(".xtc"):
+        from .io.xtcio import read_xtc_frame, scan_xtc
+        natoms, nf = scan_xtc(path)
+        out = [read_xtc_frame(path, i, natoms) for i in range(nf)]
+        return ([f["x"] for f in out], [f["box"] for f in out],
+                [f["time"] for f in out])
+    raise SystemExit(f"unsupported trajectory {path} (.trr/.xtc)")
+
+
+def _parse_sel(s):
+    return (np.asarray([int(v) - 1 for v in s.split()], np.int32)
+            if s else None)
+
+
+def cmd_rdf(args):
+    """Radial distribution function (reference: gmxana/gmx_rdf.cpp)."""
+    from .analysis.structure import rdf
+    frames, boxes, _ = _read_traj_frames(args.f)
+    centers, g = rdf(frames, boxes, sel_a=_parse_sel(args.sel_a),
+                     sel_b=_parse_sel(args.sel_b),
+                     r_max=args.rmax, n_bins=args.bins)
+    with open(args.o, "w") as f:
+        f.write("@    title \"Radial distribution\"\n"
+                "@    xaxis  label \"r (nm)\"\n"
+                "@    yaxis  label \"g(r)\"\n")
+        for c, v in zip(centers, g):
+            f.write(f"{c:.5f} {v:.6f}\n")
+    print(f"rdf: {len(frames)} frames -> {args.o} "
+          f"(g(r_max) = {g[-1]:.3f})")
+
+
+def cmd_msd(args):
+    """Mean-squared displacement + diffusion coefficient
+    (reference: gmxana/gmx_msd.cpp, Einstein relation)."""
+    from .analysis.structure import fit_diffusion, msd
+    frames, _, times = _read_traj_frames(args.f)
+    if len(frames) < 3:
+        raise SystemExit("msd: need >= 3 frames")
+    lags, m = msd(frames, times, sel=_parse_sel(args.sel),
+                  n_restarts=args.restarts)
+    with open(args.o, "w") as f:
+        f.write("@    title \"Mean Square Displacement\"\n"
+                "@    xaxis  label \"Time (ps)\"\n"
+                "@    yaxis  label \"MSD (nm\\S2\\N)\"\n")
+        for t, v in zip(lags, m):
+            f.write(f"{t:.5f} {v:.6f}\n")
+    d = fit_diffusion(lags, m)
+    # GROMACS prints D in 1e-5 cm^2/s: 1 nm^2/ps = 1e-14 cm^2 / 1e-12 s
+    # = 1e-2 cm^2/s = 1e3 * 1e-5 cm^2/s
+    print(f"msd: D = {d * 1e3:.4f} 1e-5 cm^2/s "
+          f"({d:.3e} nm^2/ps) over {len(frames)} frames -> {args.o}")
+
+
 def cmd_wham(args):
     """Umbrella-sampling PMF via WHAM (reference: gmxana/gmx_wham.cpp)."""
     from .analysis.wham import read_pullx, wham, write_pmf_xvg
@@ -1095,6 +1162,25 @@ def main(argv=None):
                     help="minimum time between kept frames (ps)")
     tc.add_argument("-pbc", choices=["none", "atom"], default="none")
     tc.set_defaults(fn=cmd_trjconv)
+
+    rd = sub.add_parser("rdf", help="radial distribution function "
+                                    "(reference: gmx rdf)")
+    rd.add_argument("-f", required=True, help=".trr/.xtc trajectory")
+    rd.add_argument("-o", default="rdf.xvg")
+    rd.add_argument("-bins", type=int, default=200)
+    rd.add_argument("-rmax", type=float, default=None)
+    rd.add_argument("-sel-a", default="", help="1-based atom indices")
+    rd.add_argument("-sel-b", default="", help="1-based atom indices")
+    rd.set_defaults(fn=cmd_rdf)
+
+    ms = sub.add_parser("msd", help="mean-squared displacement + "
+                                    "diffusion (reference: gmx msd)")
+    ms.add_argument("-f", required=True,
+                    help=".trr/.xtc trajectory (unwrapped coordinates)")
+    ms.add_argument("-o", default="msd.xvg")
+    ms.add_argument("-sel", default="", help="1-based atom indices")
+    ms.add_argument("-restarts", type=int, default=10)
+    ms.set_defaults(fn=cmd_msd)
 
     wh = sub.add_parser("wham", help="umbrella PMF from pullx windows "
                                      "(reference: gmx wham)")
