@@ -54,6 +54,10 @@ class EnsembleRunner:
         requires each window's State.fep_state set to its replica index).
         Exchange then uses Delta = (beta_i - beta_j)(U_j - U_i) plus the
         NPT pV term when boxes differ (replicaexchange.cpp:867)."""
+        if params.densfit is not None:
+            raise NotImplementedError(
+                "density-guided simulation is not wired into the "
+                "ensemble runner (use single-window mdrun)")
         self.system = system
         self.params = params
         self.all_lambda = jnp.asarray(all_lambda)
