@@ -30,16 +30,21 @@ def cmd_grompp(args):
     with open(args.p) as f:
         top_text = f.read()
     names, resnames, x, v, box = read_gro(args.c)
+    ndx_text = ""
+    if args.n:
+        with open(args.n) as f:
+            ndx_text = f.read()
     # validate by building once (full grompp transforms incl. couple-moltype,
     # constraint conversion, defines)
     pp = preprocess_arrays(mdp_text, top_text, names, resnames, x, v, box,
                            include_dirs=[os.path.dirname(args.p)],
-                           couple_moltype_override=args.couple_moltype)
+                           couple_moltype_override=args.couple_moltype,
+                           ndx_text=ndx_text or None)
     with open(args.o, "wb") as f:   # np.savez would append .npz to a path
         np.savez(f, top=top_text, mdp=mdp_text, x=x,
                  v=(v if v is not None else np.zeros_like(x)), box=box,
                  couple_moltype=args.couple_moltype or "",
-                 names=names, resnames=resnames,
+                 names=names, resnames=resnames, ndx=ndx_text,
                  include_dir=os.path.dirname(os.path.abspath(args.p)))
     print(f"wrote {args.o} ({pp.system.n_atoms} atoms)")
 
@@ -50,11 +55,13 @@ def _load_tpz(path):
     data = np.load(path, allow_pickle=True)
     cm = str(data["couple_moltype"]) or None
     inc = [str(data["include_dir"])] if "include_dir" in data else []
+    ndx = str(data["ndx"]) if "ndx" in data else ""
     pp = preprocess_arrays(str(data["mdp"]), str(data["top"]),
                            [str(n) for n in data["names"]],
                            [str(r) for r in data["resnames"]],
                            data["x"], data["v"], data["box"],
-                           include_dirs=inc, couple_moltype_override=cm)
+                           include_dirs=inc, couple_moltype_override=cm,
+                           ndx_text=ndx or None)
     return pp, data
 
 
@@ -789,6 +796,103 @@ def cmd_ensemble(args):
         print(f"BAR skipped: {e}")
 
 
+def cmd_solvate(args):
+    """Fill a box with TIP3P water around a solute
+    (reference: gmxpreprocess/solvate.cpp)."""
+    from .io.buildtools import solvate
+    from .io.groio import read_gro, write_gro
+
+    if args.cp:
+        names, resnames, x, v, box = read_gro(args.cp)
+    else:
+        names, resnames, x, v = [], [], np.zeros((0, 3), np.float32), None
+        if not args.box:
+            raise SystemExit("solvate: need -cp solute.gro or -box L")
+        box = np.eye(3, dtype=np.float32) * args.box
+    if args.box:
+        box = np.eye(3, dtype=np.float32) * args.box
+    xw, n_w = solvate(x, box, spacing=args.spacing, shell=args.shell,
+                      seed=args.seed)
+    names_out = list(names) + ["OW", "HW1", "HW2"] * n_w
+    res_out = list(resnames) + ["SOL"] * (3 * n_w)
+    x_out = np.concatenate([x, xw]) if len(x) else xw
+    write_gro(args.o, "solvated by tpumd", names_out, res_out, x_out,
+              None, box)
+    print(f"solvate: added {n_w} SOL -> {args.o}")
+    print(f"add to [ molecules ]:\nSOL {n_w}")
+
+
+def cmd_insert_molecules(args):
+    """Random rigid-body insertions with overlap rejection
+    (reference: gmxpreprocess/insert-molecules.cpp)."""
+    from .io.buildtools import insert_molecules
+    from .io.groio import read_gro, write_gro
+
+    mnames, mres, mx, _, _ = read_gro(args.ci)
+    if args.f:
+        names, resnames, x, _, box = read_gro(args.f)
+    else:
+        names, resnames, x = [], [], np.zeros((0, 3), np.float32)
+        if not args.box:
+            raise SystemExit("insert-molecules: need -f or -box L")
+        box = np.eye(3, dtype=np.float32) * args.box
+    xi, n = insert_molecules(x, box, mx, args.nmol, radius=args.radius,
+                             ntries=args.try_, seed=args.seed)
+    names_out = list(names) + list(mnames) * n
+    res_out = list(resnames) + list(mres) * n
+    x_out = np.concatenate([x, xi]) if len(x) else xi
+    write_gro(args.o, "built by tpumd", names_out, res_out, x_out, None,
+              box)
+    print(f"insert-molecules: placed {n}/{args.nmol} copies -> {args.o}")
+
+
+def cmd_genion(args):
+    """Replace waters by monoatomic ions (reference: genion.cpp).
+    Charges come from the run file so -neutral works."""
+    from .io.buildtools import genion
+    from .io.groio import read_gro, write_gro
+
+    pp, data = _load_tpz(args.s)
+    names = [str(n) for n in data["names"]]
+    resnames = [str(r) for r in data["resnames"]]
+    x = np.asarray(data["x"])
+    box = np.asarray(data["box"])
+    o_idx = np.asarray([i for i, (nm, rs) in enumerate(zip(names,
+                                                           resnames))
+                        if rs in ("SOL", "WAT", "HOH")
+                        and nm.startswith("O")], np.int32)
+    charges = np.asarray(pp.system.charge_a)
+    pos, neg = genion(o_idx, x, charges, n_positive=args.np,
+                      n_negative=args.nn, neutralize=args.neutral,
+                      seed=args.seed)
+    # build the output: replace each picked water (O,H,H) by one ion
+    drop = set()
+    for s in np.concatenate([pos, neg]).astype(int):
+        drop.update((s, s + 1, s + 2))
+    out_n, out_r, out_x = [], [], []
+    for i in range(len(names)):
+        if i in drop:
+            continue
+        out_n.append(names[i])
+        out_r.append(resnames[i])
+        out_x.append(x[i])
+    for s in pos.astype(int):
+        out_n.append(args.pname)
+        out_r.append(args.pname)
+        out_x.append(x[s])
+    for s in neg.astype(int):
+        out_n.append(args.nname)
+        out_r.append(args.nname)
+        out_x.append(x[s])
+    write_gro(args.o, "ions by tpumd", out_n, out_r,
+              np.asarray(out_x, np.float32), None, box)
+    n_sol = (len(o_idx) - len(pos) - len(neg))
+    print(f"genion: {len(pos)} {args.pname}, {len(neg)} {args.nname} "
+          f"-> {args.o}")
+    print(f"update [ molecules ]: SOL {n_sol}, {args.pname} {len(pos)},"
+          f" {args.nname} {len(neg)}")
+
+
 def cmd_trjconv(args):
     """Trajectory conversion/filtering (reference: gmx trjconv,
     gmxana/gmx_trjconv.cpp): trr/xtc in -> trr/xtc/gro out, with -b/-e
@@ -1097,6 +1201,8 @@ def main(argv=None):
     g.add_argument("-f", required=True, help="mdp file")
     g.add_argument("-p", required=True, help="top file")
     g.add_argument("-c", required=True, help="gro file")
+    g.add_argument("-n", default=None, help="index file (.ndx) for "
+                   "pull/densfit group names (reference: grompp -n)")
     g.add_argument("-o", default="topol.tpz")
     g.add_argument("--couple-moltype", default=None)
     g.set_defaults(fn=cmd_grompp)
@@ -1146,6 +1252,43 @@ def main(argv=None):
     b.add_argument("-temp", type=float, default=300.0)
     b.add_argument("-b", type=float, default=0.1, help="skip fraction")
     b.set_defaults(fn=cmd_bar)
+
+    sv = sub.add_parser("solvate", help="fill a box with water "
+                                        "(reference: gmx solvate)")
+    sv.add_argument("-cp", default=None, help="solute .gro")
+    sv.add_argument("-o", default="solvated.gro")
+    sv.add_argument("-box", type=float, default=0.0,
+                    help="cubic box edge (nm); overrides the -cp box")
+    sv.add_argument("-spacing", type=float, default=0.31)
+    sv.add_argument("-shell", type=float, default=0.24,
+                    help="min water-O to solute distance (nm)")
+    sv.add_argument("-seed", type=int, default=2021)
+    sv.set_defaults(fn=cmd_solvate)
+
+    im = sub.add_parser("insert-molecules",
+                        help="random insertions with overlap rejection "
+                             "(reference: gmx insert-molecules)")
+    im.add_argument("-ci", required=True, help="molecule .gro to insert")
+    im.add_argument("-f", default=None, help="existing configuration")
+    im.add_argument("-o", default="out.gro")
+    im.add_argument("-nmol", type=int, required=True)
+    im.add_argument("-box", type=float, default=0.0)
+    im.add_argument("-radius", type=float, default=0.105)
+    im.add_argument("-try", dest="try_", type=int, default=400)
+    im.add_argument("-seed", type=int, default=1997)
+    im.set_defaults(fn=cmd_insert_molecules)
+
+    gi = sub.add_parser("genion", help="replace waters by ions "
+                                       "(reference: gmx genion)")
+    gi.add_argument("-s", required=True, help="tpz run file")
+    gi.add_argument("-o", default="ions.gro")
+    gi.add_argument("-np", type=int, default=0, help="cations to add")
+    gi.add_argument("-nn", type=int, default=0, help="anions to add")
+    gi.add_argument("-neutral", action="store_true")
+    gi.add_argument("-pname", default="NA")
+    gi.add_argument("-nname", default="CL")
+    gi.add_argument("-seed", type=int, default=1993)
+    gi.set_defaults(fn=cmd_genion)
 
     tc = sub.add_parser("trjconv", help="convert/filter trajectories "
                                         "(reference: gmx trjconv)")

@@ -111,9 +111,16 @@ def preprocess_arrays(mdp_text: str, top_text: str, names, resnames,
                       x: np.ndarray, v: Optional[np.ndarray], box: np.ndarray,
                       include_dirs: Optional[List[str]] = None,
                       seed: int = 1993,
-                      couple_moltype_override: Optional[str] = None
+                      couple_moltype_override: Optional[str] = None,
+                      ndx_text: Optional[str] = None
                       ) -> Preprocessed:
-    params, all_lambda = mdp_to_params(mdp_text)
+    # index groups: user .ndx sections + the automatic defaults
+    # (reference: topology/index.cpp analyse / do_index)
+    from .ndxio import default_groups, parse_ndx
+    ndx = default_groups(names, resnames) if len(names) else {}
+    if ndx_text:
+        ndx.update(parse_ndx(ndx_text))
+    params, all_lambda = mdp_to_params(mdp_text, ndx)
     extras = mdp_extras(mdp_text)
     if couple_moltype_override:
         extras["couple_moltype"] = couple_moltype_override

@@ -132,8 +132,13 @@ def mdp_extras(text: str) -> Dict[str, object]:
     }
 
 
-def mdp_to_params(text: str) -> Tuple[MdParams, Optional[np.ndarray]]:
-    """Returns (MdParams, all_lambda or None)."""
+def mdp_to_params(text: str, ndx=None
+                  ) -> Tuple[MdParams, Optional[np.ndarray]]:
+    """Returns (MdParams, all_lambda or None).
+
+    ndx: optional name -> 0-based index-array dict (io/ndxio.py) used
+    to resolve pull-groupN-name / density-guided-simulation-group
+    names, the reference's index-file path (readir.cpp do_index)."""
     kv = parse_mdp(text)
 
     def _lookup(key):
@@ -316,7 +321,7 @@ def mdp_to_params(text: str) -> Tuple[MdParams, Optional[np.ndarray]]:
         fep=fep,
         expanded=expanded,
         awh=awh,
-        pull=_parse_pull(kv),
+        pull=_parse_pull(kv, ndx),
         nstpullout=get("pull-nstxout", 50, int),
         # distance restraints (reference: readir.cpp disre keys); only
         # the instantaneous "simple" treatment exists (no time-averaged
@@ -333,7 +338,7 @@ def mdp_to_params(text: str) -> Tuple[MdParams, Optional[np.ndarray]]:
     if ef is not None:
         params = params.replace(efield=ef)
     from ..md.densfit import parse_densfit
-    df = parse_densfit(kv)
+    df = parse_densfit(kv, ndx)
     if df is not None:
         params = params.replace(densfit=df)
     ann = kv.get("annealing", "no").split()[0].lower() \
@@ -363,11 +368,11 @@ def mdp_to_params(text: str) -> Tuple[MdParams, Optional[np.ndarray]]:
     return params, all_lambda
 
 
-def _parse_pull(kv: Dict[str, str]):
+def _parse_pull(kv: Dict[str, str], ndx=None):
     """COM pulling keys (reference: readir.cpp read_pullparams / pull
-    mdp section).  Groups are given inline as 1-based atom lists via
-    `pull-groupN-atoms` (this framework has no .ndx files; the reference
-    resolves pull-groupN-name against the index file instead)."""
+    mdp section).  Groups: `pull-groupN-atoms` inline 1-based lists, or
+    `pull-groupN-name` resolved against the index file (the reference's
+    path, readir.cpp do_index)."""
     if kv.get("pull", "no").lower() != "yes":
         return None
     from ..md.pull import PullCoord, PullType
@@ -376,10 +381,15 @@ def _parse_pull(kv: Dict[str, str]):
     groups = {}
     for g in range(1, ngroups + 1):
         atoms = kv.get(f"pull-group{g}-atoms", "").split()
-        if not atoms:
-            raise ValueError(f"pull-group{g}-atoms missing (inline 1-based "
-                             "atom list required)")
-        groups[g] = tuple(int(a) - 1 for a in atoms)
+        name = kv.get(f"pull-group{g}-name", "").strip()
+        if atoms:
+            groups[g] = tuple(int(a) - 1 for a in atoms)
+        elif name and ndx and name in ndx:
+            groups[g] = tuple(int(i) for i in ndx[name])
+        else:
+            raise ValueError(
+                f"pull-group{g}-atoms missing (give an inline 1-based "
+                f"atom list, or pull-group{g}-name + an index file)")
     coords = []
     types = {"umbrella": PullType.UMBRELLA,
              "constant-force": PullType.CONSTANT_FORCE,

@@ -247,10 +247,10 @@ def make_densfit_force_fn(p: DensfitParams, ref_density: np.ndarray,
     return densfit
 
 
-def parse_densfit(kv) -> Optional[DensfitParams]:
+def parse_densfit(kv, ndx=None) -> Optional[DensfitParams]:
     """mdp `density-guided-simulation-*` keys
-    (densityfittingoptions.h:108-141).  The group is given as inline
-    1-based atom indices (this framework has no .ndx files); missing or
+    (densityfittingoptions.h:108-141).  The group is an index-file name
+    (with ndx given) or inline 1-based atom indices; missing or
     'system' means all atoms."""
     pre = "density-guided-simulation-"
     if kv.get(pre + "active", "no").lower() not in ("yes", "true"):
@@ -258,7 +258,10 @@ def parse_densfit(kv) -> Optional[DensfitParams]:
     grp = kv.get(pre + "group", "system").strip()
     group = None
     if grp.lower() not in ("system", ""):
-        group = tuple(int(v) - 1 for v in grp.split())
+        if ndx and grp in ndx:
+            group = tuple(int(i) for i in ndx[grp])
+        else:
+            group = tuple(int(v) - 1 for v in grp.split())
     meas = kv.get(pre + "similarity-measure", "inner-product").lower()
     if meas not in SIMILARITY_MEASURES:
         raise ValueError(f"{pre}similarity-measure = {meas}")
