@@ -22,6 +22,18 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from gromacs_fep_gpu_tpu.utils.backend_guard import ensure_live_backend
+
+# dead-tunnel guard MUST run before jax.default_backend() below — that
+# call initializes the backend and would hang forever on a dead tunnel
+_FALLBACK = ensure_live_backend()
+if _FALLBACK == "cpu":
+    # 1 host core can't run the TPU-scale bench; shrink to a smoke
+    # config unless the caller pinned the scale explicitly
+    os.environ.setdefault("BENCH_NSIDE", "8")
+    os.environ.setdefault("BENCH_NSTEPS", "100")
+    os.environ.setdefault("BENCH_SKIP_81K", "1")
+
 try:
     # persistent compile cache for the slow remote TPU compiles; NOT on
     # CPU — cached XLA:CPU AOT binaries are machine-specific and can
@@ -107,6 +119,10 @@ def main():
         except Exception as e:          # keep the primary metric alive
             extra = {"error_81k": f"{type(e).__name__}: {e}"[:200]}
 
+    extra["backend"] = jax.default_backend()
+    if _FALLBACK == "cpu":
+        extra["note"] = ("TPU tunnel unreachable; CPU smoke fallback at "
+                         "reduced scale — not a TPU measurement")
     result = {
         "metric": f"solvation-FEP ns/day ({n_atoms} atoms, "
                   f"{'PME' if use_pme else 'RF'}, dt=2fs, softcore lam=0.5)",

@@ -1169,11 +1169,17 @@ def _ensure_backend():
     whose plugin is not importable in this environment."""
     try:
         import jax
+
+        # a dead TPU tunnel wedges backend init forever — probe first
+        # (subprocess + timeout, verdict disk-cached) and scrub the
+        # plugin so jax.devices() below degrades to CPU instead
+        from .utils.backend_guard import ensure_live_backend
+        scrubbed = ensure_live_backend()
         # a sitecustomize may pin jax_platforms via config, which beats
         # the JAX_PLATFORMS env var; re-assert the user's env choice so
         # e.g. JAX_PLATFORMS=cpu + xla_force_host_platform_device_count
         # works for multi-device -dd runs on one host
-        env_plat = os.environ.get("JAX_PLATFORMS")
+        env_plat = None if scrubbed else os.environ.get("JAX_PLATFORMS")
         if env_plat:
             try:
                 jax.config.update("jax_platforms", env_plat)
