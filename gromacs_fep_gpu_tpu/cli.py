@@ -22,14 +22,14 @@ import numpy as np
 
 
 def cmd_grompp(args):
-    from .io.groio import read_gro
+    from .io.pdbio import read_structure
     from .io.grompp import preprocess_arrays
 
     with open(args.f) as f:
         mdp_text = f.read()
     with open(args.p) as f:
         top_text = f.read()
-    names, resnames, x, v, box = read_gro(args.c)
+    names, resnames, x, v, box = read_structure(args.c)
     ndx_text = ""
     if args.n:
         with open(args.n) as f:
@@ -800,10 +800,11 @@ def cmd_solvate(args):
     """Fill a box with TIP3P water around a solute
     (reference: gmxpreprocess/solvate.cpp)."""
     from .io.buildtools import solvate
-    from .io.groio import read_gro, write_gro
+    from .io.groio import write_gro
+    from .io.pdbio import read_structure
 
     if args.cp:
-        names, resnames, x, v, box = read_gro(args.cp)
+        names, resnames, x, v, box = read_structure(args.cp)
     else:
         names, resnames, x, v = [], [], np.zeros((0, 3), np.float32), None
         if not args.box:
@@ -826,11 +827,12 @@ def cmd_insert_molecules(args):
     """Random rigid-body insertions with overlap rejection
     (reference: gmxpreprocess/insert-molecules.cpp)."""
     from .io.buildtools import insert_molecules
-    from .io.groio import read_gro, write_gro
+    from .io.groio import write_gro
+    from .io.pdbio import read_structure
 
-    mnames, mres, mx, _, _ = read_gro(args.ci)
+    mnames, mres, mx, _, _ = read_structure(args.ci)
     if args.f:
-        names, resnames, x, _, box = read_gro(args.f)
+        names, resnames, x, _, box = read_structure(args.f)
     else:
         names, resnames, x = [], [], np.zeros((0, 3), np.float32)
         if not args.box:
@@ -850,7 +852,7 @@ def cmd_genion(args):
     """Replace waters by monoatomic ions (reference: genion.cpp).
     Charges come from the run file so -neutral works."""
     from .io.buildtools import genion
-    from .io.groio import read_gro, write_gro
+    from .io.groio import write_gro
 
     pp, data = _load_tpz(args.s)
     names = [str(n) for n in data["names"]]
@@ -893,6 +895,27 @@ def cmd_genion(args):
           f" {args.nname} {len(neg)}")
 
 
+def cmd_make_ndx(args):
+    """Non-interactive index-file generation (reference: gmx make_ndx
+    auto groups, topology/index.cpp analyse): System / Water /
+    non-Water plus one group per distinct residue name, written as a
+    standard .ndx."""
+    from .io.ndxio import default_groups, write_ndx
+    from .io.pdbio import read_structure
+
+    names, resnames, x, _, _ = read_structure(args.f)
+    groups = default_groups(names, resnames)
+    for rn in dict.fromkeys(r.strip() for r in resnames):   # stable order
+        if rn and rn not in groups:
+            groups[rn] = np.asarray(
+                [i for i, r in enumerate(resnames) if r.strip() == rn],
+                np.int32)
+    write_ndx(args.o, groups)
+    for k, v in groups.items():
+        print(f"{k:>16s}: {len(v):6d} atoms")
+    print(f"wrote {len(groups)} groups -> {args.o}")
+
+
 def cmd_trjconv(args):
     """Trajectory conversion/filtering (reference: gmx trjconv,
     gmxana/gmx_trjconv.cpp): trr/xtc in -> trr/xtc/gro out, with -b/-e
@@ -914,7 +937,7 @@ def cmd_trjconv(args):
     if os.path.exists(out):
         os.unlink(out)
     names = resnames = None
-    if out.endswith(".gro"):
+    if out.endswith((".gro", ".pdb")):
         if args.s:
             pp, data = _load_tpz(args.s)
             names = [str(n) for n in data["names"]]
@@ -964,6 +987,11 @@ def cmd_trjconv(args):
             with open(tmpname) as tf, open(out, "a" if kept else "w") as of:
                 of.write(tf.read())
             os.unlink(tmpname)
+        elif out.endswith(".pdb"):
+            # multi-frame pdb = MODEL/ENDMDL records (pdbio.cpp)
+            from .io.pdbio import write_pdb
+            write_pdb(out, f"frame t={t:g}", names, resnames, x,
+                      box=fr["box"], append_model=kept + 1)
         else:
             raise SystemExit(f"trjconv: unsupported output {out}")
         kept += 1
@@ -1295,6 +1323,12 @@ def main(argv=None):
     gi.add_argument("-nname", default="CL")
     gi.add_argument("-seed", type=int, default=1993)
     gi.set_defaults(fn=cmd_genion)
+
+    mn = sub.add_parser("make-ndx", help="write auto index groups "
+                                         "(reference: gmx make_ndx)")
+    mn.add_argument("-f", required=True, help="structure (.gro/.pdb)")
+    mn.add_argument("-o", default="index.ndx")
+    mn.set_defaults(fn=cmd_make_ndx)
 
     tc = sub.add_parser("trjconv", help="convert/filter trajectories "
                                         "(reference: gmx trjconv)")
