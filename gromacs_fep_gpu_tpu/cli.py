@@ -1027,6 +1027,145 @@ def _parse_sel(s):
             if s else None)
 
 
+def _group_arg(spec, args, n_atoms):
+    """Resolve a group CLI argument: inline 1-based list, or a name
+    from -n index.ndx (reference tools' index-group prompt)."""
+    from .io.ndxio import parse_ndx, resolve_group
+    ndx = {}
+    if getattr(args, "n", None):
+        with open(args.n) as f:
+            ndx = parse_ndx(f.read())
+    return resolve_group(spec, ndx, n_atoms)
+
+
+def _load_struct_arg(path):
+    """-s for analysis tools: .tpz (names/resnames/masses) or .gro/.pdb
+    (unit masses)."""
+    if path.endswith(".tpz"):
+        pp, data = _load_tpz(path)
+        return ([str(v) for v in data["names"]],
+                [str(v) for v in data["resnames"]],
+                np.asarray(data["x"]), np.asarray(pp.system.mass))
+    from .io.pdbio import read_structure
+    names, resnames, x, _, _ = read_structure(path)
+    return names, resnames, x, np.ones(len(names))
+
+
+def cmd_rms(args):
+    """RMSD to a reference structure after LSQ fit
+    (reference: gmxana/gmx_rms.cpp)."""
+    from .analysis.traj import rms_series
+    names, _, xref, mass = _load_struct_arg(args.s)
+    frames, _, times = _read_traj_frames(args.f)
+    sel = (_group_arg(args.sel, args, len(names)) if args.sel
+           else np.arange(len(names)))
+    series = rms_series([f[sel] for f in frames], xref[sel], mass[sel],
+                        fit=not args.nofit)
+    _write_series_xvg(args.o, "RMSD", "Time (ps)", "RMSD (nm)",
+                      times, series)
+    print(f"rms: {len(frames)} frames, mean {series.mean():.4f} nm "
+          f"-> {args.o}")
+
+
+def cmd_rmsf(args):
+    """Per-atom RMS fluctuation (reference: gmxana/gmx_rmsf.cpp)."""
+    from .analysis.traj import rmsf
+    names, _, xref, mass = _load_struct_arg(args.s)
+    frames, _, _ = _read_traj_frames(args.f)
+    sel = (_group_arg(args.sel, args, len(names)) if args.sel
+           else np.arange(len(names)))
+    flucts = rmsf([f[sel] for f in frames], xref[sel], mass[sel])
+    _write_series_xvg(args.o, "RMS fluctuation", "Atom", "RMSF (nm)",
+                      np.asarray(sel) + 1, flucts)
+    print(f"rmsf: {len(frames)} frames, max {flucts.max():.4f} nm "
+          f"-> {args.o}")
+
+
+def cmd_gyrate(args):
+    """Radius of gyration (reference: gmxana/gmx_gyrate.cpp)."""
+    from .analysis.traj import gyrate
+    names, _, _, mass = _load_struct_arg(args.s)
+    frames, _, times = _read_traj_frames(args.f)
+    sel = (_group_arg(args.sel, args, len(names)) if args.sel
+           else np.arange(len(names)))
+    rg = gyrate([f[sel] for f in frames], mass[sel])
+    _write_series_xvg(args.o, "Radius of gyration", "Time (ps)",
+                      "Rg (nm)", times, rg)
+    print(f"gyrate: mean Rg {rg.mean():.4f} nm -> {args.o}")
+
+
+def cmd_mindist(args):
+    """Minimum inter-group distance (reference: gmxana/gmx_mindist.cpp)."""
+    from .analysis.traj import mindist
+    frames, boxes, times = _read_traj_frames(args.f)
+    n = len(frames[0])
+    g1 = _group_arg(args.g1, args, n)
+    g2 = _group_arg(args.g2, args, n)
+    d = mindist(frames, boxes, g1, g2)
+    _write_series_xvg(args.o, "Minimum distance", "Time (ps)",
+                      "d (nm)", times, d)
+    print(f"mindist: min {d.min():.4f} nm -> {args.o}")
+
+
+def cmd_density(args):
+    """Partial density profile along a box axis
+    (reference: gmxana/gmx_density.cpp)."""
+    from .analysis.traj import density_profile
+    names, _, _, mass = _load_struct_arg(args.s)
+    frames, boxes, _ = _read_traj_frames(args.f)
+    grp = (_group_arg(args.sel, args, len(names)) if args.sel else None)
+    axis = "xyz".index(args.axis)
+    centers, dens = density_profile(frames, boxes, mass, axis=axis,
+                                    nslices=args.sl, group=grp)
+    _write_series_xvg(args.o, "Partial density",
+                      f"{args.axis} (nm)", "Density (kg/m^3)",
+                      centers, dens)
+    print(f"density: mean {dens.mean():.1f} kg/m^3 -> {args.o}")
+
+
+def cmd_hbond(args):
+    """Hydrogen-bond count per frame, geometric criterion
+    (reference: gmxana/gmx_hbond.cpp).  With no explicit groups, uses
+    the water convention: every SOL OW donates its two HW and accepts."""
+    from .analysis.traj import hbond_series
+    names, resnames, _, _ = _load_struct_arg(args.s)
+    frames, boxes, times = _read_traj_frames(args.f)
+    n = len(names)
+    if args.don and args.hyd and args.acc:
+        donors = _group_arg(args.don, args, n)
+        hydrogens = _group_arg(args.hyd, args, n)
+        acceptors = _group_arg(args.acc, args, n)
+    else:
+        ow = [i for i in range(n)
+              if resnames[i] in ("SOL", "WAT", "HOH")
+              and names[i].startswith("O")]
+        donors, hydrogens = [], []
+        for o in ow:
+            for h in (o + 1, o + 2):
+                if h < n and names[h].startswith("H"):
+                    donors.append(o)
+                    hydrogens.append(h)
+        acceptors = np.asarray(ow, np.int32)
+        donors = np.asarray(donors, np.int32)
+        hydrogens = np.asarray(hydrogens, np.int32)
+        if not len(donors):
+            raise SystemExit("hbond: no water found; give -don/-hyd/-acc")
+    counts = hbond_series(frames, boxes, donors, hydrogens, acceptors,
+                          r_cut=args.r, angle_cut=args.a)
+    _write_series_xvg(args.o, "Hydrogen bonds", "Time (ps)", "count",
+                      times, counts)
+    print(f"hbond: mean {counts.mean():.2f} bonds/frame -> {args.o}")
+
+
+def _write_series_xvg(path, title, xlabel, ylabel, xs, ys):
+    with open(path, "w") as f:
+        f.write(f"@    title \"{title}\"\n"
+                f"@    xaxis  label \"{xlabel}\"\n"
+                f"@    yaxis  label \"{ylabel}\"\n")
+        for xv, yv in zip(xs, ys):
+            f.write(f"{xv:.5f} {yv:.6f}\n")
+
+
 def cmd_rdf(args):
     """Radial distribution function (reference: gmxana/gmx_rdf.cpp)."""
     from .analysis.structure import rdf
@@ -1364,6 +1503,46 @@ def main(argv=None):
     ms.add_argument("-sel", default="", help="1-based atom indices")
     ms.add_argument("-restarts", type=int, default=10)
     ms.set_defaults(fn=cmd_msd)
+
+    def _traj_tool(name, help_, fn, need_s=True):
+        t = sub.add_parser(name, help=help_)
+        t.add_argument("-f", required=True, help="trajectory .trr/.xtc")
+        if need_s:
+            t.add_argument("-s", required=True,
+                           help="structure: .tpz (masses) or .gro/.pdb")
+        t.add_argument("-n", default=None, help="index file (.ndx)")
+        t.add_argument("-o", default=f"{name}.xvg")
+        t.set_defaults(fn=fn)
+        return t
+
+    t = _traj_tool("rms", "RMSD to reference (reference: gmx rms)",
+                   cmd_rms)
+    t.add_argument("-sel", default=None, help="fit/calc group")
+    t.add_argument("-nofit", action="store_true")
+    t = _traj_tool("rmsf", "per-atom fluctuation (reference: gmx rmsf)",
+                   cmd_rmsf)
+    t.add_argument("-sel", default=None)
+    t = _traj_tool("gyrate", "radius of gyration (reference: gmx gyrate)",
+                   cmd_gyrate)
+    t.add_argument("-sel", default=None)
+    t = _traj_tool("mindist", "minimum inter-group distance "
+                              "(reference: gmx mindist)", cmd_mindist,
+                   need_s=False)
+    t.add_argument("-g1", required=True, help="group 1 (1-based or ndx)")
+    t.add_argument("-g2", required=True, help="group 2")
+    t = _traj_tool("density", "density profile along an axis "
+                              "(reference: gmx density)", cmd_density)
+    t.add_argument("-sel", default=None)
+    t.add_argument("-axis", default="z", choices=("x", "y", "z"))
+    t.add_argument("-sl", type=int, default=50, help="slices")
+    t = _traj_tool("hbond", "hydrogen bond count (reference: gmx hbond)",
+                   cmd_hbond)
+    t.add_argument("-don", default=None, help="donor heavy atoms")
+    t.add_argument("-hyd", default=None, help="donor hydrogens")
+    t.add_argument("-acc", default=None, help="acceptors")
+    t.add_argument("-r", type=float, default=0.35, help="D-A cutoff (nm)")
+    t.add_argument("-a", type=float, default=30.0,
+                   help="H-D-A angle cutoff (deg)")
 
     wh = sub.add_parser("wham", help="umbrella PMF from pullx windows "
                                      "(reference: gmx wham)")
