@@ -181,13 +181,23 @@ def cmd_mdrun(args):
             from .md.expanded import DfHist
             state = state.replace(dfhist=DfHist.init(
                 int(lam_arr.shape[0]), params.expanded.init_wl_delta))
-        if (params.awh is not None and lam_arr is not None
-                and state.dfhist is None):
+        if params.awh is not None and state.dfhist is None:
             from .core.units import BOLTZ
             from .md.awh import AwhState
-            state = state.replace(dfhist=AwhState.init(
-                int(lam_arr.shape[0]),
-                params.awh.error_init / (BOLTZ * params.ref_t)))
+            if params.awh.coord_provider == "pull":
+                npts = params.awh.n_points
+            elif lam_arr is not None:
+                npts = int(lam_arr.shape[0])
+            else:
+                npts = 0
+            if npts:
+                state = state.replace(dfhist=AwhState.init(
+                    npts,
+                    params.awh.error_init / (BOLTZ * params.ref_t)))
+        if (params.awh is not None
+                and params.awh.coord_provider == "pull"
+                and state.awh_center is None):
+            state = state.replace(awh_center=jnp.asarray(0, jnp.int32))
         from .core.types import IntegratorType, TcouplType
         nh_len = (params.nhchainlength
                   if (params.tcoupl == TcouplType.NOSE_HOOVER
@@ -334,13 +344,21 @@ def cmd_mdrun(args):
         from .md.awh import awh_free_energy, awh_pmf
         pmf = np.asarray(awh_pmf(state.dfhist, params.ref_t))
         dg = np.asarray(awh_free_energy(state.dfhist, params.ref_t))
+        if params.awh.coord_provider == "pull":
+            xs = np.linspace(params.awh.coord_min, params.awh.coord_max,
+                             params.awh.n_points)
+            xlab, xfmt = "xi (nm)", "{:10.5f}"
+        else:
+            xs = np.arange(pmf.shape[0])
+            xlab, xfmt = "lambda index", "{:6d}"
         with open(f"{deffnm}.awh.xvg", "w") as f:
-            f.write('@    title "AWH (lambda) PMF and bias"\n')
-            f.write('@    xaxis  label "lambda index"\n')
+            f.write('@    title "AWH PMF and bias"\n')
+            f.write(f'@    xaxis  label "{xlab}"\n')
             f.write('@    yaxis  label "(kJ/mol)"\n')
             f.write('@ s0 legend "PMF"\n@ s1 legend "bias dG"\n')
             for i in range(pmf.shape[0]):
-                f.write(f"{i:6d} {pmf[i]:14.6f} {dg[i]:14.6f}\n")
+                f.write(xfmt.format(xs[i])
+                        + f" {pmf[i]:14.6f} {dg[i]:14.6f}\n")
         print(f"AWH: dG({len(dg) - 1}<-0) = {dg[-1]:.3f} kJ/mol "
               f"(N = {float(state.dfhist.hist_size):.0f}, "
               f"{'initial' if bool(state.dfhist.initial_stage) else 'final'}"

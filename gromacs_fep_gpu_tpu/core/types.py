@@ -334,6 +334,14 @@ class AwhParams:
     target: str = "constant"       # awh1-target (uniform only)
     seed: int = 93                 # awh-seed
     share: bool = False            # awh-share-multisim (ensemble axis)
+    # continuous pull-coordinate provider (reference: awh1-dim1-coord-
+    # provider = pull; awh.cpp Awh::applyBiasForcesAndUpdateBias)
+    coord_provider: str = "fep-lambda"   # fep-lambda | pull
+    pull_coord: int = 1            # awh1-dim1-coord-index (1-based)
+    coord_min: float = 0.0         # awh1-dim1-start (nm)
+    coord_max: float = 1.0         # awh1-dim1-end (nm)
+    n_points: int = 32             # grid points over [start, end]
+    force_constant: float = 4000.0  # awh1-dim1-force-constant kJ/mol/nm^2
 
 
 @dataclasses.dataclass(frozen=True)
@@ -495,6 +503,10 @@ class State:
     # density-fitting adaptive-scaling state (md/densfit.py DensfitState;
     # reference: DensityFittingForceProviderState)
     densfit: Optional[Any] = None
+    # AWH umbrella grid-point index for the pull-coordinate provider
+    # (reference: awh/coordstate.h umbrellaGridpoint); None unless
+    # awh coord-provider = pull
+    awh_center: Optional[Any] = None
 
     @property
     def n_atoms(self) -> int:

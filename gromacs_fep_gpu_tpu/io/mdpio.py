@@ -239,23 +239,39 @@ def mdp_to_params(text: str, ndx=None
         )
 
     # AWH biasing on the FEP lambda coordinate (reference: readir.cpp
-    # awh keys; applied_forces/awh).  Only coord-provider = fep-lambda
-    # exists here — continuous pull-coordinate dims are not supported.
+    # awh keys; applied_forces/awh).  coord-provider = fep-lambda
+    # (discrete) or pull (continuous umbrella grid on one 1-D dim).
     awh = None
     if kv.get("awh", "no").lower() == "yes":
         from ..core.types import AwhParams
         nbias = int(kv.get("awh-nbias", "1"))
-        provider = kv.get("awh1-dim1-coord-provider", "").lower()
-        if nbias != 1 or provider not in ("fep-lambda", "fep_lambda"):
+        provider = kv.get("awh1-dim1-coord-provider", "").lower() \
+            .replace("_", "-")
+        if nbias != 1 or provider not in ("fep-lambda", "pull"):
             raise ValueError(
                 "awh: only awh-nbias = 1 with awh1-dim1-coord-provider = "
-                "fep-lambda is supported")
+                "fep-lambda | pull is supported")
         growth = kv.get("awh1-growth", "exp-linear").lower()
         if growth not in ("exp-linear", "linear"):
             raise ValueError(f"awh1-growth = {growth} unsupported")
         target = kv.get("awh1-target", "constant").lower()
         if target != "constant":
             raise ValueError(f"awh1-target = {target} unsupported")
+        pull_keys = {}
+        if provider == "pull":
+            # reference grid spacing derives from the diffusion estimate
+            # (awh1-dim1-diffusion, grid.cpp); here the point count is
+            # explicit via awh1-dim1-grid-points
+            pull_keys = dict(
+                coord_provider="pull",
+                pull_coord=get("awh1-dim1-coord-index", 1, int),
+                coord_min=get("awh1-dim1-start", 0.0),
+                coord_max=get("awh1-dim1-end", 1.0),
+                n_points=get("awh1-dim1-grid-points", 32, int),
+                force_constant=get("awh1-dim1-force-constant", 4000.0),
+            )
+            if pull_keys["coord_max"] <= pull_keys["coord_min"]:
+                raise ValueError("awh1-dim1-end must exceed -start")
         awh = AwhParams(
             nstsample=get("awh-nstsample", 10, int),
             n_samples_update=get("awh-nsamples-update", 10, int),
@@ -265,6 +281,7 @@ def mdp_to_params(text: str, ndx=None
             target=target,
             seed=get("awh-seed", 93, int),
             share=kv.get("awh-share-multisim", "no").lower() == "yes",
+            **pull_keys,
         )
 
     params = MdParams(

@@ -140,6 +140,20 @@ def awh_fep_step(fep_state, awh: AwhState, delta_h, step,
     return lamnew, new
 
 
+def awh_pull_step(awh: AwhState, xi, centers, force_constant, step,
+                  params: AwhParams, temp: float
+                  ) -> Tuple[jnp.ndarray, AwhState]:
+    """One AWH sample with a CONTINUOUS pull coordinate (reference:
+    awh1-dim1-coord-provider = pull, applied_forces/awh/bias.cpp
+    moveUmbrella): the reaction coordinate xi couples to grid point m
+    through the harmonic umbrella U_m(xi) = k/2 (xi - xi_m)^2, so the
+    conditional point distribution is P(m|xi) ~ exp(f_m - beta U_m) —
+    the same machinery as the discrete lambda coordinate with
+    delta_h := U_m(xi).  Returns (new center index, new AwhState)."""
+    delta_h = 0.5 * force_constant * (xi - centers) ** 2
+    return awh_fep_step(None, awh, delta_h, step, params, temp)
+
+
 def awh_free_energy(awh: AwhState, temperature: float) -> jnp.ndarray:
     """DeltaG_m - DeltaG_0 in kJ/mol from the converged bias (the bias
     f_m is the running beta*DeltaG_m estimate)."""

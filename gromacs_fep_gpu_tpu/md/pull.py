@@ -49,12 +49,20 @@ def pull_distance(x, box, mass, coord: PullCoord):
     return jnp.sqrt(jnp.sum(d * d) + 1e-20)
 
 
-def pull_energy(x, box, mass, coords: Sequence[PullCoord], t):
-    """Total pull potential at time t (ps); differentiable in x."""
+def pull_energy(x, box, mass, coords: Sequence[PullCoord], t,
+                ref_override=None):
+    """Total pull potential at time t (ps); differentiable in x.
+
+    ref_override: optional (static coord index, traced value) replacing
+    that coordinate's reference distance — the AWH umbrella center
+    (reference: awh.cpp Awh::applyBiasForcesAndUpdateBias sets the pull
+    coordinate's umbrella to the current grid point)."""
     e = jnp.zeros((), x.dtype)
-    for c in coords:
+    for i, c in enumerate(coords):
         r = pull_distance(x, box, mass, c)
         ref = c.init + c.rate * t
+        if ref_override is not None and i == ref_override[0]:
+            ref = ref_override[1]
         if c.type == PullType.UMBRELLA:
             e = e + 0.5 * c.k * (r - ref) ** 2
         elif c.type == PullType.CONSTANT_FORCE:
@@ -65,12 +73,15 @@ def pull_energy(x, box, mass, coords: Sequence[PullCoord], t):
     return e
 
 
-def pull_scalar_forces(dists, coords: Sequence[PullCoord], t):
+def pull_scalar_forces(dists, coords: Sequence[PullCoord], t,
+                       ref_override=None):
     """Per-coordinate scalar force -dE/dr (the pullf.xvg quantity,
     reference: pulling/output.cpp pull_print_f)."""
     fs = []
-    for c, r in zip(coords, dists):
+    for i, (c, r) in enumerate(zip(coords, dists)):
         ref = c.init + c.rate * t
+        if ref_override is not None and i == ref_override[0]:
+            ref = ref_override[1]
         if c.type == PullType.UMBRELLA:
             fs.append(-c.k * (r - ref))
         elif c.type == PullType.CONSTANT_FORCE:
@@ -86,9 +97,11 @@ def make_pull_force_fn(coords: Sequence[PullCoord], mass):
     mass = jnp.asarray(mass)
     coords = tuple(coords)
 
-    def pull_fn(x, box, t):
-        e, g = jax.value_and_grad(pull_energy)(x, box, mass, coords, t)
+    def pull_fn(x, box, t, ref_override=None):
+        e, g = jax.value_and_grad(pull_energy)(x, box, mass, coords, t,
+                                               ref_override)
         dists = jnp.stack([pull_distance(x, box, mass, c) for c in coords])
-        return -g, e, dists, pull_scalar_forces(dists, coords, t)
+        return -g, e, dists, pull_scalar_forces(dists, coords, t,
+                                                ref_override)
 
     return pull_fn

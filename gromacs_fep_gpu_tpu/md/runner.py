@@ -420,6 +420,7 @@ class MdRunner:
                 xi=jnp.zeros((nh_len,), state.x.dtype),
                 vxi=jnp.zeros((nh_len,), state.x.dtype)))
         if (self.params.awh is not None and self.all_lambda is not None
+                and self.params.awh.coord_provider == "fep-lambda"
                 and state.dfhist is None):
             from ..core.units import BOLTZ
             from .awh import AwhState
@@ -427,6 +428,25 @@ class MdRunner:
                 int(self.all_lambda.shape[0]),
                 self.params.awh.error_init
                 / (BOLTZ * self.params.ref_t)))
+        if (self.params.awh is not None
+                and self.params.awh.coord_provider == "pull"):
+            # continuous-coordinate AWH: bias over the umbrella grid;
+            # start from the grid point nearest the initial coordinate
+            # (reference: coordstate.cpp CoordState constructor)
+            from ..core.units import BOLTZ
+            from .awh import AwhState
+            from .pull import pull_distance
+            a = self.params.awh
+            if state.dfhist is None:
+                state = state.replace(dfhist=AwhState.init(
+                    a.n_points, a.error_init / (BOLTZ * self.params.ref_t)))
+            if state.awh_center is None:
+                xi0 = float(pull_distance(
+                    state.x, state.box, jnp.asarray(self.system.mass_a),
+                    self.params.pull[a.pull_coord - 1]))
+                centers = np.linspace(a.coord_min, a.coord_max, a.n_points)
+                state = state.replace(awh_center=jnp.asarray(
+                    int(np.argmin(np.abs(centers - xi0))), jnp.int32))
         if self.config.cell_size is None and not self.config.use_dense:
             vol = float(np.prod(np.diag(np.asarray(state.box))))
             n = max(self.system.n_atoms, 1)

@@ -204,9 +204,25 @@ def make_step_fn(system: System, params: MdParams, force_fn: Callable,
         and exp.nstexpanded > 0 and exp.lmc_move not in ("no", "")
     # AWH biasing on the lambda coordinate (awh.h:256 fepLambdaState);
     # mutually exclusive with expanded ensemble (readir.cpp checks)
-    has_awh = params.awh is not None and all_lambda is not None
+    has_awh = (params.awh is not None and all_lambda is not None
+               and params.awh.coord_provider == "fep-lambda")
     if has_awh and has_expanded:
         raise ValueError("awh and expanded ensemble are mutually exclusive")
+    # AWH on a continuous pull coordinate (awh1-dim1-coord-provider =
+    # pull): the bias umbrella-couples to one pull coordinate whose
+    # reference distance tracks the current grid point
+    has_awh_pull = (params.awh is not None
+                    and params.awh.coord_provider == "pull")
+    awh_centers = None
+    if has_awh_pull:
+        if not has_pull:
+            raise ValueError("awh coord-provider = pull needs pull coords")
+        if not (1 <= params.awh.pull_coord <= len(params.pull)):
+            raise ValueError(f"awh pull-coord {params.awh.pull_coord} "
+                             "out of range")
+        awh_centers = jnp.linspace(params.awh.coord_min,
+                                   params.awh.coord_max,
+                                   params.awh.n_points)
     sim_temps = None
     if has_expanded and exp.sim_temp:
         from .expanded import simulated_tempering_temperatures
@@ -273,8 +289,13 @@ def make_step_fn(system: System, params: MdParams, force_fn: Callable,
         pull_f_log = jnp.zeros((0,), state.x.dtype)
         if has_pull:
             t_ps = state.step.astype(state.x.dtype) * dt
+            ref_ov = None
+            if has_awh_pull:
+                ref_ov = (params.awh.pull_coord - 1,
+                          jnp.asarray(awh_centers,
+                                      state.x.dtype)[state.awh_center])
             f_pull, e_pull, pull_x, pull_f_log = pull_fn(state.x, state.box,
-                                                         t_ps)
+                                                         t_ps, ref_ov)
             f = f + f_pull
             terms = terms.replace(restraints=terms.restraints + e_pull)
         if efield_fn is not None:
@@ -365,6 +386,25 @@ def make_step_fn(system: System, params: MdParams, force_fn: Callable,
             fep_state_next = lamnew
             lam_next_vec = jnp.where(
                 do_mc, jnp.asarray(all_lambda, lam.dtype)[:, lamnew], lam)
+
+        # --- AWH on a pull coordinate: sample + move the umbrella grid
+        # point (awh.cpp applyBiasForcesAndUpdateBias; the umbrella jump
+        # takes effect in the next step's pull reference) ---
+        awh_center_next = state.awh_center
+        if has_awh_pull:
+            from .awh import awh_pull_step
+            do_mc = (((state.step % params.awh.nstsample) == 0)
+                     & (state.step > 0))
+            xi = pull_x[params.awh.pull_coord - 1]
+            cnew_raw, awh_new = awh_pull_step(
+                state.dfhist, xi,
+                jnp.asarray(awh_centers, state.x.dtype),
+                params.awh.force_constant, state.step, params.awh,
+                params.ref_t)
+            awh_center_next = jnp.where(do_mc, cnew_raw,
+                                        state.awh_center).astype(jnp.int32)
+            dfhist_next = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(do_mc, a, b), awh_new, state.dfhist)
 
         ref_t_eff = params.ref_t
         if sim_temps is not None:
@@ -705,7 +745,7 @@ def make_step_fn(system: System, params: MdParams, force_fn: Callable,
         new_state = state.replace(
             x=x_new, v=v_new, box=box_new, lam=lam_next_vec,
             fep_state=fep_state_next, dfhist=dfhist_next,
-            densfit=densfit_next,
+            densfit=densfit_next, awh_center=awh_center_next,
             step=state.step + 1, coupling=coupl)
         epot_log = jnp.where(do_ener, terms.epot,
                              jnp.asarray(jnp.nan, state.x.dtype))

@@ -126,3 +126,87 @@ def test_awh_mdrun_end_to_end():
     assert float(state.dfhist.n_total) > 0
     # the bias moved off zero (free-energy differences are real here)
     assert np.abs(f - f[0]).max() > 1e-3
+
+
+def test_awh_pull_linear_potential_estimator():
+    """Continuous-coordinate AWH on an analytic landscape: sample xi
+    from the EXACT umbrella-biased Boltzmann distribution of a linear
+    potential U(xi) = a*xi (a Gaussian, so no MD needed) and check the
+    bias converges to the analytic free-energy profile
+    dG_m = a*(xi_m - xi_0) (reference: bias.cpp moveUmbrella +
+    pointstate.h updateFreeEnergy, coord-provider = pull)."""
+    from gromacs_fep_gpu_tpu.md.awh import awh_pull_step
+
+    a = 6.0          # kJ/mol/nm
+    k = 2000.0       # umbrella, kJ/mol/nm^2
+    n_pts = 6
+    centers = jnp.linspace(0.2, 0.7, n_pts)
+    params = AwhParams(nstsample=1, n_samples_update=5, error_init=5.0,
+                       coord_provider="pull", force_constant=k,
+                       coord_min=0.2, coord_max=0.7, n_points=n_pts)
+    awh = AwhState.init(n_pts, params.error_init / KT)
+    m = jnp.asarray(0, jnp.int32)
+    rng = np.random.RandomState(7)
+    sigma = np.sqrt(KT / k)
+    step_jit = jax.jit(lambda aw, xi, t: awh_pull_step(
+        aw, xi, centers, k, t, params, T))
+    for t in range(4000):
+        # xi | umbrella m  ~  N(xi_m - a/k, kT/k) for U = a*xi
+        mu = float(centers[int(m)]) - a / k
+        xi = jnp.asarray(rng.normal(mu, sigma), jnp.float32)
+        m_new, awh = step_jit(awh, xi, jnp.asarray(t))
+        m = m_new
+    dg = np.asarray(awh_free_energy(awh, T))
+    expect = a * (np.asarray(centers) - float(centers[0]))
+    assert np.isfinite(dg).all()
+    np.testing.assert_allclose(dg, expect, atol=0.8)   # ~0.3 kT
+
+
+def test_awh_pull_mdrun_end_to_end(tmp_path):
+    """AWH biasing a pull distance through grompp+mdrun: the umbrella
+    center must move across the grid and the PMF must be finite."""
+    import os
+    from gromacs_fep_gpu_tpu.cli import main as cli_main
+    from gromacs_fep_gpu_tpu.io.xvgio import read_xvg
+    from tests.test_cli import MDP, TOP, make_water_gro
+    os.chdir(tmp_path)
+    make_water_gro("conf.gro")
+    with open("topol.top", "w") as f:
+        f.write(TOP)
+    mdp = MDP.replace("nsteps = 30", "nsteps = 120") + """
+pull = yes
+pull-ngroups = 2
+pull-ncoords = 1
+pull-group1-atoms = 1
+pull-group2-atoms = 4
+pull-coord1-groups = 1 2
+pull-coord1-type = umbrella
+pull-coord1-k = 2000
+pull-coord1-init = 0.4
+awh = yes
+awh-nstsample = 2
+awh-nsamples-update = 3
+awh1-dim1-coord-provider = pull
+awh1-dim1-coord-index = 1
+awh1-dim1-start = 0.25
+awh1-dim1-end = 0.55
+awh1-dim1-grid-points = 7
+awh1-dim1-force-constant = 2000
+awh1-error-init = 20
+"""
+    with open("md.mdp", "w") as f:
+        f.write(mdp)
+    cli_main(["grompp", "-f", "md.mdp", "-p", "topol.top", "-c", "conf.gro",
+              "-o", "topol.tpz"])
+    cli_main(["mdrun", "-s", "topol.tpz", "-deffnm", "awp", "-fep", "cpu"])
+    assert os.path.exists("awp.awh.xvg")
+    data, _ = read_xvg("awp.awh.xvg")
+    assert data.shape == (7, 3)
+    assert np.isfinite(data).all()
+    # x axis is the coordinate grid in nm, not lambda indices
+    np.testing.assert_allclose(data[0, 0], 0.25, atol=1e-4)
+    np.testing.assert_allclose(data[-1, 0], 0.55, atol=1e-4)
+    # restart from checkpoint preserves the AWH state
+    cli_main(["mdrun", "-s", "topol.tpz", "-deffnm", "awp2",
+              "-cpi", "awp.cpt", "-fep", "cpu"])
+    assert os.path.exists("awp2.awh.xvg")
