@@ -438,6 +438,9 @@ class MdParams:
     # AWH biasing on the FEP lambda coordinate
     # (reference: applied_forces/awh/awh.h:256 fepLambdaState)
     awh: Optional[AwhParams] = None
+    # flat LJ walls at z=0 / z=box_zz (md/walls.py WallParams;
+    # reference: mdlib/wall.cpp, mdp nwall/wall-type/wall-atomtype)
+    walls: Optional[Any] = None
 
     # COM pulling (reference: pulling/pull.cpp, hooked via
     # computeSpecialForces sim_util.cpp:624): tuple of md.pull.PullCoord

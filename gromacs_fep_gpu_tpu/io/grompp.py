@@ -138,6 +138,17 @@ def preprocess_arrays(mdp_text: str, top_text: str, names, resnames,
         raise ValueError(f"topology has {system.n_atoms} atoms, "
                          f"coordinates {x.shape[0]}")
 
+    # flat LJ walls: wall-atomtype names resolve through the topology's
+    # type table (reference: readir.cpp read_wall_params + do_wall_params)
+    from .mdpio import parse_mdp
+    kv_walls = parse_mdp(mdp_text)
+    if int(kv_walls.get("nwall", "0").split()[0] or 0) > 0:
+        from ..md.walls import parse_walls
+        from .topio import parse_top as _parse_top
+        parsed_top = _parse_top(top_text, include_dirs, extras["defines"])
+        tindex = {n: at.index for n, at in parsed_top.atomtypes.items()}
+        params = params.replace(walls=parse_walls(kv_walls, tindex))
+
     # position-restraint reference coordinates from the input conformation
     # (reference: gmxpreprocess/grompp.cpp gen_posres)
     if "posres" in system.bonded:

@@ -14,6 +14,7 @@ from typing import Callable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import struct
 
 from ..core import pbc as pbc_mod
@@ -193,6 +194,22 @@ def make_step_fn(system: System, params: MdParams, force_fn: Callable,
         from .efield import make_efield_force_fn
         efield_fn = make_efield_force_fn(params.efield, system.charge_a,
                                          system.charge_b)
+    # flat LJ walls (reference: wall.cpp do_walls, called from
+    # do_force's special-forces region)
+    wall_fn = None
+    if params.walls is not None:
+        from .walls import wall_energy
+        _wall_pert = bool(np.any(np.asarray(system.type_a)
+                                 != np.asarray(system.type_b)))
+
+        def wall_fn(x, box, lamv):
+            e, g = jax.value_and_grad(wall_energy)(
+                x, box, system.type_a, system.type_b, system.nbfp,
+                params.walls, lamv, _wall_pert)
+            dvdl = jax.grad(wall_energy, argnums=6)(
+                x, box, system.type_a, system.type_b, system.nbfp,
+                params.walls, lamv, _wall_pert)
+            return -g, e, dvdl
     # density-guided simulation (another computeSpecialForces provider;
     # reference: densityfittingforceprovider.cpp:255 calculateForces)
     has_densfit = densfit_fn is not None and params.densfit is not None
@@ -301,6 +318,13 @@ def make_step_fn(system: System, params: MdParams, force_fn: Callable,
         if efield_fn is not None:
             t_ps = state.step.astype(state.x.dtype) * dt
             f = f + efield_fn(t_ps, lam[FepCoupling.COUL])
+        if wall_fn is not None:
+            f_w, e_w, dvdl_w = wall_fn(state.x, state.box,
+                                       lam[FepCoupling.VDW])
+            f = f + f_w
+            terms = terms.replace(
+                lj=terms.lj + e_w,
+                dvdl=terms.dvdl.at[FepCoupling.VDW].add(dvdl_w))
         densfit_sim = jnp.asarray(jnp.nan, state.x.dtype)
         densfit_next = state.densfit
         if has_densfit:
@@ -591,6 +615,18 @@ def make_step_fn(system: System, params: MdParams, force_fn: Callable,
                     state.box * (1.0 + e)[None, :],
                     mass, params.pull, t_ps))(jnp.zeros(3, state.x.dtype))
                 vir = vir + 0.5 * du
+            if wall_fn is not None:
+                # wall strain term (wall.cpp sumRF -> virial): the upper
+                # wall rides box_zz, so a plain strain gradient captures
+                # both walls' z-virial
+                from .walls import wall_energy as _we
+                du_w = jax.grad(lambda e: _we(
+                    state.x * (1.0 + e)[None, :],
+                    state.box * (1.0 + e)[None, :],
+                    system.type_a, system.type_b, system.nbfp,
+                    params.walls, lam[FepCoupling.VDW],
+                    _wall_pert))(jnp.zeros(3, state.x.dtype))
+                vir = vir + 0.5 * du_w
             ekin_diag = 0.5 * jnp.sum(mass[:, None] * v_new * v_new, axis=0)
             p_diag = 2.0 / vol * (ekin_diag - vir) * PRESFAC
             if p_extra_fn is not None:
