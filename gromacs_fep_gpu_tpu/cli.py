@@ -1175,6 +1175,65 @@ def cmd_hbond(args):
     print(f"hbond: mean {counts.mean():.2f} bonds/frame -> {args.o}")
 
 
+def cmd_sasa(args):
+    """Solvent-accessible surface area, Shrake-Rupley
+    (reference: gmx sasa, trajectoryanalysis/modules/sasa.cpp)."""
+    from .analysis.sasa import radii_from_nbfp, sasa
+    pp, data = _load_tpz(args.s)
+    frames, boxes, times = _read_traj_frames(args.f)
+    radii = radii_from_nbfp(np.asarray(pp.system.nbfp),
+                            np.asarray(pp.system.type_a))
+    sel = (_group_arg(args.sel, args, len(radii)) if args.sel
+           else np.arange(len(radii)))
+    series = [sasa(np.asarray(f)[sel], radii[sel], probe=args.probe,
+                   n_points=args.ndots, box=b)[0]
+              for f, b in zip(frames, boxes)]
+    _write_series_xvg(args.o, "Solvent accessible surface",
+                      "Time (ps)", "Area (nm^2)", times, series)
+    print(f"sasa: mean {np.mean(series):.3f} nm^2 -> {args.o}")
+
+
+def cmd_dipoles(args):
+    """Total dipole moment + dielectric estimate
+    (reference: gmxana/gmx_dipoles.cpp)."""
+    from .analysis.electro import ENM2DEBYE, dipole_series, dipole_stats
+    pp, data = _load_tpz(args.s)
+    frames, boxes, times = _read_traj_frames(args.f)
+    q = np.asarray(pp.system.charge_a)
+    sel = (_group_arg(args.sel, args, len(q)) if args.sel else None)
+    m = dipole_series(frames, q, sel)
+    vol = float(np.prod(np.diag(np.asarray(boxes[0]))))
+    st = dipole_stats(m, vol, args.temp)
+    _write_series_xvg(args.o, "Total dipole moment", "Time (ps)",
+                      "|M| (D)", times,
+                      np.sqrt((m * m).sum(1)) * ENM2DEBYE)
+    print(f"dipoles: <|M|> = {st['mu_mean_D']:.4f} D, "
+          f"epsilon = {st['epsilon']:.3f} -> {args.o}")
+
+
+def cmd_potential(args):
+    """Electrostatic potential profile across the box
+    (reference: gmxana/gmx_potential.cpp)."""
+    from .analysis.electro import potential_profile
+    pp, data = _load_tpz(args.s)
+    frames, boxes, _ = _read_traj_frames(args.f)
+    q = np.asarray(pp.system.charge_a)
+    sel = (_group_arg(args.sel, args, len(q)) if args.sel else None)
+    centers, rho, volt = potential_profile(
+        frames, boxes, q, axis="xyz".index(args.axis),
+        nslices=args.sl, group=sel)
+    with open(args.o, "w") as f:
+        f.write('@    title "Electrostatic potential"\n'
+                f'@    xaxis  label "{args.axis} (nm)"\n'
+                '@    yaxis  label "psi (V)"\n'
+                '@ s0 legend "potential (V)"\n'
+                '@ s1 legend "charge density (e/nm^3)"\n')
+        for c, v, r in zip(centers, volt, rho):
+            f.write(f"{c:.5f} {v:.6f} {r:.6f}\n")
+    print(f"potential: range [{volt.min():.4f}, {volt.max():.4f}] V "
+          f"-> {args.o}")
+
+
 def _write_series_xvg(path, title, xlabel, ylabel, xs, ys):
     with open(path, "w") as f:
         f.write(f"@    title \"{title}\"\n"
@@ -1561,6 +1620,22 @@ def main(argv=None):
     t.add_argument("-r", type=float, default=0.35, help="D-A cutoff (nm)")
     t.add_argument("-a", type=float, default=30.0,
                    help="H-D-A angle cutoff (deg)")
+
+    t = _traj_tool("sasa", "solvent accessible surface area "
+                           "(reference: gmx sasa)", cmd_sasa)
+    t.add_argument("-sel", default=None)
+    t.add_argument("-probe", type=float, default=0.14)
+    t.add_argument("-ndots", type=int, default=240)
+    t = _traj_tool("dipoles", "total dipole moment + epsilon "
+                              "(reference: gmx dipoles)", cmd_dipoles)
+    t.add_argument("-sel", default=None)
+    t.add_argument("-temp", type=float, default=300.0)
+    t = _traj_tool("potential", "electrostatic potential profile "
+                                "(reference: gmx potential)",
+                   cmd_potential)
+    t.add_argument("-sel", default=None)
+    t.add_argument("-axis", default="z", choices=("x", "y", "z"))
+    t.add_argument("-sl", type=int, default=50)
 
     wh = sub.add_parser("wham", help="umbrella PMF from pullx windows "
                                      "(reference: gmx wham)")
