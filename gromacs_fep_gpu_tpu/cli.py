@@ -535,6 +535,20 @@ def _do_rerun(args, system, params, state, lam_arr):
             return terms, dh, ovf
         return ev
 
+    # energy-group decomposition (reference: nbnxm Egrp kernels filling
+    # gmx_grppairener_t; here the dense path evaluates each group pair)
+    eg_fn = None
+    eg_rows = []
+    if params.energygrps:
+        from .ops.forces import dense_group_energies, get_beta
+        if system.n_atoms > 6000:
+            print(f"note: energygrps decomposition is O(N^2); "
+                  f"{system.n_atoms} atoms will be slow")
+        eg_idx = [np.asarray(g, np.int32) for _, g in params.energygrps]
+        beta_eg = get_beta(params)
+        eg_fn = jax.jit(lambda x, box, lam: dense_group_energies(
+            x, box, lam, system, params, eg_idx, beta_eg))
+
     ev = make_eval(nnbr, fep_max)
     rows, dvdls, dhs, times = [], [], [], []
     i = 0
@@ -552,10 +566,35 @@ def _do_rerun(args, system, params, state, lam_arr):
         rows.append([fr["time"], float(terms.epot)])
         dvdls.append(np.asarray(terms.dvdl))
         dhs.append(np.asarray(dh))
+        if eg_fn is not None:
+            ec, el = eg_fn(x, box, lam)
+            ec, el = np.asarray(ec), np.asarray(el)
+            G = ec.shape[0]
+            eg_rows.append([fr["time"]]
+                           + [v for a in range(G) for b in range(a, G)
+                              for v in (ec[a, b], el[a, b])])
         i += 1
     deffnm = args.deffnm
     np.savetxt(f"{deffnm}.ener.csv", np.asarray(rows),
                header="time epot", comments="# ")
+    if eg_rows:
+        gnames = [nm for nm, _ in params.energygrps]
+        with open(f"{deffnm}.eg.xvg", "w") as f:
+            f.write('@    title "Group pair energies"\n'
+                    '@    xaxis  label "Time (ps)"\n'
+                    '@    yaxis  label "(kJ/mol)"\n')
+            s = 0
+            for a in range(len(gnames)):
+                for b in range(a, len(gnames)):
+                    f.write(f'@ s{s} legend "Coul-SR:{gnames[a]}-'
+                            f'{gnames[b]}"\n')
+                    f.write(f'@ s{s + 1} legend "LJ-SR:{gnames[a]}-'
+                            f'{gnames[b]}"\n')
+                    s += 2
+            for r in eg_rows:
+                f.write(" ".join(f"{v:.6f}" for v in r) + "\n")
+        print(f"energygrps: wrote {deffnm}.eg.xvg "
+              f"({len(gnames)} groups)")
     if lam_arr is not None:
         write_dhdl_xvg(f"{deffnm}.dhdl.xvg", np.asarray(times),
                        np.asarray(dvdls), np.asarray(dhs),

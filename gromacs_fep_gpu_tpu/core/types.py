@@ -441,6 +441,10 @@ class MdParams:
     # flat LJ walls at z=0 / z=box_zz (md/walls.py WallParams;
     # reference: mdlib/wall.cpp, mdp nwall/wall-type/wall-atomtype)
     walls: Optional[Any] = None
+    # energy groups: ((name, (atom indices...)), ...) — per-group-pair
+    # short-range energy decomposition, honored by mdrun -rerun
+    # (reference: mdp energygrps; nbnxm Egrp kernel flavor)
+    energygrps: Optional[Tuple] = None
 
     # COM pulling (reference: pulling/pull.cpp, hooked via
     # computeSpecialForces sim_util.cpp:624): tuple of md.pull.PullCoord

@@ -149,6 +149,17 @@ def preprocess_arrays(mdp_text: str, top_text: str, names, resnames,
         tindex = {n: at.index for n, at in parsed_top.atomtypes.items()}
         params = params.replace(walls=parse_walls(kv_walls, tindex))
 
+    # energy groups (reference: readir.cpp do_egp_flag / energygrps):
+    # names resolve through the index groups; honored by mdrun -rerun
+    eg_names = kv_walls.get("energygrps", "").split()
+    if eg_names:
+        from .ndxio import resolve_group
+        egs = tuple(
+            (nm, tuple(int(i) for i in
+                       resolve_group(nm, ndx, system.n_atoms)))
+            for nm in eg_names)
+        params = params.replace(energygrps=egs)
+
     # position-restraint reference coordinates from the input conformation
     # (reference: gmxpreprocess/grompp.cpp gen_posres)
     if "posres" in system.bonded:

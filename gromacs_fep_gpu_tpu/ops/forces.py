@@ -35,6 +35,61 @@ def get_beta(params: MdParams) -> Optional[float]:
     return None
 
 
+def dense_group_energies(x, box, lam, system: System, params: MdParams,
+                         groups, beta: Optional[float] = None):
+    """Per-energy-group-pair short-range (e_coul, e_lj) matrices
+    (reference: mdp `energygrps`; the nbnxm kernels' Egrp flavor,
+    kerneldispatch.cpp energy-group output into gmx_grppairener_t).
+
+    groups: sequence of index arrays (need not cover all atoms — pairs
+    outside any group are simply not reported, as gmx does with `rest`).
+    Returns two (G, G) symmetric matrices, each pair counted once in
+    [gi, gj] with gi <= gj.  Exact for FEP via the same soft-core path
+    as dense_energy."""
+    n = system.n_atoms
+    epsfac = ONE_4PI_EPS0 / params.epsilon_r
+    lam_c = lam[FepCoupling.COUL]
+    lam_v = lam[FepCoupling.VDW]
+    excl = nbref.exclusion_matrix(system.exclusions.idx, n)
+    pert = system.perturbed.astype(jnp.float32)
+    pert_pair = jnp.maximum(pert[:, None], pert[None, :])
+    normal_pair = 1.0 - pert_pair
+    c6m, c12m = nbref.pair_lj_params(system, system.type_a)
+    c6b, c12b = nbref.pair_lj_params(system, system.type_b)
+    pair = FepPairData(
+        qq_a=epsfac * system.charge_a[:, None] * system.charge_a[None, :],
+        qq_b=epsfac * system.charge_b[:, None] * system.charge_b[None, :],
+        c6_a=c6m, c12_a=c12m, c6_b=c6b, c12_b=c12b)
+    dx = pbc_mod.pbc_dx(x[:, None, :] - x[None, :, :], box)
+    r2 = jnp.sum(dx * dx, -1)
+    triu = jnp.triu(jnp.ones((n, n), jnp.float32), k=1)
+
+    members = []
+    for g in groups:
+        m = jnp.zeros((n,), jnp.float32).at[jnp.asarray(g)].set(1.0)
+        members.append(m)
+    G = len(members)
+    e_c = jnp.zeros((G, G), x.dtype)
+    e_l = jnp.zeros((G, G), x.dtype)
+    for a in range(G):
+        for b in range(a, G):
+            ma, mb = members[a], members[b]
+            gmask = ma[:, None] * mb[None, :]
+            if a != b:
+                gmask = gmask + mb[:, None] * ma[None, :]
+            ec_n, el_n = nbref.dense_nonbonded_energy(
+                x, box, system.charge_a, c6m, c12m, excl,
+                normal_pair * gmask, params, beta)
+            sel = pert_pair * triu * gmask
+            v_c, v_v = softcore_pair_energies(
+                r2, pair, lam_c, lam_v, sel * (1.0 - excl), sel * excl,
+                is_self=jnp.zeros_like(r2), fep=params.fep, params=params,
+                beta=beta)
+            e_c = e_c.at[a, b].set(ec_n + jnp.sum(v_c))
+            e_l = e_l.at[a, b].set(el_n + jnp.sum(v_v))
+    return e_c, e_l
+
+
 def dense_energy(x, box, lam, system: System, params: MdParams,
                  beta: Optional[float] = None,
                  pme_recip_fn: Optional[Callable] = None) -> EnergyTerms:
