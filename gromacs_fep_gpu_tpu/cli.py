@@ -952,6 +952,76 @@ def cmd_genion(args):
           f" {args.nname} {len(neg)}")
 
 
+def cmd_editconf(args):
+    """Structure/box editing + gro<->pdb conversion
+    (reference: gmx editconf, tools/editconf.cpp): -box sets the box,
+    -d sets it from the solute extent plus a margin, -c centers, and
+    the output format follows the -o extension."""
+    from .io.groio import write_gro
+    from .io.pdbio import read_structure, write_pdb
+
+    names, resnames, x, v, box = read_structure(args.f)
+    x = np.asarray(x, np.float64)
+    if args.box:
+        vals = [float(t) for t in args.box]
+        if len(vals) == 1:
+            vals = vals * 3
+        box = np.diag(vals)
+    elif args.d is not None:
+        ext = x.max(0) - x.min(0)
+        box = np.diag(ext + 2.0 * args.d)
+    if args.c:
+        bd = np.diag(np.asarray(box))
+        x = x - (x.max(0) + x.min(0)) / 2.0 + bd / 2.0
+    if args.translate:
+        x = x + np.asarray([float(t) for t in args.translate])
+    if args.rotate:
+        ang = np.radians([float(t) for t in args.rotate])
+        for axis, a in enumerate(ang):
+            if a == 0.0:
+                continue
+            c, s = np.cos(a), np.sin(a)
+            i, j = [(1, 2), (0, 2), (0, 1)][axis]
+            rot = np.eye(3)
+            rot[i, i] = rot[j, j] = c
+            rot[i, j], rot[j, i] = -s, s
+            x = x @ rot.T
+    if args.o.lower().endswith(".pdb"):
+        write_pdb(args.o, "edited by tpumd", names, resnames, x, box=box)
+    else:
+        write_gro(args.o, "edited by tpumd", names, resnames, x,
+                  (np.asarray(v) if v is not None and not args.novel
+                   else None), box)
+    bd = np.diag(np.asarray(box))
+    print(f"editconf: {len(names)} atoms, box "
+          f"{bd[0]:.4f} x {bd[1]:.4f} x {bd[2]:.4f} -> {args.o}")
+
+
+def cmd_genrestr(args):
+    """Generate a [ position_restraints ] .itp for a group
+    (reference: gmx genrestr, gmxpreprocess/genrestr.cpp)."""
+    from .io.pdbio import read_structure
+
+    names, resnames, x, _, _ = read_structure(args.f)
+    if args.sel:
+        idx = _group_arg(args.sel, args, len(names))
+    else:
+        # default: all heavy atoms (gmx genrestr default group choice
+        # is interactive; non-hydrogen is the common case)
+        idx = np.asarray([i for i, nm in enumerate(names)
+                          if not nm.strip().upper().startswith("H")],
+                         np.int32)
+    fx, fy, fz = args.fc
+    with open(args.o, "w") as f:
+        f.write("; position restraints generated by tpumd genrestr\n")
+        f.write("[ position_restraints ]\n")
+        f.write(";  i funct       fcx        fcy        fcz\n")
+        for i in np.asarray(idx):
+            f.write(f"{int(i) + 1:4d}    1 {fx:9.0f} {fy:9.0f} "
+                    f"{fz:9.0f}\n")
+    print(f"genrestr: {len(idx)} restraints -> {args.o}")
+
+
 def cmd_make_ndx(args):
     """Non-interactive index-file generation (reference: gmx make_ndx
     auto groups, topology/index.cpp analyse): System / Water /
@@ -1578,6 +1648,32 @@ def main(argv=None):
     gi.add_argument("-nname", default="CL")
     gi.add_argument("-seed", type=int, default=1993)
     gi.set_defaults(fn=cmd_genion)
+
+    ec = sub.add_parser("editconf", help="edit box/center/convert "
+                                         "(reference: gmx editconf)")
+    ec.add_argument("-f", required=True, help="structure (.gro/.pdb)")
+    ec.add_argument("-o", default="out.gro", help=".gro or .pdb")
+    ec.add_argument("-box", nargs="+", default=None,
+                    help="box lengths (1 or 3 values, nm)")
+    ec.add_argument("-d", type=float, default=None,
+                    help="box from solute extent + margin (nm)")
+    ec.add_argument("-c", action="store_true", help="center in the box")
+    ec.add_argument("-translate", nargs=3, default=None)
+    ec.add_argument("-rotate", nargs=3, default=None,
+                    help="degrees around x, y, z")
+    ec.add_argument("-novel", action="store_true",
+                    help="drop velocities")
+    ec.set_defaults(fn=cmd_editconf)
+
+    gr = sub.add_parser("genrestr", help="position-restraint itp "
+                                         "(reference: gmx genrestr)")
+    gr.add_argument("-f", required=True, help="structure (.gro/.pdb)")
+    gr.add_argument("-o", default="posre.itp")
+    gr.add_argument("-n", default=None, help="index file")
+    gr.add_argument("-sel", default=None, help="group (default: heavy)")
+    gr.add_argument("-fc", nargs=3, type=float,
+                    default=[1000.0, 1000.0, 1000.0])
+    gr.set_defaults(fn=cmd_genrestr)
 
     mn = sub.add_parser("make-ndx", help="write auto index groups "
                                          "(reference: gmx make_ndx)")
