@@ -952,6 +952,105 @@ def cmd_genion(args):
           f" {args.nname} {len(neg)}")
 
 
+def cmd_distance(args):
+    """COM distance time series between two groups
+    (reference: gmx distance)."""
+    frames, boxes, times = _read_traj_frames(args.f)
+    n = len(frames[0])
+    g1 = _group_arg(args.g1, args, n)
+    g2 = _group_arg(args.g2, args, n)
+    out = []
+    for x, box in zip(frames, boxes):
+        bd = np.diag(np.asarray(box, np.float64))
+        d = np.asarray(x)[g1].mean(0) - np.asarray(x)[g2].mean(0)
+        d -= bd * np.round(d / bd)
+        out.append(float(np.sqrt((d * d).sum())))
+    _write_series_xvg(args.o, "COM distance", "Time (ps)", "d (nm)",
+                      times, out)
+    print(f"distance: mean {np.mean(out):.4f} +- {np.std(out):.4f} nm "
+          f"-> {args.o}")
+
+
+def cmd_angle(args):
+    """Angle / dihedral time series over atom triplets or quadruplets
+    (reference: gmx angle, gmxana/gmx_angle.cpp).  -sel lists 1-based
+    atoms in groups of 3 (-type angle) or 4 (-type dihedral)."""
+    frames, boxes, times = _read_traj_frames(args.f)
+    idx = np.asarray([int(v) - 1 for v in args.sel.split()], np.int32)
+    k = 3 if args.type == "angle" else 4
+    if len(idx) % k:
+        raise SystemExit(f"angle: -sel length must be a multiple of {k}")
+    sets = idx.reshape(-1, k)
+    rows = []
+    for x, box in zip(frames, boxes):
+        x = np.asarray(x, np.float64)
+        bd = np.diag(np.asarray(box, np.float64))
+
+        def mi(d):
+            return d - bd * np.round(d / bd)
+        vals = []
+        for s in sets:
+            if k == 3:
+                v1 = mi(x[s[0]] - x[s[1]])
+                v2 = mi(x[s[2]] - x[s[1]])
+                c = np.dot(v1, v2) / (np.linalg.norm(v1)
+                                      * np.linalg.norm(v2))
+                vals.append(np.degrees(np.arccos(np.clip(c, -1, 1))))
+            else:
+                b1 = mi(x[s[1]] - x[s[0]])
+                b2 = mi(x[s[2]] - x[s[1]])
+                b3 = mi(x[s[3]] - x[s[2]])
+                n1 = np.cross(b1, b2)
+                n2 = np.cross(b2, b3)
+                m1 = np.cross(n1, b2 / np.linalg.norm(b2))
+                ang = np.degrees(np.arctan2(np.dot(m1, n2),
+                                            np.dot(n1, n2)))
+                vals.append(ang)
+        rows.append(vals)
+    rows = np.asarray(rows)
+    with open(args.o, "w") as f:
+        f.write(f'@    title "{args.type}s"\n'
+                '@    xaxis  label "Time (ps)"\n'
+                '@    yaxis  label "degrees"\n')
+        for t, r in zip(times, rows):
+            f.write(f"{t:.5f} " + " ".join(f"{v:.4f}" for v in r) + "\n")
+    print(f"angle: {rows.shape[1]} {args.type}(s), "
+          f"mean {rows.mean():.2f} deg -> {args.o}")
+
+
+def cmd_convert_tpr(args):
+    """Extend/retarget a run file (reference: gmx convert-tpr
+    -extend/-until/-nsteps, tools/convert_tpr.cpp): rewrites nsteps in
+    the stored mdp text so restarts keep going."""
+    import re as _re
+
+    data = np.load(args.s, allow_pickle=True)
+    mdp_text = str(data["mdp"])
+    m = _re.search(r"^\s*nsteps\s*=\s*(\S+)", mdp_text, _re.M)
+    old_nsteps = int(m.group(1)) if m else 0
+    pp, _ = _load_tpz(args.s)
+    dt = pp.params.dt
+    if args.nsteps is not None:
+        new_nsteps = args.nsteps
+    elif args.extend is not None:
+        new_nsteps = old_nsteps + int(round(args.extend / dt))
+    elif args.until is not None:
+        new_nsteps = int(round(args.until / dt))
+    else:
+        raise SystemExit("convert-tpr: give -nsteps, -extend or -until")
+    if m:
+        mdp_text = (mdp_text[:m.start()]
+                    + f"nsteps = {new_nsteps}" + mdp_text[m.end():])
+    else:
+        mdp_text += f"\nnsteps = {new_nsteps}\n"
+    out = {k: data[k] for k in data.files}
+    out["mdp"] = mdp_text
+    with open(args.o, "wb") as f:
+        np.savez(f, **out)
+    print(f"convert-tpr: nsteps {old_nsteps} -> {new_nsteps} "
+          f"({new_nsteps * dt:g} ps) -> {args.o}")
+
+
 def cmd_editconf(args):
     """Structure/box editing + gro<->pdb conversion
     (reference: gmx editconf, tools/editconf.cpp): -box sets the box,
@@ -1453,6 +1552,24 @@ def cmd_energy(args):
 
 
 def cmd_check(args):
+    if not args.s and not getattr(args, "f", None):
+        raise SystemExit("check: give -s run file and/or -f trajectory")
+    if getattr(args, "f", None):
+        # trajectory summary (reference: gmx check -f, tools/check.cpp):
+        # frame count, time range, per-frame content, simple sanity
+        frames, boxes, times = _read_traj_frames(args.f)
+        print(f"{args.f}: {len(frames)} frames, "
+              f"{len(frames[0])} atoms")
+        if len(times) > 1:
+            dts = np.diff(times)
+            print(f"time: {times[0]:g} .. {times[-1]:g} ps "
+                  f"(dt = {dts[0]:g}{'' if np.allclose(dts, dts[0]) else ' VARIABLE'})")
+        bad = sum(1 for x in frames if not np.isfinite(x).all())
+        print(f"non-finite frames: {bad}")
+        b0 = np.diag(np.asarray(boxes[0]))
+        print(f"box diag (first frame): {b0.round(4)}")
+        if not args.s:
+            return
     from .io.cptio import is_gmx_cpt
     if args.s.endswith(".cpt") and is_gmx_cpt(args.s):
         # gmx dump -cp analogue (reference: checkpoint.cpp list_checkpoint)
@@ -1649,6 +1766,37 @@ def main(argv=None):
     gi.add_argument("-seed", type=int, default=1993)
     gi.set_defaults(fn=cmd_genion)
 
+    dq = sub.add_parser("distance", help="COM distance time series "
+                                         "(reference: gmx distance)")
+    dq.add_argument("-f", required=True)
+    dq.add_argument("-n", default=None)
+    dq.add_argument("-g1", required=True)
+    dq.add_argument("-g2", required=True)
+    dq.add_argument("-o", default="dist.xvg")
+    dq.set_defaults(fn=cmd_distance)
+
+    an = sub.add_parser("angle", help="angle/dihedral time series "
+                                      "(reference: gmx angle)")
+    an.add_argument("-f", required=True)
+    an.add_argument("-sel", required=True,
+                    help="1-based atoms, groups of 3 (angle) / 4 "
+                         "(dihedral)")
+    an.add_argument("-type", default="angle",
+                    choices=("angle", "dihedral"))
+    an.add_argument("-o", default="angle.xvg")
+    an.set_defaults(fn=cmd_angle)
+
+    ct = sub.add_parser("convert-tpr", help="extend/retarget a run "
+                                            "file (reference: gmx "
+                                            "convert-tpr)")
+    ct.add_argument("-s", required=True, help="input .tpz")
+    ct.add_argument("-o", default="extended.tpz")
+    ct.add_argument("-extend", type=float, default=None,
+                    help="additional ps")
+    ct.add_argument("-until", type=float, default=None, help="total ps")
+    ct.add_argument("-nsteps", type=int, default=None)
+    ct.set_defaults(fn=cmd_convert_tpr)
+
     ec = sub.add_parser("editconf", help="edit box/center/convert "
                                          "(reference: gmx editconf)")
     ec.add_argument("-f", required=True, help="structure (.gro/.pdb)")
@@ -1787,8 +1935,10 @@ def main(argv=None):
     wh.add_argument("-o", default="pmf.xvg")
     wh.set_defaults(fn=cmd_wham)
 
-    c = sub.add_parser("check", help="inspect a run file")
-    c.add_argument("-s", required=True)
+    c = sub.add_parser("check", help="inspect run/trajectory files "
+                                     "(reference: gmx check/dump)")
+    c.add_argument("-s", default=None, help="run file (.tpz/.tpr/.cpt)")
+    c.add_argument("-f", default=None, help="trajectory (.trr/.xtc)")
     c.set_defaults(fn=cmd_check)
 
     e = sub.add_parser("energy", help="statistics of energy terms "

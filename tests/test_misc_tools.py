@@ -1,0 +1,88 @@
+"""distance / angle / convert-tpr / check -f tool tests
+(reference: gmx distance, gmx angle, tools/convert_tpr.cpp,
+tools/check.cpp)."""
+import numpy as np
+import pytest
+
+from gromacs_fep_gpu_tpu.cli import main
+from gromacs_fep_gpu_tpu.io.trrio import write_trr_frame
+from gromacs_fep_gpu_tpu.io.xvgio import read_xvg
+
+
+def _traj(path, coords, box_l=2.0):
+    box = np.diag([box_l] * 3).astype(np.float32)
+    for k, x in enumerate(coords):
+        write_trr_frame(path, np.asarray(x, np.float32), box, step=k,
+                        time=0.002 * k)
+    return box
+
+
+def test_distance_com_minimum_image(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    x = [[[0.1, 0.5, 0.5], [0.3, 0.5, 0.5],     # group 1 COM at 0.2
+          [1.9, 0.5, 0.5]],                     # group 2 through the wall
+         [[0.1, 0.5, 0.5], [0.3, 0.5, 0.5], [1.8, 0.5, 0.5]]]
+    _traj("t.trr", x)
+    main(["distance", "-f", "t.trr", "-g1", "1 2", "-g2", "3",
+          "-o", "d.xvg"])
+    d, _ = read_xvg("d.xvg")
+    np.testing.assert_allclose(d[:, 1], [0.3, 0.4], atol=1e-3)
+
+
+def test_angle_and_dihedral(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    # right angle at atom 2; trans dihedral (180) then cis (0)
+    x0 = [[0.5, 0.5, 0.5], [0.6, 0.5, 0.5], [0.6, 0.6, 0.5],
+          [0.7, 0.6, 0.5]]
+    _traj("t.trr", [x0])
+    main(["angle", "-f", "t.trr", "-sel", "1 2 3", "-o", "a.xvg"])
+    a, _ = read_xvg("a.xvg")
+    np.testing.assert_allclose(a[0, 1], 90.0, atol=1e-3)
+    main(["angle", "-f", "t.trr", "-sel", "1 2 3 4", "-type",
+          "dihedral", "-o", "dh.xvg"])
+    dh, _ = read_xvg("dh.xvg")
+    np.testing.assert_allclose(abs(dh[0, 1]), 180.0, atol=1e-3)
+    # cis: atom 4 folded back over atom 1's side
+    x1 = [[0.5, 0.5, 0.5], [0.6, 0.5, 0.5], [0.6, 0.6, 0.5],
+          [0.5, 0.6, 0.5]]
+    _traj("t2.trr", [x1])
+    main(["angle", "-f", "t2.trr", "-sel", "1 2 3 4", "-type",
+          "dihedral", "-o", "dh2.xvg"])
+    dh2, _ = read_xvg("dh2.xvg")
+    np.testing.assert_allclose(dh2[0, 1], 0.0, atol=1e-3)
+    with pytest.raises(SystemExit):
+        main(["angle", "-f", "t.trr", "-sel", "1 2", "-o", "x.xvg"])
+
+
+def test_convert_tpr_extend(tmp_path, monkeypatch):
+    from tests.test_cli import MDP, TOP, make_water_gro
+    monkeypatch.chdir(tmp_path)
+    make_water_gro("conf.gro")
+    open("topol.top", "w").write(TOP)
+    open("md.mdp", "w").write(MDP)        # nsteps = 30, dt in MDP
+    main(["grompp", "-f", "md.mdp", "-p", "topol.top", "-c", "conf.gro",
+          "-o", "topol.tpz"])
+    from gromacs_fep_gpu_tpu.cli import _load_tpz
+    pp0, _ = _load_tpz("topol.tpz")
+    dt = pp0.params.dt
+    main(["convert-tpr", "-s", "topol.tpz", "-o", "ext.tpz",
+          "-extend", f"{100 * dt}"])
+    pp, _ = _load_tpz("ext.tpz")
+    assert pp.params.nsteps == pp0.params.nsteps + 100
+    main(["convert-tpr", "-s", "topol.tpz", "-o", "n.tpz",
+          "-nsteps", "7"])
+    pp, _ = _load_tpz("n.tpz")
+    assert pp.params.nsteps == 7
+    with pytest.raises(SystemExit):
+        main(["convert-tpr", "-s", "topol.tpz", "-o", "z.tpz"])
+
+
+def test_check_trajectory(tmp_path, monkeypatch, capsys):
+    monkeypatch.chdir(tmp_path)
+    _traj("t.trr", [[[0.1, 0.2, 0.3]]] * 4, box_l=1.5)
+    main(["check", "-f", "t.trr"])
+    out = capsys.readouterr().out
+    assert "4 frames" in out and "1 atoms" in out
+    assert "non-finite frames: 0" in out
+    with pytest.raises(SystemExit):
+        main(["check"])
