@@ -1538,6 +1538,28 @@ def cmd_bar(args):
         idx_rows.append(np.full(dh.shape[0], i))
     delta_h = np.concatenate(dh_rows)
     lam_idx = np.concatenate(idx_rows)
+    if getattr(args, "method", "bar") == "mbar":
+        # all-sample multistate estimate (Shirts & Chodera 2008); needs
+        # every window to log dH to every ladder state
+        from .analysis.mbar import mbar
+        from .core.units import BOLTZ
+        nskip = int(args.b * len(delta_h))
+        if delta_h.shape[1] != len(args.f):
+            raise SystemExit(
+                f"mbar: {len(args.f)} windows but {delta_h.shape[1]} "
+                "dH columns (need calc-lambda-neighbors = -1)")
+        keep = np.ones(len(lam_idx), bool)
+        for i in range(len(args.f)):
+            w = np.where(lam_idx == i)[0]
+            keep[w[:int(args.b * len(w))]] = False
+        f, errs = mbar(delta_h[keep], lam_idx[keep],
+                       BOLTZ * args.temp)
+        print("state      f (kJ/mol)    +/-")
+        for i in range(len(f)):
+            print(f"{i:3d}   {f[i]:12.3f}   {errs[i]:8.3f}")
+        print(f"\ntotal (MBAR)   {f[-1] - f[0]:12.3f}   "
+              f"{errs[-1]:8.3f} kJ/mol")
+        return
     legs, total, err = bar_profile(delta_h, lam_idx, args.temp,
                                    skip_frac=args.b)
     print("lambda pair      dG (kJ/mol)    +/-")
@@ -1723,10 +1745,13 @@ def main(argv=None):
     en.add_argument("-fep", choices=["auto", "cpu", "tpu"], default="auto")
     en.set_defaults(fn=cmd_ensemble)
 
-    b = sub.add_parser("bar", help="BAR free-energy estimate from dhdl files")
+    b = sub.add_parser("bar", help="BAR/MBAR free-energy estimate "
+                                   "from dhdl/edr files")
     b.add_argument("-f", nargs="+", required=True)
     b.add_argument("-temp", type=float, default=300.0)
     b.add_argument("-b", type=float, default=0.1, help="skip fraction")
+    b.add_argument("-method", default="bar", choices=("bar", "mbar"),
+                   help="pairwise BAR or all-sample MBAR")
     b.set_defaults(fn=cmd_bar)
 
     sv = sub.add_parser("solvate", help="fill a box with water "
