@@ -952,6 +952,35 @@ def cmd_genion(args):
           f" {args.nname} {len(neg)}")
 
 
+def cmd_lie(args):
+    """Linear interaction energy binding estimate
+    (reference: gmx lie, gmxana/gmx_lie.cpp):
+    dG = alpha (<E_vdw> - Elj_free) + beta (<E_coul> - Eqq_free), with
+    the bound-state interaction energies averaged from the rerun
+    energygrps output (Coul-SR:LIG-X / LJ-SR:LIG-X columns)."""
+    from .io.xvgio import read_xvg
+    data, legends = read_xvg(args.f)
+    lig = args.ligand
+    c_cols = [i for i, l in enumerate(legends)
+              if l.startswith("Coul-SR:") and lig in l.split(":")[1]
+              and l.split(":")[1] != f"{lig}-{lig}"]
+    l_cols = [i for i, l in enumerate(legends)
+              if l.startswith("LJ-SR:") and lig in l.split(":")[1]
+              and l.split(":")[1] != f"{lig}-{lig}"]
+    if not c_cols or not l_cols:
+        raise SystemExit(f"lie: no Coul-SR/LJ-SR columns involving "
+                         f"'{lig}' in {args.f} (available: {legends})")
+    # legends map to data columns offset by the time column
+    e_qq = data[:, [i + 1 for i in c_cols]].sum(1)
+    e_lj = data[:, [i + 1 for i in l_cols]].sum(1)
+    dg = (args.alpha * (e_lj.mean() - args.elj)
+          + args.beta * (e_qq.mean() - args.eqq))
+    print(f"<E_lj(bound)> = {e_lj.mean():.3f} kJ/mol, "
+          f"<E_qq(bound)> = {e_qq.mean():.3f} kJ/mol")
+    print(f"DeltaG_bind (LIE) = {dg:.3f} kJ/mol "
+          f"(alpha={args.alpha}, beta={args.beta})")
+
+
 def cmd_distance(args):
     """COM distance time series between two groups
     (reference: gmx distance)."""
@@ -1087,6 +1116,11 @@ def cmd_editconf(args):
             x = x @ rot.T
     if args.o.lower().endswith(".pdb"):
         write_pdb(args.o, "edited by tpumd", names, resnames, x, box=box)
+    elif args.o.lower().endswith(".g96"):
+        from .io.g96io import write_g96
+        write_g96(args.o, "edited by tpumd", names, resnames, x,
+                  (np.asarray(v) if v is not None and not args.novel
+                   else None), box)
     else:
         write_gro(args.o, "edited by tpumd", names, resnames, x,
                   (np.asarray(v) if v is not None and not args.novel
@@ -1790,6 +1824,19 @@ def main(argv=None):
     gi.add_argument("-nname", default="CL")
     gi.add_argument("-seed", type=int, default=1993)
     gi.set_defaults(fn=cmd_genion)
+
+    li = sub.add_parser("lie", help="linear interaction energy "
+                                    "estimate (reference: gmx lie)")
+    li.add_argument("-f", required=True,
+                    help="energygrps .eg.xvg from mdrun -rerun")
+    li.add_argument("-ligand", required=True, help="ligand group name")
+    li.add_argument("-elj", type=float, default=0.0,
+                    help="free-state <E_vdw> (kJ/mol)")
+    li.add_argument("-eqq", type=float, default=0.0,
+                    help="free-state <E_coul> (kJ/mol)")
+    li.add_argument("-alpha", type=float, default=0.181)
+    li.add_argument("-beta", type=float, default=0.5)
+    li.set_defaults(fn=cmd_lie)
 
     dq = sub.add_parser("distance", help="COM distance time series "
                                          "(reference: gmx distance)")

@@ -148,9 +148,13 @@ def write_pdb(path: str, title: str, names: List[str],
 
 
 def read_structure(path: str):
-    """Extension-dispatched coordinate reader: .gro or .pdb, returning
-    the read_gro tuple (names, resnames, x, v-or-None, box)."""
-    if path.lower().endswith(".pdb"):
+    """Extension-dispatched coordinate reader: .gro, .pdb or .g96,
+    returning the read_gro tuple (names, resnames, x, v-or-None, box)."""
+    low = path.lower()
+    if low.endswith(".pdb"):
         return read_pdb(path)
+    if low.endswith(".g96"):
+        from .g96io import read_g96
+        return read_g96(path)
     from .groio import read_gro
     return read_gro(path)

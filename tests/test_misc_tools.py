@@ -86,3 +86,57 @@ def test_check_trajectory(tmp_path, monkeypatch, capsys):
     assert "non-finite frames: 0" in out
     with pytest.raises(SystemExit):
         main(["check"])
+
+
+def test_g96_roundtrip_and_editconf(tmp_path, monkeypatch):
+    """g96 block format roundtrip + editconf conversion
+    (reference: fileio/g96io.cpp)."""
+    from gromacs_fep_gpu_tpu.io.g96io import read_g96, write_g96
+    from gromacs_fep_gpu_tpu.io.groio import write_gro
+    from gromacs_fep_gpu_tpu.io.pdbio import read_structure
+
+    monkeypatch.chdir(tmp_path)
+    names = ["OW", "HW1", "HW2"]
+    res = ["SOL"] * 3
+    x = np.array([[0.123456789, 0.5, 0.5], [0.6, 0.5, 0.5],
+                  [0.5, 0.6, 0.5]])
+    v = np.array([[0.1, -0.2, 0.3]] * 3)
+    box = np.diag([2.0, 2.5, 3.0])
+    write_g96("a.g96", "water", names, res, x, v, box)
+    n2, r2, x2, v2, b2 = read_g96("a.g96")
+    assert n2 == names and r2 == res
+    np.testing.assert_allclose(x2, x, atol=1e-9)   # 9 decimals
+    np.testing.assert_allclose(v2, v, atol=1e-9)
+    np.testing.assert_allclose(b2, box, atol=1e-9)
+    # read_structure dispatch + editconf gro -> g96
+    n3, _, x3, _, _ = read_structure("a.g96")
+    assert n3 == names
+    write_gro("a.gro", "t", names, res, x, None, box)
+    main(["editconf", "-f", "a.gro", "-o", "conv.g96", "-box", "4"])
+    _, _, xc, _, bc = read_g96("conv.g96")
+    np.testing.assert_allclose(np.diag(bc), 4.0, atol=1e-9)
+    np.testing.assert_allclose(xc, x, atol=1e-3)   # gro is 3 decimals
+
+
+def test_lie_tool(tmp_path, monkeypatch, capsys):
+    """LIE estimate from a synthetic energygrps xvg
+    (reference: gmxana/gmx_lie.cpp formula)."""
+    monkeypatch.chdir(tmp_path)
+    with open("rr.eg.xvg", "w") as f:
+        f.write('@    title "Group pair energies"\n')
+        for s, leg in enumerate(["Coul-SR:LIG-LIG", "LJ-SR:LIG-LIG",
+                                 "Coul-SR:LIG-SOL", "LJ-SR:LIG-SOL",
+                                 "Coul-SR:SOL-SOL", "LJ-SR:SOL-SOL"]):
+            f.write(f'@ s{s} legend "{leg}"\n')
+        for t in range(4):
+            # LIG-SOL: coul -40, lj -20 (constant)
+            f.write(f"{0.002 * t:.4f} 1.0 2.0 -40.0 -20.0 -500.0 "
+                    "30.0\n")
+    main(["lie", "-f", "rr.eg.xvg", "-ligand", "LIG",
+          "-elj", "-10", "-eqq", "-30", "-alpha", "0.2", "-beta",
+          "0.5"])
+    out = capsys.readouterr().out
+    # dG = 0.2*(-20 - -10) + 0.5*(-40 - -30) = -2 - 5 = -7
+    assert "DeltaG_bind (LIE) = -7.000" in out
+    with pytest.raises(SystemExit):
+        main(["lie", "-f", "rr.eg.xvg", "-ligand", "XXX"])
