@@ -159,6 +159,37 @@ def hbonds(x: np.ndarray, box: np.ndarray, donors: np.ndarray,
     return int((within & (ang <= angle_cut)).sum())
 
 
+def vacf(v_frames: Sequence[np.ndarray],
+         mass: Optional[np.ndarray] = None,
+         nlags: Optional[int] = None) -> np.ndarray:
+    """Mass-weighted normalized velocity autocorrelation C(t)
+    (gmx velacc -m): C(t) = <sum_i m_i v_i(0).v_i(t)> / <sum m v^2>,
+    averaged over time origins."""
+    v = np.asarray(v_frames, np.float64)          # (T, N, 3)
+    t_tot = v.shape[0]
+    if nlags is None:
+        nlags = t_tot // 2
+    w = (np.asarray(mass, np.float64) if mass is not None
+         else np.ones(v.shape[1]))
+    out = np.zeros(nlags)
+    for lag in range(nlags):
+        prod = (v[:t_tot - lag] * v[lag:]).sum(-1)      # (T-lag, N)
+        out[lag] = (w[None, :] * prod).sum(-1).mean()
+    return out / out[0]
+
+
+def dos_spectrum(c_t: np.ndarray, dt_ps: float
+                 ) -> Tuple[np.ndarray, np.ndarray]:
+    """(frequencies 1/ps, cosine-transform spectrum) of an
+    autocorrelation (gmx dos: S(nu) ~ int C(t) cos(2 pi nu t) dt)."""
+    c = np.asarray(c_t, np.float64)
+    # even extension -> real FFT gives the cosine transform
+    ext = np.concatenate([c, c[-2:0:-1]])
+    spec = np.fft.rfft(ext).real * dt_ps
+    freq = np.fft.rfftfreq(len(ext), d=dt_ps)
+    return freq, spec
+
+
 def hbond_series(frames: Sequence[np.ndarray],
                  boxes: Sequence[np.ndarray], donors: np.ndarray,
                  hydrogens: np.ndarray, acceptors: np.ndarray,

@@ -34,18 +34,25 @@ def cmd_grompp(args):
     if args.n:
         with open(args.n) as f:
             ndx_text = f.read()
+    posres_x = None
+    if args.r:
+        _, _, posres_x, _, _ = read_structure(args.r)
     # validate by building once (full grompp transforms incl. couple-moltype,
     # constraint conversion, defines)
     pp = preprocess_arrays(mdp_text, top_text, names, resnames, x, v, box,
                            include_dirs=[os.path.dirname(args.p)],
                            couple_moltype_override=args.couple_moltype,
-                           ndx_text=ndx_text or None)
+                           ndx_text=ndx_text or None, posres_x=posres_x)
+    extra_npz = {}
+    if posres_x is not None:
+        extra_npz["posres_x"] = posres_x
     with open(args.o, "wb") as f:   # np.savez would append .npz to a path
         np.savez(f, top=top_text, mdp=mdp_text, x=x,
                  v=(v if v is not None else np.zeros_like(x)), box=box,
                  couple_moltype=args.couple_moltype or "",
                  names=names, resnames=resnames, ndx=ndx_text,
-                 include_dir=os.path.dirname(os.path.abspath(args.p)))
+                 include_dir=os.path.dirname(os.path.abspath(args.p)),
+                 **extra_npz)
     print(f"wrote {args.o} ({pp.system.n_atoms} atoms)")
 
 
@@ -56,12 +63,13 @@ def _load_tpz(path):
     cm = str(data["couple_moltype"]) or None
     inc = [str(data["include_dir"])] if "include_dir" in data else []
     ndx = str(data["ndx"]) if "ndx" in data else ""
+    prx = data["posres_x"] if "posres_x" in data else None
     pp = preprocess_arrays(str(data["mdp"]), str(data["top"]),
                            [str(n) for n in data["names"]],
                            [str(r) for r in data["resnames"]],
                            data["x"], data["v"], data["box"],
                            include_dirs=inc, couple_moltype_override=cm,
-                           ndx_text=ndx or None)
+                           ndx_text=ndx or None, posres_x=prx)
     return pp, data
 
 
@@ -952,6 +960,48 @@ def cmd_genion(args):
           f" {args.nname} {len(neg)}")
 
 
+def cmd_velacc(args):
+    """Velocity autocorrelation (+ optional vibrational spectrum)
+    (reference: gmx velacc / gmx dos, gmxana/gmx_velacc.cpp)."""
+    from .analysis.traj import dos_spectrum, vacf
+    from .io.trrio import read_trr_frame, scan_trr
+
+    if not args.f.endswith(".trr"):
+        raise SystemExit("velacc: needs a .trr with velocities")
+    natoms, nframes = scan_trr(args.f)
+    vs, times = [], []
+    for i in range(nframes):
+        fr = read_trr_frame(args.f, i, natoms)
+        if fr.get("v") is None:
+            continue
+        vs.append(fr["v"])
+        times.append(fr["time"])
+    if len(vs) < 4:
+        raise SystemExit(f"velacc: only {len(vs)} velocity frames in "
+                         f"{args.f} (write with nstvout)")
+    mass = None
+    if args.s:
+        pp, _ = _load_tpz(args.s)
+        mass = np.asarray(pp.system.mass_a)
+    if args.sel:
+        sel = _group_arg(args.sel, args, len(vs[0]))
+        vs = [v[sel] for v in vs]
+        mass = mass[sel] if mass is not None else None
+    c = vacf(vs, mass)
+    dt = times[1] - times[0]
+    lags = np.arange(len(c)) * dt
+    _write_series_xvg(args.o, "Velocity autocorrelation", "Time (ps)",
+                      "C(t)", lags, c)
+    print(f"velacc: {len(vs)} frames, C({lags[-1]:g} ps) = {c[-1]:.4f} "
+          f"-> {args.o}")
+    if args.dos:
+        freq, spec = dos_spectrum(c, dt)
+        _write_series_xvg(args.dos, "Vibrational spectrum",
+                          "Frequency (1/ps)", "S", freq, spec)
+        print(f"dos: peak at {freq[np.argmax(spec[1:]) + 1]:.3f} 1/ps "
+              f"-> {args.dos}")
+
+
 def cmd_lie(args):
     """Linear interaction energy binding estimate
     (reference: gmx lie, gmxana/gmx_lie.cpp):
@@ -1735,6 +1785,8 @@ def main(argv=None):
     g.add_argument("-c", required=True, help="gro file")
     g.add_argument("-n", default=None, help="index file (.ndx) for "
                    "pull/densfit group names (reference: grompp -n)")
+    g.add_argument("-r", default=None, help="position-restraint "
+                   "reference coordinates (reference: grompp -r)")
     g.add_argument("-o", default="topol.tpz")
     g.add_argument("--couple-moltype", default=None)
     g.set_defaults(fn=cmd_grompp)
@@ -1824,6 +1876,18 @@ def main(argv=None):
     gi.add_argument("-nname", default="CL")
     gi.add_argument("-seed", type=int, default=1993)
     gi.set_defaults(fn=cmd_genion)
+
+    va = sub.add_parser("velacc", help="velocity autocorrelation + "
+                                       "spectrum (reference: gmx "
+                                       "velacc/dos)")
+    va.add_argument("-f", required=True, help=".trr with velocities")
+    va.add_argument("-s", default=None, help=".tpz for masses")
+    va.add_argument("-n", default=None)
+    va.add_argument("-sel", default=None)
+    va.add_argument("-o", default="vacf.xvg")
+    va.add_argument("-dos", default=None,
+                    help="also write the cosine-transform spectrum")
+    va.set_defaults(fn=cmd_velacc)
 
     li = sub.add_parser("lie", help="linear interaction energy "
                                     "estimate (reference: gmx lie)")

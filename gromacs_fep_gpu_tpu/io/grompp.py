@@ -112,7 +112,8 @@ def preprocess_arrays(mdp_text: str, top_text: str, names, resnames,
                       include_dirs: Optional[List[str]] = None,
                       seed: int = 1993,
                       couple_moltype_override: Optional[str] = None,
-                      ndx_text: Optional[str] = None
+                      ndx_text: Optional[str] = None,
+                      posres_x: Optional[np.ndarray] = None
                       ) -> Preprocessed:
     # index groups: user .ndx sections + the automatic defaults
     # (reference: topology/index.cpp analyse / do_index)
@@ -160,16 +161,21 @@ def preprocess_arrays(mdp_text: str, top_text: str, names, resnames,
             for nm in eg_names)
         params = params.replace(energygrps=egs)
 
-    # position-restraint reference coordinates from the input conformation
-    # (reference: gmxpreprocess/grompp.cpp gen_posres)
+    # position-restraint reference coordinates: grompp -r file when
+    # given, else the input conformation
+    # (reference: gmxpreprocess/grompp.cpp gen_posres / -r option)
+    xr = x if posres_x is None else np.asarray(posres_x)
+    if posres_x is not None and xr.shape[0] != system.n_atoms:
+        raise ValueError(f"posres reference has {xr.shape[0]} atoms, "
+                         f"topology {system.n_atoms}")
     if "posres" in system.bonded:
         import jax.numpy as jnp
         il = system.bonded["posres"]
         ai = np.asarray(il.atoms[:, 0])
         pa = np.asarray(il.params_a).copy()
         pb = np.asarray(il.params_b).copy()
-        pa[:, 0:3] = x[ai]
-        pb[:, 0:3] = x[ai]
+        pa[:, 0:3] = xr[ai]
+        pb[:, 0:3] = xr[ai]
         system.bonded["posres"] = il.replace(params_a=jnp.asarray(pa),
                                              params_b=jnp.asarray(pb))
     if "fbposres" in system.bonded:
@@ -177,7 +183,7 @@ def preprocess_arrays(mdp_text: str, top_text: str, names, resnames,
         il = system.bonded["fbposres"]
         ai = np.asarray(il.atoms[:, 0])
         pa = np.asarray(il.params_a).copy()
-        pa[:, 1:4] = x[ai]
+        pa[:, 1:4] = xr[ai]
         system.bonded["fbposres"] = il.replace(params_a=jnp.asarray(pa),
                                                params_b=jnp.asarray(pa))
 

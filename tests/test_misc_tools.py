@@ -140,3 +140,89 @@ def test_lie_tool(tmp_path, monkeypatch, capsys):
     assert "DeltaG_bind (LIE) = -7.000" in out
     with pytest.raises(SystemExit):
         main(["lie", "-f", "rr.eg.xvg", "-ligand", "XXX"])
+
+
+def test_vacf_dos_harmonic():
+    """Analytic: v(t) = cos(w t) gives C(t) = cos(w t) and a spectrum
+    peaked at nu = w / 2 pi (reference: gmx velacc/dos)."""
+    from gromacs_fep_gpu_tpu.analysis.traj import dos_spectrum, vacf
+    w = 40.0                      # rad/ps
+    dt = 0.004
+    t = np.arange(400) * dt
+    v = (np.cos(w * t)[:, None, None]
+         * np.array([[[1.0, 0.5, -0.3]]]))     # one atom
+    c = vacf(v)
+    np.testing.assert_allclose(c[:80], np.cos(w * t[:80]), atol=0.03)
+    freq, spec = dos_spectrum(c, dt)
+    nu_peak = freq[np.argmax(spec)]
+    np.testing.assert_allclose(nu_peak, w / (2 * np.pi), rtol=0.05)
+
+
+def test_velacc_cli(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    from gromacs_fep_gpu_tpu.io.xvgio import read_xvg
+    box = np.diag([2.0, 2.0, 2.0]).astype(np.float32)
+    w, dt = 30.0, 0.004
+    x0 = np.array([[1.0, 1.0, 1.0]], np.float32)
+    for k in range(64):
+        v = (np.cos(w * k * dt)
+             * np.array([[0.5, 0.0, 0.0]])).astype(np.float32)
+        write_trr_frame("v.trr", x0, box, v=v, step=k, time=k * dt)
+    main(["velacc", "-f", "v.trr", "-o", "c.xvg", "-dos", "s.xvg"])
+    c, _ = read_xvg("c.xvg")
+    np.testing.assert_allclose(c[0, 1], 1.0, atol=1e-9)
+    np.testing.assert_allclose(c[:16, 1], np.cos(w * c[:16, 0]),
+                               atol=0.05)
+    s, _ = read_xvg("s.xvg")
+    assert np.isfinite(s).all()
+
+
+def test_grompp_r_posres_reference(tmp_path, monkeypatch):
+    """grompp -r: posres reference coordinates from a separate file
+    (reference: grompp.cpp gen_posres / -r)."""
+    monkeypatch.chdir(tmp_path)
+    from gromacs_fep_gpu_tpu.cli import _load_tpz
+    from gromacs_fep_gpu_tpu.io.groio import write_gro
+    top = """
+[ defaults ]
+1 2 yes 0.5 0.8333
+
+[ atomtypes ]
+AR 39.948 0.0 A 0.34 0.98
+
+[ moleculetype ]
+AR 1
+
+[ atoms ]
+1 AR 1 AR AR 1 0.0 39.948
+
+[ position_restraints ]
+1 1 1000 1000 1000
+
+[ system ]
+ar
+
+[ molecules ]
+AR 1
+"""
+    mdp = ("integrator = md\ndt = 0.002\nnsteps = 1\n"
+           "coulombtype = reaction-field\nrcoulomb = 0.5\nrvdw = 0.5\n"
+           "rlist = 0.55\nnstcomm = 0\n")
+    open("topol.top", "w").write(top)
+    open("md.mdp", "w").write(mdp)
+    box = np.diag([2.0, 2.0, 2.0]).astype(np.float32)
+    write_gro("conf.gro", "c", ["AR"], ["AR"],
+              np.array([[1.0, 1.0, 1.0]], np.float32), None, box)
+    write_gro("ref.gro", "r", ["AR"], ["AR"],
+              np.array([[0.4, 0.5, 0.6]], np.float32), None, box)
+    main(["grompp", "-f", "md.mdp", "-p", "topol.top", "-c", "conf.gro",
+          "-r", "ref.gro", "-o", "topol.tpz"])
+    pp, _ = _load_tpz("topol.tpz")
+    ref = np.asarray(pp.system.bonded["posres"].params_a)[0, :3]
+    np.testing.assert_allclose(ref, [0.4, 0.5, 0.6], atol=1e-3)
+    # without -r the reference is the conformation itself
+    main(["grompp", "-f", "md.mdp", "-p", "topol.top", "-c", "conf.gro",
+          "-o", "noref.tpz"])
+    pp2, _ = _load_tpz("noref.tpz")
+    ref2 = np.asarray(pp2.system.bonded["posres"].params_a)[0, :3]
+    np.testing.assert_allclose(ref2, [1.0, 1.0, 1.0], atol=1e-3)
