@@ -960,6 +960,55 @@ def cmd_genion(args):
           f" {args.nname} {len(neg)}")
 
 
+def cmd_covar(args):
+    """Mass-weighted covariance PCA of the fitted trajectory
+    (reference: gmx covar + gmx anaeig -proj)."""
+    from .analysis.pca import covar, project
+    names, _, xref, mass = _load_struct_arg(args.s)
+    frames, _, times = _read_traj_frames(args.f)
+    sel = (_group_arg(args.sel, args, len(names)) if args.sel
+           else np.arange(len(names)))
+    fsel = [f[sel] for f in frames]
+    vals, vecs, mean = covar(fsel, xref[sel], mass[sel])
+    _write_series_xvg(args.o, "Covariance eigenvalues", "index",
+                      "eigenvalue (nm^2 u)", np.arange(1, len(vals) + 1),
+                      vals)
+    trace = vals.sum()
+    print(f"covar: trace {trace:.6f} nm^2 u; top eigenvalues "
+          + " ".join(f"{v:.4g}" for v in vals[:4]))
+    if args.proj:
+        p = project(fsel, xref[sel], vecs, mean, n_proj=args.first,
+                    mass=mass[sel])
+        with open(args.proj, "w") as f:
+            f.write('@    title "PC projections"\n'
+                    '@    xaxis  label "Time (ps)"\n')
+            for t, row in zip(times, p):
+                f.write(f"{t:.5f} "
+                        + " ".join(f"{v:.6f}" for v in row) + "\n")
+        print(f"covar: projections on {args.first} PCs -> {args.proj}")
+
+
+def cmd_cluster(args):
+    """Conformational clustering on the pairwise-RMSD matrix
+    (reference: gmx cluster -method gromos, Daura et al.)."""
+    from .analysis.pca import gromos_cluster, rmsd_matrix
+    frames, _, times = _read_traj_frames(args.f)
+    sel = None
+    if args.sel:
+        sel = _group_arg(args.sel, args, len(frames[0]))
+        frames = [f[sel] for f in frames]
+    m = rmsd_matrix(frames)
+    labels, centers = gromos_cluster(m, args.cutoff)
+    _write_series_xvg(args.o, "Cluster id", "Time (ps)", "cluster",
+                      times, labels)
+    print(f"cluster: {labels.max() + 1} clusters at cutoff "
+          f"{args.cutoff} nm")
+    for cid, c in enumerate(centers):
+        nmem = int((labels == cid).sum())
+        print(f"  cluster {cid}: {nmem:4d} frames, center t = "
+              f"{times[c]:g} ps")
+
+
 def cmd_velacc(args):
     """Velocity autocorrelation (+ optional vibrational spectrum)
     (reference: gmx velacc / gmx dos, gmxana/gmx_velacc.cpp)."""
@@ -2055,6 +2104,18 @@ def main(argv=None):
     t.add_argument("-sel", default=None)
     t.add_argument("-axis", default="z", choices=("x", "y", "z"))
     t.add_argument("-sl", type=int, default=50)
+
+    t = _traj_tool("covar", "covariance PCA (reference: gmx covar/"
+                            "anaeig)", cmd_covar)
+    t.add_argument("-sel", default=None)
+    t.add_argument("-proj", default=None,
+                   help="write PC projections xvg")
+    t.add_argument("-first", type=int, default=2,
+                   help="number of PCs to project")
+    t = _traj_tool("cluster", "gromos RMSD clustering (reference: "
+                              "gmx cluster)", cmd_cluster, need_s=False)
+    t.add_argument("-sel", default=None)
+    t.add_argument("-cutoff", type=float, default=0.1)
 
     wh = sub.add_parser("wham", help="umbrella PMF from pullx windows "
                                      "(reference: gmx wham)")
