@@ -159,6 +159,31 @@ def hbonds(x: np.ndarray, box: np.ndarray, donors: np.ndarray,
     return int((within & (ang <= angle_cut)).sum())
 
 
+def rotacf(frames: Sequence[np.ndarray], pairs: np.ndarray,
+           boxes: Optional[Sequence[np.ndarray]] = None,
+           order: int = 2, nlags: Optional[int] = None) -> np.ndarray:
+    """Rotational autocorrelation of unit vectors defined by atom pairs
+    (gmx rotacf): C_l(t) = <P_l(u(0).u(t))>, l = 1 or 2
+    (P2(x) = (3x^2-1)/2)."""
+    us = []
+    for i, x in enumerate(frames):
+        x = np.asarray(x, np.float64)
+        d = x[pairs[:, 1]] - x[pairs[:, 0]]
+        if boxes is not None:
+            bd = np.diag(np.asarray(boxes[i], np.float64))
+            d -= bd * np.round(d / bd)
+        us.append(d / np.linalg.norm(d, axis=1, keepdims=True))
+    u = np.asarray(us)                               # (T, P, 3)
+    t_tot = len(u)
+    if nlags is None:
+        nlags = t_tot // 2
+    out = np.zeros(nlags)
+    for lag in range(nlags):
+        c = (u[:t_tot - lag] * u[lag:]).sum(-1)       # cos angle
+        out[lag] = (((3 * c * c - 1) / 2) if order == 2 else c).mean()
+    return out
+
+
 def vacf(v_frames: Sequence[np.ndarray],
          mass: Optional[np.ndarray] = None,
          nlags: Optional[int] = None) -> np.ndarray:

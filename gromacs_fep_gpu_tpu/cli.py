@@ -960,6 +960,45 @@ def cmd_genion(args):
           f" {args.nname} {len(neg)}")
 
 
+def cmd_traj(args):
+    """Write coordinates of selected atoms as xvg columns
+    (reference: gmx traj -ox)."""
+    frames, boxes, times = _read_traj_frames(args.f)
+    sel = _group_arg(args.sel, args, len(frames[0])) if args.sel \
+        else np.arange(min(len(frames[0]), 10))
+    with open(args.o, "w") as f:
+        f.write('@    title "Coordinates"\n'
+                '@    xaxis  label "Time (ps)"\n'
+                '@    yaxis  label "(nm)"\n')
+        for s_i, a in enumerate(np.asarray(sel)):
+            for k, ax in enumerate("XYZ"):
+                f.write(f'@ s{3 * s_i + k} legend '
+                        f'"{ax} atom {int(a) + 1}"\n')
+        for t, x in zip(times, frames):
+            row = np.asarray(x)[sel].reshape(-1)
+            f.write(f"{t:.5f} " + " ".join(f"{v:.6f}" for v in row)
+                    + "\n")
+    print(f"traj: {len(sel)} atoms x {len(frames)} frames -> {args.o}")
+
+
+def cmd_rotacf(args):
+    """Rotational autocorrelation of bond vectors
+    (reference: gmx rotacf)."""
+    from .analysis.traj import rotacf
+    frames, boxes, times = _read_traj_frames(args.f)
+    idx = np.asarray([int(v) - 1 for v in args.sel.split()], np.int32)
+    if len(idx) % 2:
+        raise SystemExit("rotacf: -sel must list atom PAIRS")
+    pairs = idx.reshape(-1, 2)
+    c = rotacf(frames, pairs, boxes, order=args.P)
+    dt = times[1] - times[0] if len(times) > 1 else 1.0
+    _write_series_xvg(args.o, f"Rotational ACF (P{args.P})",
+                      "Time (ps)", f"C_{args.P}(t)",
+                      np.arange(len(c)) * dt, c)
+    print(f"rotacf: {len(pairs)} vectors, C({.5 * len(times) * dt:g}) "
+          f"= {c[-1]:.4f} -> {args.o}")
+
+
 def cmd_covar(args):
     """Mass-weighted covariance PCA of the fitted trajectory
     (reference: gmx covar + gmx anaeig -proj)."""
@@ -2104,6 +2143,16 @@ def main(argv=None):
     t.add_argument("-sel", default=None)
     t.add_argument("-axis", default="z", choices=("x", "y", "z"))
     t.add_argument("-sl", type=int, default=50)
+
+    t = _traj_tool("traj", "coordinate time series (reference: gmx "
+                           "traj -ox)", cmd_traj, need_s=False)
+    t.add_argument("-sel", default=None)
+    t = _traj_tool("rotacf", "rotational autocorrelation (reference: "
+                             "gmx rotacf)", cmd_rotacf, need_s=False)
+    t.add_argument("-sel", required=True,
+                   help="1-based atom pairs defining the vectors")
+    t.add_argument("-P", type=int, default=2, choices=(1, 2),
+                   help="Legendre order")
 
     t = _traj_tool("covar", "covariance PCA (reference: gmx covar/"
                             "anaeig)", cmd_covar)

@@ -94,3 +94,45 @@ def test_cluster_cli(tmp_path, monkeypatch, capsys):
     assert "2 clusters" in out
     cl, _ = read_xvg("cl.xvg")
     assert set(cl[:, 1]) == {0.0, 1.0}
+
+
+def test_rotacf_analytic():
+    """A vector rotating uniformly in a plane: C1(t) = cos(w t),
+    C2(t) = P2(cos w t) (reference: gmx rotacf)."""
+    from gromacs_fep_gpu_tpu.analysis.traj import rotacf
+    w = 2 * np.pi / 40
+    frames = []
+    for t in range(200):
+        a = w * t
+        frames.append(np.array([[0.0, 0.0, 0.0],
+                                [np.cos(a), np.sin(a), 0.0]]))
+    pairs = np.array([[0, 1]])
+    c1 = rotacf(frames, pairs, order=1, nlags=60)
+    lags = np.arange(60)
+    np.testing.assert_allclose(c1, np.cos(w * lags), atol=1e-10)
+    c2 = rotacf(frames, pairs, order=2, nlags=60)
+    cc = np.cos(w * lags)
+    np.testing.assert_allclose(c2, (3 * cc * cc - 1) / 2, atol=1e-10)
+
+
+def test_traj_rotacf_cli(tmp_path, monkeypatch):
+    from gromacs_fep_gpu_tpu.cli import main
+    from gromacs_fep_gpu_tpu.io.trrio import write_trr_frame
+    from gromacs_fep_gpu_tpu.io.xvgio import read_xvg
+
+    monkeypatch.chdir(tmp_path)
+    box = np.diag([3.0, 3.0, 3.0]).astype(np.float32)
+    for k in range(8):
+        a = 2 * np.pi * k / 8
+        x = np.array([[1.0, 1.0, 1.0],
+                      [1.0 + 0.2 * np.cos(a), 1.0 + 0.2 * np.sin(a),
+                       1.0]], np.float32)
+        write_trr_frame("t.trr", x, box, step=k, time=0.002 * k)
+    main(["traj", "-f", "t.trr", "-sel", "2", "-o", "x.xvg"])
+    d, legends = read_xvg("x.xvg")
+    assert d.shape == (8, 4) and "X atom 2" in legends
+    np.testing.assert_allclose(d[0, 1], 1.2, atol=1e-4)
+    main(["rotacf", "-f", "t.trr", "-sel", "1 2", "-P", "1",
+          "-o", "r.xvg"])
+    r, _ = read_xvg("r.xvg")
+    np.testing.assert_allclose(r[1, 1], np.cos(2 * np.pi / 8), atol=1e-4)
