@@ -222,9 +222,14 @@ def cmd_mdrun(args):
     if args.fep == "auto" or args.fep is None:
         # auto mode falls back to the XLA kernels on triclinic boxes
         # (the Pallas NB kernel is rectangular-only; an explicit
-        # `-fep tpu` keeps the hard error in MdRunner.run)
+        # `-fep tpu` keeps the hard error in MdRunner.run) and on CPU
+        # backends, where Pallas would need interpret mode (reference:
+        # decidegpuusage.cpp decideWhetherToUseGpusForFep — auto
+        # resolves by capability)
         b = np.asarray(data["box"], dtype=np.float64)
         if np.abs(b - np.diag(np.diag(b))).max() > 1e-6:
+            use_pallas = False
+        if jax.default_backend() == "cpu":
             use_pallas = False
     from .core.types import IntegratorType as _IT
     if params.integrator == _IT.TPI:
@@ -658,6 +663,20 @@ def _do_minimize(args, system, params, state, data):
         f, terms, ovf = bound(x, box, lam, nnbr[0])
         return f, terms
 
+    # constraints on every trial step (minimize.cpp do_em_step
+    # constr->apply) — without this rigid waters deform during EM
+    from .md import constraints as constr_mod
+    constrain_fn = None
+    if constr_mod.n_constraints(system) > 0:
+        from .core.types import FepCoupling as _FC
+        invmass = 1.0 / jnp.maximum(jnp.asarray(system.mass_a), 1e-10)
+        lam_b = state.lam[_FC.BONDED]
+
+        def constrain_fn(x_ref, x_try):
+            return constr_mod.constrain(
+                x_ref, x_try, state.box, system, invmass, lam_b,
+                params.lincs_order, params.lincs_iter)
+
     x = state.x
     nsteps = params.nsteps if params.nsteps > 0 else 1000
     chunk = 50
@@ -667,7 +686,7 @@ def _do_minimize(args, system, params, state, data):
     while done < nsteps:
         res = algo(x, state.box, state.lam, force3,
                    nsteps=min(chunk, nsteps - done), emtol=params.emtol,
-                   step0=params.emstep, **kw)
+                   step0=params.emstep, constrain_fn=constrain_fn, **kw)
         # fail-hard on list overflow at the converged structure
         _, _, ovf = bound(res.x, state.box, state.lam, nnbr[0])
         if int(ovf) > 0:

@@ -21,16 +21,24 @@ class MinimizeResult(NamedTuple):
 
 
 def steepest_descent(x0, box, lam, force_fn: Callable, nsteps: int = 200,
-                     emtol: float = 10.0, step0: float = 0.01
-                     ) -> MinimizeResult:
+                     emtol: float = 10.0, step0: float = 0.01,
+                     constrain_fn: Callable = None) -> MinimizeResult:
     """force_fn(x, box, lam) -> (f, terms).  GROMACS semantics: accept the
     trial step if energy decreased (grow step 1.2x), else shrink 0.2x
-    (reference: minimize.cpp do_steep loop)."""
+    (reference: minimize.cpp do_steep loop).
+
+    constrain_fn(x_ref, x_try) -> constrained positions, applied to
+    every trial step exactly like the reference's do_em_step
+    constr->apply (minimize.cpp:431) — without it rigid waters deform
+    during minimization."""
+    if constrain_fn is None:
+        constrain_fn = lambda x_ref, x_try: x_try
 
     def epot_f(x):
         f, terms = force_fn(x, box, lam)
         return terms.epot, f
 
+    x0 = constrain_fn(x0, x0)
     e0, f0 = epot_f(x0)
 
     def cond(carry):
@@ -42,7 +50,7 @@ def steepest_descent(x0, box, lam, force_fn: Callable, nsteps: int = 200,
         x, e, f, step, k, done = carry
         fmax = jnp.max(jnp.abs(f))
         dx = f * (step / jnp.maximum(fmax, 1e-12))
-        x_try = x + dx
+        x_try = constrain_fn(x, x + dx)
         e_try, f_try = epot_f(x_try)
         accept = e_try < e
         x_new = jnp.where(accept, x_try, x)
@@ -60,15 +68,19 @@ def steepest_descent(x0, box, lam, force_fn: Callable, nsteps: int = 200,
 
 
 def conjugate_gradient(x0, box, lam, force_fn: Callable, nsteps: int = 200,
-                       emtol: float = 10.0, step0: float = 0.005
-                       ) -> MinimizeResult:
+                       emtol: float = 10.0, step0: float = 0.005,
+                       constrain_fn: Callable = None) -> MinimizeResult:
     """Polak-Ribiere CG with backtracking line step
-    (reference: minimize.cpp do_cg; simplified line search)."""
+    (reference: minimize.cpp do_cg; simplified line search).
+    constrain_fn as in steepest_descent."""
+    if constrain_fn is None:
+        constrain_fn = lambda x_ref, x_try: x_try
 
     def epot_f(x):
         f, terms = force_fn(x, box, lam)
         return terms.epot, f
 
+    x0 = constrain_fn(x0, x0)
     e0, f0 = epot_f(x0)
 
     def cond(carry):
@@ -79,7 +91,7 @@ def conjugate_gradient(x0, box, lam, force_fn: Callable, nsteps: int = 200,
         x, e, f, d, step, k = carry
         # trial along d (normalized)
         dn = d / jnp.maximum(jnp.max(jnp.abs(d)), 1e-12)
-        x_try = x + dn * step
+        x_try = constrain_fn(x, x + dn * step)
         e_try, f_try = epot_f(x_try)
         accept = e_try < e
         # Polak-Ribiere beta on acceptance, restart (beta=0) otherwise
@@ -102,15 +114,20 @@ def conjugate_gradient(x0, box, lam, force_fn: Callable, nsteps: int = 200,
 
 
 def l_bfgs(x0, box, lam, force_fn: Callable, nsteps: int = 200,
-           emtol: float = 10.0, m: int = 10, step0: float = 0.01
-           ) -> MinimizeResult:
+           emtol: float = 10.0, m: int = 10, step0: float = 0.01,
+           constrain_fn: Callable = None) -> MinimizeResult:
     """Limited-memory BFGS with circular (s, y) history and a
     backtracking Armijo line search, as one lax.while_loop program
     (reference: minimize.cpp:1978 do_lbfgs; the reference's cubic line
     minimization is replaced by backtracking — same fixed-memory
     two-loop recursion, reformulated for static shapes on TPU)."""
     n3 = x0.size
-    xf0 = x0.reshape(-1)
+    if constrain_fn is None:
+        _cons = lambda xr, xt: xt
+    else:
+        _cons = lambda xr, xt: constrain_fn(
+            xr.reshape(x0.shape), xt.reshape(x0.shape)).reshape(-1)
+    xf0 = _cons(x0.reshape(-1), x0.reshape(-1))
 
     def epot_g(xf):
         f, terms = force_fn(xf.reshape(x0.shape), box, lam)
@@ -168,7 +185,7 @@ def l_bfgs(x0, box, lam, force_fn: Callable, nsteps: int = 200,
 
         def ls_body(carry2):
             t, _, _, tries = carry2
-            e_t, g_t = epot_g(xf + t * d)
+            e_t, g_t = epot_g(_cons(xf, xf + t * d))
             return t * 0.5, e_t, g_t, tries + 1
 
         def ls_cond(carry2):
@@ -177,12 +194,12 @@ def l_bfgs(x0, box, lam, force_fn: Callable, nsteps: int = 200,
             return ((e_t > e + 1e-4 * (2.0 * t) * jnp.dot(g, d))
                     & (tries < 12))
 
-        e1, g1 = epot_g(xf + t0 * d)
+        e1, g1 = epot_g(_cons(xf, xf + t0 * d))
         t_half, e_t, g_t, tries = jax.lax.while_loop(
             ls_cond, ls_body, (t0 * 0.5, e1, g1, jnp.asarray(0)))
         t = t_half * 2.0
         ok = e_t < e
-        x_new = jnp.where(ok, xf + t * d, xf)
+        x_new = jnp.where(ok, _cons(xf, xf + t * d), xf)
         s_vec = x_new - xf
         y_vec = g_t - g
         sy = jnp.dot(s_vec, y_vec)

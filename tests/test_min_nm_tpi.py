@@ -161,3 +161,35 @@ TST 1
     assert os.path.exists("tp.tpi.xvg")
     mu = float(open("tp.tpi.xvg").readlines()[-1])
     assert np.isfinite(mu)
+
+
+def test_minimize_preserves_constraints(tmp_path, monkeypatch):
+    """EM must apply SETTLE to every trial step (minimize.cpp
+    do_em_step constr->apply): rigid waters keep their geometry."""
+    import os
+    from gromacs_fep_gpu_tpu.cli import main as cli_main
+    from gromacs_fep_gpu_tpu.io.groio import read_gro
+    from tests.test_cli import TOP, make_water_gro
+
+    monkeypatch.chdir(tmp_path)
+    make_water_gro("conf.gro")
+    with open("topol.top", "w") as f:
+        f.write(TOP)
+    with open("em.mdp", "w") as f:
+        f.write("integrator = steep\nnsteps = 40\nemtol = 10\n"
+                "coulombtype = reaction-field\nrcoulomb = 0.55\n"
+                "rvdw = 0.55\nrlist = 0.6\n")
+    cli_main(["grompp", "-f", "em.mdp", "-p", "topol.top", "-c",
+              "conf.gro", "-o", "em.tpz"])
+    cli_main(["mdrun", "-s", "em.tpz", "-deffnm", "em", "-fep", "cpu"])
+    _, _, x0, _, _ = read_gro("conf.gro")
+    _, _, x1, _, _ = read_gro("em.gro")
+    assert os.path.exists("em.gro")
+    # the structure moved...
+    assert np.abs(np.asarray(x1) - np.asarray(x0)).max() > 1e-4
+    # ...but every O-H stayed at the SETTLE length 0.09572
+    x1 = np.asarray(x1)
+    for o in range(0, len(x1), 3):
+        for h in (o + 1, o + 2):
+            np.testing.assert_allclose(
+                np.linalg.norm(x1[h] - x1[o]), 0.09572, atol=2e-3)
