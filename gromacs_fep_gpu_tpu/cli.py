@@ -1312,6 +1312,79 @@ def cmd_genrestr(args):
     print(f"genrestr: {len(idx)} restraints -> {args.o}")
 
 
+def cmd_trjcat(args):
+    """Concatenate trajectories in time order, dropping duplicate
+    frames at the joins (reference: gmx trjcat)."""
+    from .io.trrio import write_trr_frame
+    from .io.xtcio import write_xtc_frame
+    out = args.o
+    if os.path.exists(out):
+        os.unlink(out)
+    last_t = None
+    kept = dropped = 0
+    for src in args.f:
+        frames, boxes, times = _read_traj_frames(src)
+        # need v too for trr output: reread per-frame below if trr
+        if src.endswith(".trr") and out.endswith(".trr"):
+            from .io.trrio import read_trr_frame, scan_trr
+            na, nf = scan_trr(src)
+            for i in range(nf):
+                fr = read_trr_frame(src, i, na)
+                if last_t is not None and fr["time"] <= last_t + 1e-9:
+                    dropped += 1
+                    continue
+                write_trr_frame(out, fr["x"], fr["box"], v=fr.get("v"),
+                                step=fr["step"], time=fr["time"])
+                last_t = fr["time"]
+                kept += 1
+        else:
+            for x, b, t in zip(frames, boxes, times):
+                if last_t is not None and t <= last_t + 1e-9:
+                    dropped += 1
+                    continue
+                if out.endswith(".xtc"):
+                    write_xtc_frame(out, x, b, step=kept, time=t)
+                elif out.endswith(".trr"):
+                    write_trr_frame(out, x, b, step=kept, time=t)
+                else:
+                    raise SystemExit(f"trjcat: unsupported output {out}")
+                last_t = t
+                kept += 1
+    print(f"trjcat: {kept} frames ({dropped} overlapping dropped) "
+          f"-> {out}")
+
+
+def cmd_genconf(args):
+    """Replicate a configuration on an N x M x K grid
+    (reference: gmx genconf -nbox)."""
+    from .io.groio import write_gro
+    from .io.pdbio import read_structure
+    names, resnames, x, v, box = read_structure(args.f)
+    nx, ny, nz = args.nbox
+    bd = np.diag(np.asarray(box, np.float64))
+    xs, vs = [], []
+    for i in range(nx):
+        for j in range(ny):
+            for k in range(nz):
+                shift = np.array([i, j, k]) * bd
+                xs.append(np.asarray(x) + shift)
+                if v is not None:
+                    vs.append(np.asarray(v))
+    n_copies = nx * ny * nz
+    x_out = np.concatenate(xs)
+    v_out = np.concatenate(vs) if v is not None else None
+    box_out = np.asarray(box, np.float64).copy()
+    box_out[0] *= nx
+    box_out[1] *= ny
+    box_out[2] *= nz
+    write_gro(args.o, f"genconf {nx}x{ny}x{nz}",
+              list(names) * n_copies, list(resnames) * n_copies,
+              x_out, v_out, box_out)
+    print(f"genconf: {n_copies} copies, {len(x_out)} atoms -> {args.o}")
+    print("multiply every [ molecules ] count by "
+          f"{n_copies} in the topology")
+
+
 def cmd_make_ndx(args):
     """Non-interactive index-file generation (reference: gmx make_ndx
     auto groups, topology/index.cpp analyse): System / Water /
@@ -2071,6 +2144,19 @@ def main(argv=None):
     mn.add_argument("-f", required=True, help="structure (.gro/.pdb)")
     mn.add_argument("-o", default="index.ndx")
     mn.set_defaults(fn=cmd_make_ndx)
+
+    tj = sub.add_parser("trjcat", help="concatenate trajectories "
+                                       "(reference: gmx trjcat)")
+    tj.add_argument("-f", nargs="+", required=True)
+    tj.add_argument("-o", default="cat.trr")
+    tj.set_defaults(fn=cmd_trjcat)
+
+    gc = sub.add_parser("genconf", help="replicate the box NxMxK "
+                                        "(reference: gmx genconf)")
+    gc.add_argument("-f", required=True)
+    gc.add_argument("-o", default="out.gro")
+    gc.add_argument("-nbox", nargs=3, type=int, required=True)
+    gc.set_defaults(fn=cmd_genconf)
 
     tc = sub.add_parser("trjconv", help="convert/filter trajectories "
                                         "(reference: gmx trjconv)")

@@ -226,3 +226,42 @@ AR 1
     pp2, _ = _load_tpz("noref.tpz")
     ref2 = np.asarray(pp2.system.bonded["posres"].params_a)[0, :3]
     np.testing.assert_allclose(ref2, [1.0, 1.0, 1.0], atol=1e-3)
+
+
+def test_trjcat(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    from gromacs_fep_gpu_tpu.io.trrio import read_trr_frame, scan_trr
+    box = np.diag([2.0, 2.0, 2.0]).astype(np.float32)
+    x = np.array([[0.5, 0.5, 0.5]], np.float32)
+    for k in range(4):                  # part 1: t = 0..0.006
+        write_trr_frame("a.trr", x + 0.01 * k, box,
+                        v=x * 0, step=k, time=0.002 * k)
+    for k in range(3, 7):               # part 2 overlaps at t=0.006
+        write_trr_frame("b.trr", x + 0.01 * k, box,
+                        v=x * 0, step=k, time=0.002 * k)
+    main(["trjcat", "-f", "a.trr", "b.trr", "-o", "cat.trr"])
+    na, nf = scan_trr("cat.trr")
+    assert nf == 7                       # 4 + 4 - 1 duplicate
+    ts = [read_trr_frame("cat.trr", i, na)["time"] for i in range(nf)]
+    assert ts == sorted(ts) and len(set(np.round(ts, 6))) == 7
+    fr = read_trr_frame("cat.trr", 6, na)
+    np.testing.assert_allclose(fr["x"][0, 0], 0.56, atol=1e-4)
+    assert fr["v"] is not None           # velocities preserved trr->trr
+
+
+def test_genconf(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    from gromacs_fep_gpu_tpu.io.groio import read_gro, write_gro
+    x = np.array([[0.2, 0.3, 0.4]], np.float32)
+    write_gro("in.gro", "t", ["AR"], ["AR"], x, None,
+              np.diag([1.0, 1.5, 2.0]).astype(np.float32))
+    main(["genconf", "-f", "in.gro", "-nbox", "2", "1", "3",
+          "-o", "big.gro"])
+    n, r, xo, _, box = read_gro("big.gro")
+    assert len(n) == 6
+    np.testing.assert_allclose(np.diag(box), [2.0, 1.5, 6.0], atol=1e-5)
+    # copies at every lattice shift
+    got = sorted(tuple(np.round(v, 3)) for v in xo)
+    expect = sorted((0.2 + i, 0.3, 0.4 + 2.0 * k)
+                    for i in (0, 1) for k in (0, 1, 2))
+    np.testing.assert_allclose(got, expect, atol=1e-3)
