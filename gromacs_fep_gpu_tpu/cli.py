@@ -1535,7 +1535,7 @@ def _load_struct_arg(path):
         pp, data = _load_tpz(path)
         return ([str(v) for v in data["names"]],
                 [str(v) for v in data["resnames"]],
-                np.asarray(data["x"]), np.asarray(pp.system.mass))
+                np.asarray(data["x"]), np.asarray(pp.system.mass_a))
     from .io.pdbio import read_structure
     names, resnames, x, _, _ = read_structure(path)
     return names, resnames, x, np.ones(len(names))

@@ -132,6 +132,9 @@ def test_cli_sasa_dipoles_potential(tmp_path, monkeypatch):
                         box.astype(np.float32), step=k, time=0.002 * k)
     main(["sasa", "-f", "t.trr", "-s", "topol.tpz", "-o", "sa.xvg",
           "-ndots", "60"])
+    # the mass-needing tools must accept a .tpz for -s too
+    main(["rms", "-f", "t.trr", "-s", "topol.tpz", "-o", "rmstpz.xvg"])
+    main(["gyrate", "-f", "t.trr", "-s", "topol.tpz", "-o", "gytpz.xvg"])
     sa, _ = read_xvg("sa.xvg")
     assert (sa[:, 1] > 0).all()
     main(["dipoles", "-f", "t.trr", "-s", "topol.tpz", "-o", "dip.xvg"])
