@@ -880,6 +880,62 @@ def cmd_ensemble(args):
         print(f"BAR skipped: {e}")
 
 
+def cmd_pdb2gmx(args):
+    """Protein topology generation from force-field residue databases,
+    with missing hydrogens built from the .hdb geometry database
+    (reference: gmxpreprocess/pdb2gmx.cpp + genhydro.cpp).  Needs a
+    GROMACS-layout force-field directory (<ffdir>/<ff>.ff with
+    aminoacids.rtp etc.)."""
+    from .io.groio import write_gro
+    from .io.pdb2top import (Pdb2TopError, add_missing_atoms,
+                             build_protein_top, write_top)
+    from .io.pdbio import parse_pdb_atoms
+
+    if args.f.lower().endswith(".pdb"):
+        with open(args.f) as f:
+            names, resnames, resids, x, box = parse_pdb_atoms(f.read())
+    else:
+        from .io.ndxio import infer_resids
+        from .io.pdbio import read_structure
+        names, resnames, x, _, box = read_structure(args.f)
+        resids = infer_resids(names, resnames)
+    ff_dir = os.path.join(args.ffdir, args.ff + ".ff")
+    if not os.path.isdir(ff_dir):
+        raise SystemExit(f"pdb2gmx: force field dir {ff_dir} not found "
+                         "(-ffdir must point at a GROMACS share/top)")
+    try:
+        names, resnames, resids, x, n_added = add_missing_atoms(
+            names, resnames, resids, x, ff_dir, ignh=args.ignh)
+        if n_added:
+            print(f"pdb2gmx: built {n_added} missing atoms from "
+                  f"{args.ff}.ff/aminoacids.hdb")
+        top = build_protein_top(names, resnames, resids, ff_dir)
+    except Pdb2TopError as e:
+        raise SystemExit(f"pdb2gmx: {e}")
+    text = write_top(top, f"{args.ff}.ff/forcefield.itp",
+                     system_name="Protein", molname="Protein")
+    with open(args.p, "w") as f:
+        f.write(text)
+    order = top["order"]
+    x = np.asarray(x)[order]
+    out_names = [top["atoms"][i][3] for i in range(len(order))]
+    out_res = [top["atoms"][i][2] for i in range(len(order))]
+    out_rid = [top["atoms"][i][1] for i in range(len(order))]
+    if not np.asarray(box).any():
+        ext = x.max(0) - x.min(0)
+        box = np.diag(ext + 2.0)
+    write_gro(args.o, "pdb2gmx output", out_names, out_res, x, None,
+              box, resids=out_rid)
+    q = sum(a[4] for a in top["atoms"])
+    print(f"pdb2gmx: {len(top['groups'])} residues, "
+          f"{len(top['atoms'])} atoms, total charge {q:+.3f}")
+    print(f"  bonds {len(top['bonds'])}, pairs {len(top['pairs'])}, "
+          f"angles {len(top['angles'])}, dihedrals "
+          f"{len(top['dihedrals'])}, impropers {len(top['impropers'])}")
+    print(f"wrote {args.p} and {args.o}; grompp with "
+          f"include dirs containing {args.ffdir}")
+
+
 def cmd_solvate(args):
     """Fill a box with TIP3P water around a solute
     (reference: gmxpreprocess/solvate.cpp)."""
@@ -2019,6 +2075,20 @@ def main(argv=None):
     b.add_argument("-method", default="bar", choices=("bar", "mbar"),
                    help="pairwise BAR or all-sample MBAR")
     b.set_defaults(fn=cmd_bar)
+
+    p2 = sub.add_parser("pdb2gmx", help="protein topology from FF "
+                                        "residue databases (reference: "
+                                        "gmx pdb2gmx)")
+    p2.add_argument("-f", required=True, help="input .pdb/.gro (missing "
+                                              "hydrogens are built)")
+    p2.add_argument("-ff", default="amber99sb-ildn")
+    p2.add_argument("-ffdir", required=True,
+                    help="GROMACS share/top directory with <ff>.ff")
+    p2.add_argument("-ignh", action="store_true",
+                    help="discard input hydrogens and rebuild from .hdb")
+    p2.add_argument("-o", default="conf.gro")
+    p2.add_argument("-p", default="topol.top")
+    p2.set_defaults(fn=cmd_pdb2gmx)
 
     sv = sub.add_parser("solvate", help="fill a box with water "
                                         "(reference: gmx solvate)")

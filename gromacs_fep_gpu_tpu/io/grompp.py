@@ -125,6 +125,8 @@ def preprocess_arrays(mdp_text: str, top_text: str, names, resnames,
     extras = mdp_extras(mdp_text)
     if couple_moltype_override:
         extras["couple_moltype"] = couple_moltype_override
+    # mdp `include =` dirs extend the caller's search path
+    include_dirs = list(include_dirs or []) + list(extras["include_dirs"])
 
     system = system_from_top(
         top_text, include_dirs=include_dirs,

@@ -102,7 +102,12 @@ def mdp_extras(text: str) -> Dict[str, object]:
             body = tok[2:]
             name, _, val = body.partition("=")
             defines[name] = val or "1"
+    # mdp `include = -I/dir1 -I/dir2`: extra topology include search
+    # dirs (reference: readir.cpp inputrec include field + gmxcpp -I)
+    include_dirs = [tok[2:] if tok.startswith("-I") else tok
+                    for tok in kv.get("include", "").split()]
     return {
+        "include_dirs": include_dirs,
         "separate_dvdl": separate,
         "couple_moltype": kv.get("couple-moltype", "").strip() or None,
         "couple_lam0": kv.get("couple-lambda0", "vdw-q").lower(),

@@ -92,6 +92,26 @@ def read_pdb(path: str, model: int = 0):
         return parse_pdb(f.read(), model)
 
 
+def parse_pdb_atoms(text: str, model: int = 0):
+    """Like parse_pdb but also returns residue sequence numbers:
+    (names, resnames, resids, x, box) — the pdb2gmx input view."""
+    names, resnames, x, _, box = parse_pdb(text, model)
+    resids = []
+    cur_model = 0
+    seen_model = False
+    for line in text.splitlines():
+        rec = line[:6]
+        if rec == "MODEL ":
+            if seen_model:
+                cur_model += 1
+            seen_model = True
+        elif rec in ("ATOM  ", "HETATM") and cur_model == model:
+            resids.append(int(line[22:26]))
+        elif rec == "ENDMDL" and cur_model == model and resids:
+            break
+    return names, resnames, resids, x, box
+
+
 def read_pdb_frames(path: str):
     """All MODELs of a multi-model PDB as a list of coordinate arrays
     (nm) plus the shared (names, resnames, box)."""

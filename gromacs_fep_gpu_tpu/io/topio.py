@@ -120,22 +120,34 @@ class BondedDB:
             self.dihedrals[group].append((self.canon4(ids), params))
 
     def lookup_dihedral(self, group: str, ids4) -> Optional[Tuple]:
-        """Most-exact-match wildcard search
-        (reference: toppush.cpp:1757 defaultInteractionsOfType)."""
+        terms = self.lookup_dihedral_terms(group, ids4)
+        return terms[0] if terms else None
+
+    def lookup_dihedral_terms(self, group: str, ids4) -> List[Tuple]:
+        """Most-exact-match wildcard search, both orientations — canon4
+        cannot orient X-a-b-X entries, so the stored inner-pair direction
+        is arbitrary (reference: toppush.cpp:1757
+        defaultInteractionsOfType tries forward and reverse).  Returns
+        ALL db lines sharing the winning type key, in file order —
+        multi-term funct-9 dihedraltypes expand to one interaction per
+        line (toppush.cpp push_bond bAllowRepeat)."""
         key = self.canon4(tuple(ids4))
         best, best_n = None, -1
-        for tids, params in self.dihedrals[group]:
-            n = 0
-            ok = True
-            for t, a in zip(tids, key):
-                if t == a:
-                    n += 1
-                elif t != -1:
-                    ok = False
-                    break
-            if ok and n > best_n:
-                best, best_n = params, n
-        return best
+        for tids, _params in self.dihedrals[group]:
+            for cand in (key, key[::-1]):
+                n = 0
+                ok = True
+                for t, a in zip(tids, cand):
+                    if t == a:
+                        n += 1
+                    elif t != -1:
+                        ok = False
+                        break
+                if ok and n > best_n:
+                    best, best_n = tids, n
+        if best is None:
+            return []
+        return [p for t, p in self.dihedrals[group] if t == best]
 
 
 @dataclasses.dataclass
@@ -166,7 +178,7 @@ def _preprocess(text: str, include_dirs: List[str],
     out: List[str] = []
     skip_stack: List[bool] = []
 
-    def process(lines):
+    def process(lines, cur_dir=None):
         for raw in lines:
             line = raw.rstrip("\n")
             s = line.strip()
@@ -187,12 +199,15 @@ def _preprocess(text: str, include_dirs: List[str],
                 elif parts[0] == "#define":
                     defines[parts[1]] = " ".join(parts[2:]) if len(parts) > 2 else "1"
                 elif parts[0] == "#include":
+                    # like cpp: the including file's own directory is
+                    # searched first (gmxpreprocess/gmxcpp.cpp)
                     name = parts[1].strip('"<>')
-                    for d in include_dirs:
+                    dirs = (([cur_dir] if cur_dir else []) + include_dirs)
+                    for d in dirs:
                         p = os.path.join(d, name)
                         if os.path.exists(p):
                             with open(p) as f:
-                                process(f.readlines())
+                                process(f.readlines(), os.path.dirname(p))
                             break
                     else:
                         warnings.warn(f"top: include {name} not found; skipped")
@@ -615,12 +630,14 @@ def _resolve_molecule(raw: _RawMol, atomtypes: Dict[str, AtomType],
                     warnings.warn(
                         f"{raw.name}: {section} {idx} explicit A-state "
                         "parameters copied to B for perturbed atoms")
+            terms = [(pa, pb)]
         else:
-            # ---- database lookup ----
-            pa, pb = _db_lookup(db, section, funct, idx, bt_a, bt_b,
-                                pert(idx), raw.name, warn_bpert)
+            # ---- database lookup (may expand to several funct-9 terms) ----
+            terms = _db_lookup(db, section, funct, idx, bt_a, bt_b,
+                               pert(idx), raw.name, warn_bpert)
 
-        _store_interaction(mol, section, funct, idx, pa, pb)
+        for pa, pb in terms:
+            _store_interaction(mol, section, funct, idx, pa, pb)
 
     # settles / exclusions / posres / vsites
     mol.settle = raw.settle
@@ -644,32 +661,43 @@ def _resolve_molecule(raw: _RawMol, atomtypes: Dict[str, AtomType],
 
 def _db_lookup(db: BondedDB, section: str, funct: int, idx, bt_a, bt_b,
                perturbed: bool, mol_name: str, warn_bpert):
-    """A/B parameter lookup (reference: toppush.cpp:1990-2240 push_bond)."""
-    def one(bt):
+    """A/B parameter lookup (reference: toppush.cpp:1990-2240 push_bond).
+    Returns a list of (pa, pb) terms — len > 1 only for multi-term
+    funct-9 dihedraltypes."""
+    def one(bt) -> List[Tuple]:
         if section == "bonds":
-            return db.bonds.get(db.canon2((bt[idx[0]], bt[idx[1]])))
-        if section == "angles":
-            return db.angles.get(db.canon3((bt[idx[0]], bt[idx[1]],
-                                            bt[idx[2]])))
-        if section == "constraints":
-            return db.constraints.get(db.canon2((bt[idx[0]], bt[idx[1]])))
-        if section == "dihedrals":
-            return db.lookup_dihedral(_DIH_GROUP[funct],
-                                      tuple(bt[i] for i in idx))
-        return None
+            hit = db.bonds.get(db.canon2((bt[idx[0]], bt[idx[1]])))
+        elif section == "angles":
+            hit = db.angles.get(db.canon3((bt[idx[0]], bt[idx[1]],
+                                           bt[idx[2]])))
+        elif section == "constraints":
+            hit = db.constraints.get(db.canon2((bt[idx[0]], bt[idx[1]])))
+        elif section == "dihedrals":
+            terms = db.lookup_dihedral_terms(_DIH_GROUP[funct],
+                                             tuple(bt[i] for i in idx))
+            # only funct 9 repeats (toppush.cpp bAllowRepeat)
+            return terms if funct == 9 else terms[:1]
+        else:
+            hit = None
+        return [] if hit is None else [hit]
 
-    pa = one(bt_a)
-    if pa is None:
+    la = one(bt_a)
+    if not la:
         raise ValueError(f"{mol_name}: no default {section} type for atoms "
                          f"{tuple(i + 1 for i in idx)}")
     if perturbed:
-        pb = one(bt_b)
-        if pb is None:
+        lb = one(bt_b)
+        if not lb:
             warn_bpert(section)
-            pb = pa
+            lb = la
+        elif len(lb) != len(la):
+            raise ValueError(
+                f"{mol_name}: perturbed {section} {tuple(i + 1 for i in idx)}"
+                f" has {len(la)} A-state but {len(lb)} B-state multiple "
+                "terms (reference errors likewise)")
     else:
-        pb = pa
-    return pa, pb
+        lb = la
+    return list(zip(la, lb))
 
 
 def _store_interaction(mol: MoleculeType, section: str, funct: int, idx,
