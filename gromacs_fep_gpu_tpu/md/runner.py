@@ -172,8 +172,7 @@ class MdRunner:
                 np.asarray(system.mass_a), np.asarray(system.charge_a),
                 params.dt)
 
-        self._chunk = None
-        self._compiled_for = None
+        self._chunk_cache = {}
         self._rlist = None   # kinetic-theory sized at run() (needs volume)
         self.stopped_at = None   # step the StopHandler ended the run at
 
@@ -204,12 +203,58 @@ class MdRunner:
                 return lambda x, box, lam: delta_core(x, box, lam, feplist)
         return factory, n_foreign
 
-    def _build_chunk(self, seg_len: int):
+    def _flavor_pattern(self, start_step: int, seg_len: int) -> str:
+        """Per-offset force-kernel flavor for a chunk starting at absolute
+        step start_step: 'F' force-only, 'E' energy, 'R' energy+virial.
+
+        Mirrors the step function's do_ener/do_vir triggers exactly (all
+        are step%N==0 with static N, so they are host-computable) — this
+        lets the chunk be composed of statically-flavored segments with
+        no per-step lax.cond around the force kernels, which measured
+        +0.6 ms/step on TPU (reference analogue: the kernel flavor is a
+        launch-time choice, nbnxm/kerneldispatch.cpp:447)."""
+        p = self.params
+        compute_pressure = p.pcoupl.value != "no"
+        # mirror of the scan()-local bound_force_vir condition
+        vir_active = (compute_pressure and not self.config.use_dense
+                      and self._dd_mesh is None
+                      and (not self.config.use_pallas
+                           or self.config.pallas_mode == "v2u")
+                      and p.pcoupltype != "anisotropic")
+        noener_active = (not self.config.use_dense and p.nstcalcenergy > 1)
+        exp = p.expanded
+        has_expanded = (exp is not None and self.all_lambda is not None
+                        and exp.nstexpanded > 0
+                        and exp.lmc_move not in ("no", ""))
+        has_awh = (p.awh is not None and self.all_lambda is not None
+                   and p.awh.coord_provider == "fep-lambda")
+        out = []
+        for o in range(seg_len):
+            s = start_step + o
+            if not noener_active:
+                ener = True
+            else:
+                ener = (s % p.nstcalcenergy) == 0
+                if p.fep.enabled:
+                    ener = ener or (s % p.fep.nstdhdl) == 0
+                if has_expanded:
+                    ener = ener or ((s % exp.nstexpanded) == 0 and s > 0)
+                if has_awh:
+                    ener = ener or ((s % p.awh.nstsample) == 0 and s > 0)
+            vir = vir_active and (s % p.nstpcouple) == 0
+            out.append("R" if vir else ("E" if (ener or vir) else "F"))
+        return "".join(out)
+
+    def _build_chunk(self, seg_len: int, flavors: Optional[str] = None):
         """Two jitted programs per chunk: pair-search rebuild and the
         nstlist-step scan.  Keeping them separate lets XLA pick clean
         input layouts for the scan (fusing the rebuild into the same
         program measured 3.5x slower per step); both dispatches are async
-        so the host still never blocks."""
+        so the host still never blocks.
+
+        flavors: optional per-offset force-kernel flavor string from
+        _flavor_pattern; when given, the scan is composed of
+        statically-flavored segments instead of a per-step lax.cond."""
         cfg = self.config
         rl = self._rlist if self._rlist is not None else effective_rlist(
             self.params)
@@ -340,20 +385,47 @@ class MdRunner:
                                         self.params.pull, 0.0)
                 return e
 
-            step_fn = make_step_fn(
-                self.system, self.params, bound_force,
-                energy_epot_fn=epot_fn,
-                compute_pressure=compute_pressure,
-                force_vir_fn=bound_force_vir,
-                foreign_delta_fn=(foreign_factory(feplist)
-                                  if foreign_factory else None),
-                n_foreign=n_foreign,
-                all_lambda=(self.all_lambda.T
-                            if self.all_lambda is not None else None),
-                force_fn_noener=bound_force_noener,
-                densfit_fn=self._densfit_fn)
-            state_out, log = jax.lax.scan(step_fn, state, length=seg_len)
-            return state_out, log
+            def mk_step(flavor=None):
+                return make_step_fn(
+                    self.system, self.params, bound_force,
+                    energy_epot_fn=epot_fn,
+                    compute_pressure=compute_pressure,
+                    force_vir_fn=bound_force_vir,
+                    foreign_delta_fn=(foreign_factory(feplist)
+                                      if foreign_factory else None),
+                    n_foreign=n_foreign,
+                    all_lambda=(self.all_lambda.T
+                                if self.all_lambda is not None else None),
+                    force_fn_noener=bound_force_noener,
+                    densfit_fn=self._densfit_fn,
+                    static_flavor=flavor)
+
+            if flavors is None or len(set(flavors)) > 3:
+                state_out, log = jax.lax.scan(mk_step(), state,
+                                              length=seg_len)
+                return state_out, log
+            # statically-flavored segments: consecutive same-flavor runs
+            # become one lax.scan each, so no per-step cond survives
+            step_by_flavor = {fl: mk_step(fl) for fl in set(flavors)}
+            runs = []
+            for fl in flavors:
+                if runs and runs[-1][0] == fl:
+                    runs[-1][1] += 1
+                else:
+                    runs.append([fl, 1])
+            logs = []
+            for fl, count in runs:
+                sfn = step_by_flavor[fl]
+                if count == 1:
+                    state, lg = sfn(state, None)
+                    logs.append(jax.tree_util.tree_map(
+                        lambda a: jnp.asarray(a)[None], lg))
+                else:
+                    state, lg = jax.lax.scan(sfn, state, length=count)
+                    logs.append(lg)
+            log = (logs[0] if len(logs) == 1 else jax.tree_util.tree_map(
+                lambda *xs: jnp.concatenate(xs, axis=0), *logs))
+            return state, log
 
         rebuild_j = jax.jit(rebuild)
         scan_j = jax.jit(scan)
@@ -376,7 +448,7 @@ class MdRunner:
         if len(flags) > 3 and flags[3] > 0:
             need = int(max(flags[4], self.config.super_nnbr) * 1.25 + 8)
             self.config.super_nnbr = (need + 31) // 32 * 32
-        self._chunk = None
+        self._chunk_cache.clear()
 
     def run(self, state: State, nsteps: int,
             callback: Optional[Callable] = None,
@@ -458,29 +530,45 @@ class MdRunner:
 
         logs = []
         done = 0
+        # host mirror of state.step: every flavor trigger is step%N==0
+        # with static N, so chunk force flavors are host-computable (one
+        # scalar fetch per run() call)
+        step0 = int(np.asarray(jax.device_get(state.step)))
         verified_state, verified_done, verified_nlogs = state, 0, 0
         pending = []   # (flags_device, done_after, nlogs_after)
         first_chunk = True
         while done < nsteps:
             seg_len = min(nst, nsteps - done)
+            flavors = self._flavor_pattern(step0 + done, seg_len)
             key = (seg_len, self.config.nnbr, self.config.fep_max_nbr,
-                   self.config.super_nnbr)
-            if self._chunk is None or self._compiled_for != key:
-                self._chunk = self._build_chunk(seg_len)
-                self._compiled_for = key
+                   self.config.super_nnbr, flavors)
+            chunk = self._chunk_cache.get(key)
+            if chunk is None:
+                chunk = self._build_chunk(seg_len, flavors)
+                self._chunk_cache[key] = chunk
             with self.wallcycle.region("chunk"):
-                state, log, flags = self._chunk(state)
+                state, log, flags = chunk(state)
             logs.append(log)
             done += seg_len
             pending.append((flags, state, done, len(logs)))
 
-            check = (first_chunk or len(pending) >= self.config.check_every
-                     or done >= nsteps)
+            # flag reads run a full check_every chunks BEHIND the dispatch
+            # frontier: the device_get of chunk k's flags only happens once
+            # chunks k+1..k+check_every are already enqueued, so the ~25 ms
+            # host round-trip overlaps device work instead of idling the
+            # chip (the reference's analogue: staged D2H of kernel outputs
+            # consumed a step later, nbnxm/gpu_common.h staged reductions)
+            at_end = done >= nsteps
+            check = (first_chunk
+                     or len(pending) >= 2 * self.config.check_every
+                     or at_end)
             first_chunk = False
             if check:
+                take = pending if at_end else \
+                    pending[:self.config.check_every]
                 with self.wallcycle.region("overflow_check"):
                     fl = np.asarray(
-                        jax.device_get(jnp.stack([p[0] for p in pending])))
+                        jax.device_get(jnp.stack([p[0] for p in take])))
                 if fl.shape[1] > 7 and fl[:, 7].sum() > 0:
                     raise RuntimeError(
                         f"{int(fl[:, 7].sum())} pair(s) reach beyond the "
@@ -515,15 +603,16 @@ class MdRunner:
                     pending = []
                     continue
                 verified_state, verified_done, verified_nlogs = (
-                    pending[-1][1], pending[-1][2], pending[-1][3])
-                pending = []
+                    take[-1][1], take[-1][2], take[-1][3])
+                pending = pending[len(take):]
                 if stop_condition is not None and stop_condition():
-                    # clean early stop at a verified boundary: everything
-                    # up to `done` is flag-checked and safe to keep
+                    # clean early stop: flag checks lag the dispatch
+                    # frontier, so return the newest VERIFIED state (any
+                    # still-unverified chunks beyond it are discarded)
                     if callback is not None:
-                        callback(state, log, done)
-                    self.stopped_at = done
-                    return state, logs
+                        callback(verified_state, log, verified_done)
+                    self.stopped_at = verified_done
+                    return verified_state, logs[:verified_nlogs]
 
             if callback is not None:
                 callback(state, log, done)

@@ -139,7 +139,8 @@ def make_step_fn(system: System, params: MdParams, force_fn: Callable,
                  force_fn_noener: Optional[Callable] = None,
                  temp_ladder=None,
                  force_vir_fn: Optional[Callable] = None,
-                 densfit_fn: Optional[Callable] = None):
+                 densfit_fn: Optional[Callable] = None,
+                 static_flavor: Optional[str] = None):
     """force_fn(x, box, lam) -> (f, EnergyTerms).
     foreign_delta_fn(x, box, lam) -> (n_foreign,) Delta-H vector, evaluated
     every fep.nstdhdl steps (reference: mdebin_bar.cpp Delta-H collection)
@@ -148,7 +149,15 @@ def make_step_fn(system: System, params: MdParams, force_fn: Callable,
     ensemble / simulated tempering (params.expanded is not None).
     temp_ladder: (L,) per-replica thermostat temperatures indexed by
     state.fep_state — T-replica-exchange mode (the multisim analogue,
-    reference: replicaexchange.cpp T branch)."""
+    reference: replicaexchange.cpp T branch).
+    static_flavor: 'F' (force-only), 'E' (energy), or 'R' (energy+virial)
+    pins the force-kernel flavor at TRACE time instead of the per-step
+    lax.cond — the runner knows each chunk offset's flavor on the host
+    (all triggers are step%N==0 with static N) and composes chunks from
+    statically-flavored segments; the cond version measured +0.6 ms/step
+    on TPU because the branch blocks XLA's scheduling around the force
+    (reference analogue: kernel flavor picked at launch time,
+    nbnxm/kerneldispatch.cpp:447)."""
     ndf = degrees_of_freedom(system, params)
     dt = params.dt
     has_constraints = constr_mod.n_constraints(system) > 0
@@ -248,9 +257,17 @@ def make_step_fn(system: System, params: MdParams, force_fn: Callable,
             exp.sim_temp_high, exp.sim_temp_scale,
             jnp.asarray(all_lambda)[int(FepCoupling.TEMPERATURE)])
 
+    # mass perturbation is a host-known property: skip the per-step
+    # dEkin/dl reductions entirely for the (vast majority of) systems
+    # with unperturbed masses
+    _has_pert_mass = bool(_np.any(_np.asarray(system.mass_b)
+                                  != _np.asarray(system.mass_a)))
+
     def dekindl_of(v):
         """dEkin/dlambda-mass at constant velocity
         (reference: md_support.cpp:157)."""
+        if not _has_pert_mass:
+            return jnp.zeros((), v.dtype)
         dm = system.mass_b - system.mass_a
         return 0.5 * jnp.sum(dm * jnp.sum(v * v, -1))
 
@@ -277,7 +294,18 @@ def make_step_fn(system: System, params: MdParams, force_fn: Callable,
         do_ener = jnp.asarray(True)
         do_vir = ((state.step % params.nstpcouple) == 0 \
                   if pressure_from_force else jnp.asarray(False))
-        if force_fn_noener is not None and params.nstcalcenergy > 1:
+        if static_flavor is not None:
+            # flavor pinned at trace time: no per-step cond around the
+            # force kernels (see docstring)
+            do_ener = static_flavor != "F"
+            do_vir = static_flavor == "R"
+            if do_vir:
+                f, terms = force_vir_fn(state.x, state.box, lam)
+            elif do_ener or force_fn_noener is None:
+                f, terms = force_fn(state.x, state.box, lam)
+            else:
+                f, terms = force_fn_noener(state.x, state.box, lam)
+        elif force_fn_noener is not None and params.nstcalcenergy > 1:
             do_ener = (state.step % params.nstcalcenergy) == 0
             if params.fep.enabled:
                 do_ener = do_ener | ((state.step % params.fep.nstdhdl) == 0)
@@ -295,7 +323,9 @@ def make_step_fn(system: System, params: MdParams, force_fn: Callable,
                 lambda: force_fn_noener(state.x, state.box, lam))
         else:
             ener_branch = lambda: force_fn(state.x, state.box, lam)
-        if pressure_from_force:
+        if static_flavor is not None:
+            pass                       # f, terms assigned above
+        elif pressure_from_force:
             f, terms = jax.lax.cond(
                 do_vir,
                 lambda: force_vir_fn(state.x, state.box, lam),
@@ -538,11 +568,17 @@ def make_step_fn(system: System, params: MdParams, force_fn: Callable,
                                            params.lincs_iter)
             dv = (x_c - x_new) / dt
             v_new = v_new + dv
-            constr_rmsd = jnp.sqrt(jnp.mean(jnp.sum((x_c - x_new)**2, -1)))
-            # constraint virial: f_c = m dx/dt^2; Xi_aa = -1/2 sum x_a f_c,a
-            # (reference: constr.cpp virial from constraint displacements)
-            f_c = mass[:, None] * (x_c - x_new) / (dt * dt)
-            constr_vir_diag = -0.5 * jnp.sum(x_c * f_c, axis=0)
+            # diagnostic only: skip the reduction on force-only steps
+            if static_flavor != "F":
+                constr_rmsd = jnp.sqrt(jnp.mean(jnp.sum((x_c - x_new)**2,
+                                                        -1)))
+            if compute_pressure:
+                # constraint virial: f_c = m dx/dt^2;
+                # Xi_aa = -1/2 sum x_a f_c,a (reference: constr.cpp virial
+                # from constraint displacements); only pressure paths
+                # consume it
+                f_c = mass[:, None] * (x_c - x_new) / (dt * dt)
+                constr_vir_diag = -0.5 * jnp.sum(x_c * f_c, axis=0)
             x_new = x_c
 
         # --- VV second half: forces at t+dt, second kick, constrain v.
