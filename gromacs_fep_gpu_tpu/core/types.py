@@ -433,6 +433,16 @@ class MdParams:
     # md.log energy-block interval (reference: inputrec nstlog)
     nstlog: int = 1000
 
+    # multiple time stepping (reference: mdtypes/multipletimestepping.h,
+    # mdp keys mts / mts-level2-forces / mts-level2-factor): the PME
+    # reciprocal force is evaluated every mts_factor steps and applied as
+    # an impulse (force scaled by the factor on those steps); energies,
+    # dvdl and the virial stay unscaled instantaneous values.  Only
+    # "longrange-nonbonded" level-2 forces are supported.
+    mts: bool = False
+    mts_factor: int = 2
+    mts_forces: str = "longrange-nonbonded"
+
     fep: FepParams = FepParams()
     expanded: Optional[ExpandedParams] = None
     # AWH biasing on the FEP lambda coordinate

@@ -340,6 +340,10 @@ def mdp_to_params(text: str, ndx=None
         compressed_x_precision=get("compressed-x-precision", 1000.0),
         nstcalcenergy=get("nstcalcenergy", 1, int),
         nstlog=get("nstlog", 1000, int),
+        # multiple time stepping (reference: readir.cpp mts block)
+        mts=get("mts", "no", str).lower() in ("yes", "true"),
+        mts_factor=get("mts-level2-factor", 2, int),
+        mts_forces=get("mts-level2-forces", "longrange-nonbonded", str),
         fep=fep,
         expanded=expanded,
         awh=awh,

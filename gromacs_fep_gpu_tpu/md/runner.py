@@ -139,8 +139,8 @@ class MdRunner:
         self._force_fn = None
         if self.config.use_dense:
             dense = make_dense_force_fn(system, params, self.recip_fn)
-            self._force_fn = (lambda x, box, lam, nl, fl, prep=None:
-                              dense(x, box, lam))
+            self._force_fn = (lambda x, box, lam, nl, fl, prep=None,
+                              **_flavor_kwargs: dense(x, box, lam))
         else:
             nb_override = None
             if self._dd_mesh is not None:
@@ -242,7 +242,18 @@ class MdRunner:
                 if has_awh:
                     ener = ener or ((s % p.awh.nstsample) == 0 and s > 0)
             vir = vir_active and (s % p.nstpcouple) == 0
-            out.append("R" if vir else ("E" if (ener or vir) else "F"))
+            fl = "R" if vir else ("E" if (ener or vir) else "F")
+            if p.mts and (s % p.mts_factor) != 0:
+                # MTS off-step: recip force skipped.  Energy/virial steps
+                # must land on MTS steps (validated in run()); if an
+                # unvalidated trigger slips through, fail loudly rather
+                # than report energies without the recip term
+                if fl != "F":
+                    raise ValueError(
+                        f"step {s}: energy/virial step not aligned with "
+                        f"mts-level2-factor {p.mts_factor}")
+                fl = "f"
+            out.append(fl)
         return "".join(out)
 
     def _build_chunk(self, seg_len: int, flavors: Optional[str] = None):
@@ -350,14 +361,27 @@ class MdRunner:
             return nlist, feplist, prep, flags
 
         def scan(state: State, nlist, feplist, prep):
+            # MTS: on-steps apply the recip force as a factor-scaled
+            # impulse; off-steps ('f' flavor) skip the recip entirely
+            # (reference: mdlib MTS combineMtsForces)
+            rs = float(self.params.mts_factor) if self.params.mts else 1.0
             bound_force = lambda x, box, lam: force_fn(x, box, lam, nlist,
-                                                       feplist, prep)
+                                                       feplist, prep,
+                                                       recip_scale=rs)
             bound_force_noener = None
             if not cfg.use_dense and self.params.nstcalcenergy > 1:
                 bound_force_noener = (
                     lambda x, box, lam: force_fn(x, box, lam, nlist,
                                                  feplist, prep,
-                                                 need_energy=False))
+                                                 need_energy=False,
+                                                 recip_scale=rs))
+            bound_force_mts_off = None
+            if self.params.mts:
+                bound_force_mts_off = (
+                    lambda x, box, lam: force_fn(x, box, lam, nlist,
+                                                 feplist, prep,
+                                                 need_energy=False,
+                                                 skip_recip=True))
             # decomposed NPT virial: supported on the XLA cluster kernel
             # and the v2u Pallas path (no DD override, no dense path)
             bound_force_vir = None
@@ -367,7 +391,8 @@ class MdRunner:
                 bound_force_vir = (
                     lambda x, box, lam: force_fn(x, box, lam, nlist,
                                                  feplist, prep,
-                                                 need_virial=True))
+                                                 need_virial=True,
+                                                 recip_scale=rs))
 
             pull_static = (self.params.pull is not None
                            and len(self.params.pull) > 0
@@ -398,9 +423,13 @@ class MdRunner:
                                 if self.all_lambda is not None else None),
                     force_fn_noener=bound_force_noener,
                     densfit_fn=self._densfit_fn,
+                    force_fn_mts_off=bound_force_mts_off,
                     static_flavor=flavor)
 
-            if flavors is None or len(set(flavors)) > 3:
+            if flavors is None:
+                if self.params.mts:
+                    raise ValueError("mts requires the host-computed "
+                                     "flavored chunk path")
                 state_out, log = jax.lax.scan(mk_step(), state,
                                               length=seg_len)
                 return state_out, log
@@ -463,6 +492,30 @@ class MdRunner:
         wired by the CLI)."""
         nst = self.params.nstlist if not self.config.use_dense else nsteps
         nst = max(1, min(nst, nsteps))
+        if self.params.mts:
+            p, m = self.params, self.params.mts_factor
+            if p.mts_forces != "longrange-nonbonded":
+                raise ValueError("only mts-level2-forces = "
+                                 "longrange-nonbonded is supported")
+            if self.recip_force_fn is None or self.config.use_dense \
+                    or self._dd_mesh is not None:
+                raise ValueError("mts requires PME on the single-device "
+                                 "cluster/Pallas path")
+            checks = [("nstcalcenergy", p.nstcalcenergy)]
+            if p.fep.enabled:
+                checks.append(("nstdhdl", p.fep.nstdhdl))
+            if p.pcoupl.value != "no":
+                checks.append(("nstpcouple", p.nstpcouple))
+            if p.expanded is not None:
+                checks.append(("nstexpanded", p.expanded.nstexpanded))
+            if p.awh is not None:
+                checks.append(("awh-nstsample", p.awh.nstsample))
+            for nm, n in checks:
+                if n <= 1 or n % m != 0:
+                    raise ValueError(
+                        f"mts-level2-factor {m} requires {nm} (= {n}) to "
+                        "be a multiple of it (reference: readir.cpp MTS "
+                        "checks)")
         if self.config.use_pallas:
             b = np.asarray(state.box)
             if np.abs(b - np.diag(np.diag(b))).max() > 1e-6:

@@ -140,6 +140,7 @@ def make_step_fn(system: System, params: MdParams, force_fn: Callable,
                  temp_ladder=None,
                  force_vir_fn: Optional[Callable] = None,
                  densfit_fn: Optional[Callable] = None,
+                 force_fn_mts_off: Optional[Callable] = None,
                  static_flavor: Optional[str] = None):
     """force_fn(x, box, lam) -> (f, EnergyTerms).
     foreign_delta_fn(x, box, lam) -> (n_foreign,) Delta-H vector, evaluated
@@ -296,10 +297,13 @@ def make_step_fn(system: System, params: MdParams, force_fn: Callable,
                   if pressure_from_force else jnp.asarray(False))
         if static_flavor is not None:
             # flavor pinned at trace time: no per-step cond around the
-            # force kernels (see docstring)
-            do_ener = static_flavor != "F"
+            # force kernels (see docstring); 'f' = MTS off-step (force-
+            # only, PME recip skipped)
+            do_ener = static_flavor not in ("F", "f")
             do_vir = static_flavor == "R"
-            if do_vir:
+            if static_flavor == "f":
+                f, terms = force_fn_mts_off(state.x, state.box, lam)
+            elif do_vir:
                 f, terms = force_vir_fn(state.x, state.box, lam)
             elif do_ener or force_fn_noener is None:
                 f, terms = force_fn(state.x, state.box, lam)

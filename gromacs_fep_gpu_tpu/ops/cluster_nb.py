@@ -503,10 +503,19 @@ def make_cluster_force_fn(system: System, params: MdParams,
 
     def force_fn(x, box, lam, nlist: ClusterPairlist,
                  feplist: Optional[FepPairlist] = None, prep=None,
-                 need_energy: bool = True, need_virial: bool = False):
+                 need_energy: bool = True, need_virial: bool = False,
+                 recip_scale: float = 1.0, skip_recip: bool = False):
         """need_energy=False runs the force-only kernel flavor and skips
         the dV/dlambda backward pass (the reference computes energies only
         at nstcalcenergy steps; F vs VF kernels in nbnxm_cuda.cu).
+
+        recip_scale/skip_recip implement multiple time stepping for the
+        PME reciprocal force (reference: mdlib MTS, mts-level2-forces =
+        longrange-nonbonded): off-steps skip the recip evaluation, on-
+        steps apply the recip FORCE scaled by the factor (impulse); the
+        recip energy/dvdl stay unscaled instantaneous values.  Only
+        meaningful on the hand-written-gather recip path
+        (pme_recip_force_fn).
 
         need_virial=True additionally fills terms.vir_diag with the
         diagonal potential virial, assembled as kernel-accumulated pair
@@ -578,12 +587,12 @@ def make_cluster_force_fn(system: System, params: MdParams,
             dude = jax.grad(u_cheap)(jnp.zeros(3, x.dtype))
             vir_total = nb_vir + 0.5 * dude
             terms = terms.replace(vir_diag=vir_total)
-        if pme_recip_force_fn is not None:
+        if pme_recip_force_fn is not None and not skip_recip:
             # PME reciprocal via the hand-written gather pass (energy,
             # force, dvdl together) instead of AD through the spread
             e_rec, f_rec, dvdl_rec = pme_recip_force_fn(
                 x, box, lam[FepCoupling.COUL])
-            f = f + f_rec
+            f = f + recip_scale * f_rec
             terms = terms.replace(coul_recip=e_rec)
             if need_energy:
                 glam = glam.at[FepCoupling.COUL].add(dvdl_rec)
