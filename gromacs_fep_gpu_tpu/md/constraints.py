@@ -142,7 +142,13 @@ def settle_positions(x0: jnp.ndarray, x1: jnp.ndarray, box: jnp.ndarray,
                 l3 + dl[..., 2] * mask)
 
     z = jnp.zeros_like(w_o)
-    l1, l2, l3 = jax.lax.fori_loop(0, n_iter, body, (z, z, z))
+    # static unroll: the body is pure elementwise VPU work, so unrolling
+    # lets XLA fuse all Newton iterations into one kernel instead of a
+    # device loop
+    lam3 = (z, z, z)
+    for _ in range(n_iter):
+        lam3 = body(0, lam3)
+    l1, l2, l3 = lam3
 
     # apply displacements
     dox = -2 * w_o * (l1 * a1x + l2 * a2x)
@@ -154,10 +160,17 @@ def settle_positions(x0: jnp.ndarray, x1: jnp.ndarray, box: jnp.ndarray,
     dh2x = 2 * w_h * (l2 * a2x + l3 * a3x)
     dh2y = 2 * w_h * (l2 * a2y + l3 * a3y)
     dh2z = 2 * w_h * (l2 * a2z + l3 * a3z)
-    upd = jnp.zeros_like(x1)
-    upd = upd.at[o].add(jnp.stack([dox, doy, doz], -1))
-    upd = upd.at[h1].add(jnp.stack([dh1x, dh1y, dh1z], -1))
-    upd = upd.at[h2].add(jnp.stack([dh2x, dh2y, dh2z], -1))
+    # one scatter of all three disjoint index sets (each atom belongs to
+    # at most one settle group, so the indices are unique — masked-out
+    # padding rows all alias index 0 with zero displacement, which keeps
+    # uniqueness false only for padding; use add with unique on the real
+    # rows by folding padding into the mask-scaled values)
+    idx = jnp.concatenate([o, h1, h2])
+    val = jnp.concatenate([
+        jnp.stack([dox, doy, doz], -1),
+        jnp.stack([dh1x, dh1y, dh1z], -1),
+        jnp.stack([dh2x, dh2y, dh2z], -1)])
+    upd = jnp.zeros_like(x1).at[idx].add(val)
     return x1 + upd
 
 
