@@ -77,19 +77,61 @@ class EnsembleRunner:
         self._epot_final = None
 
     # -- single-window machinery ---------------------------------------
-    def _window_chunk(self, seg_len: int):
+    def _flavor_pattern(self, start_step: int, seg_len: int) -> str:
+        """Per-offset force flavor for the vmapped windows (all windows
+        share the step schedule, so one host-computed pattern applies
+        batch-wide; see MdRunner._flavor_pattern)."""
+        p = self.params
+        noener_active = (not self.config.use_dense and p.nstcalcenergy > 1)
+        out = []
+        for o in range(seg_len):
+            s = start_step + o
+            foreign = (s % p.fep.nstdhdl) == 0
+            ener = (not noener_active) or foreign \
+                or (s % p.nstcalcenergy) == 0
+            fl = "D" if foreign else ("E" if ener else "F")
+            if p.mts and (s % p.mts_factor) != 0:
+                if fl != "F":
+                    raise ValueError(
+                        f"step {s}: energy step not aligned with "
+                        f"mts-level2-factor {p.mts_factor}")
+                fl = "f"
+            out.append(fl)
+        return "".join(out)
+
+    def _window_chunk(self, seg_len: int, flavors: Optional[str] = None):
         cfg = self.config
         L = self.all_lambda.shape[0]
         from .verletbuf import effective_rlist
         rl = effective_rlist(self.params)
+        recip_force_fn = None
+        v2u = False
         if cfg.use_dense:
             dense = make_dense_force_fn(self.system, self.params,
                                         self.recip_fn)
-            force_fn = lambda x, box, lam, nl, fl: dense(x, box, lam)
+            force_fn = (lambda x, box, lam, nl, fl, prep=None,
+                        **_kw: dense(x, box, lam))
         else:
+            if self.recip_fn is not None:
+                from ..ops.pme import make_pme_recip_pair
+                _, recip_force_fn = make_pme_recip_pair(self.system,
+                                                        self.params)
             force_fn = make_cluster_force_fn(
                 self.system, self.params, self.recip_fn,
-                has_fep=self.has_fep, use_pallas=cfg.use_pallas)
+                has_fep=self.has_fep, use_pallas=cfg.use_pallas,
+                pme_recip_force_fn=recip_force_fn)
+            if cfg.use_pallas:
+                # mirror make_cluster_force_fn's pallas fallback so the
+                # rebuild only prepares v2u data the force path will use
+                from ..core.types import VdwModifier
+                from ..ops.cluster_nb import lj_table_mode
+                v2u = (lj_table_mode(np.asarray(self.system.nbfp))
+                       == "geometric"
+                       and self.params.vdw_modifier
+                       == VdwModifier.POTENTIAL_SHIFT
+                       and self.params.vdw_type != "pme")
+        if self.params.mts and (cfg.use_dense or recip_force_fn is None):
+            raise ValueError("mts requires PME on the cluster path")
 
         from ..ops.foreign import make_foreign_delta_fn
         if cfg.use_dense:
@@ -112,22 +154,52 @@ class EnsembleRunner:
 
         def window_chunk(state: State):
             """One window: rebuild lists + seg_len steps."""
+            prep = None
             if cfg.use_dense:
                 nlist = feplist = None
             else:
                 nlist = build_cluster_pairlist(
-                    state.x, state.box, self.system, rl, nnbr=cfg.nnbr,
+                    state.x, state.box, self.system, rl,
+                    nnbr=(0 if v2u else cfg.nnbr),
                     cell_size=cfg.cell_size,
-                    super_nnbr=cfg.super_nnbr if cfg.use_pallas else None)
+                    super_nnbr=cfg.super_nnbr if v2u else None,
+                    super_block=4)
                 feplist = (build_fep_pairlist(
                     state.x, state.box, self.system, rl, self.pert_idx,
                     max_nbr=cfg.fep_max_nbr) if self.has_fep else None)
-            step_fn = make_step_fn(
-                self.system, self.params,
-                lambda x, box, lam: force_fn(x, box, lam, nlist, feplist),
-                foreign_delta_fn=delta_factory(feplist), n_foreign=L,
-                temp_ladder=self.temperatures)
-            state_out, log = jax.lax.scan(step_fn, state, length=seg_len)
+                if v2u:
+                    from ..ops.pallas_nb import pallas_prepare_v2u
+                    prep = pallas_prepare_v2u(nlist, self.system.nbfp)
+            rs = float(self.params.mts_factor) if self.params.mts else 1.0
+            noener = (not cfg.use_dense
+                      and self.params.nstcalcenergy > 1)
+
+            def mk_step(flavor=None):
+                return make_step_fn(
+                    self.system, self.params,
+                    lambda x, box, lam: force_fn(x, box, lam, nlist,
+                                                 feplist, prep,
+                                                 recip_scale=rs),
+                    foreign_delta_fn=delta_factory(feplist), n_foreign=L,
+                    temp_ladder=self.temperatures,
+                    force_fn_noener=(
+                        (lambda x, box, lam: force_fn(
+                            x, box, lam, nlist, feplist, prep,
+                            need_energy=False, recip_scale=rs))
+                        if noener else None),
+                    force_fn_mts_off=(
+                        (lambda x, box, lam: force_fn(
+                            x, box, lam, nlist, feplist, prep,
+                            need_energy=False, skip_recip=True))
+                        if self.params.mts else None),
+                    static_flavor=flavor)
+
+            if flavors is None:
+                state_out, log = jax.lax.scan(mk_step(), state,
+                                              length=seg_len)
+            else:
+                from .simulator import scan_flavored
+                state_out, log = scan_flavored(mk_step, flavors, state)
             # per-window list-capacity flags (the single-window runner
             # rolls back on these; round-2 VERDICT weak #7: the vmapped
             # path must not truncate silently)
@@ -140,14 +212,17 @@ class EnsembleRunner:
                 s_ovf = (nlist.super_overflow.astype(jnp.int32)
                          if nlist.super_overflow is not None
                          else jnp.zeros((), jnp.int32))
-                flags = jnp.stack([nlist.n_overflow.astype(jnp.int32),
-                                   fep_ovf, s_ovf])
+                # v2u consumes only the union list; the stub per-cluster
+                # capacity (nnbr=8) overflows by design
+                n_ovf = (jnp.zeros((), jnp.int32) if v2u
+                         else nlist.n_overflow.astype(jnp.int32))
+                flags = jnp.stack([n_ovf, fep_ovf, s_ovf])
             return state_out, log, flags
 
         return window_chunk
 
-    def _build(self, seg_len: int):
-        window = self._window_chunk(seg_len)
+    def _build(self, seg_len: int, flavors: Optional[str] = None):
+        window = self._window_chunk(seg_len, flavors)
         vchunk = jax.vmap(window)
         if self.mesh is not None:
             shard = NamedSharding(self.mesh, P(ENS_AXIS))
@@ -282,8 +357,9 @@ class EnsembleRunner:
             vol = float(np.prod(np.diag(np.asarray(states.box[0]))))
             n = max(self.system.n_atoms, 1)
             self.config.cell_size = max((8.0 * vol / n) ** (1.0 / 3.0), 0.15)
-        if self._chunk is None:
-            self._chunk = self._build(seg)
+        if not isinstance(self._chunk, dict):
+            self._chunk = {}
+        step0 = int(np.asarray(jax.device_get(states.step)).ravel()[0])
         shard = (NamedSharding(self.mesh, P(ENS_AXIS))
                  if self.mesh is not None else None)
         if shard is not None:
@@ -297,7 +373,14 @@ class EnsembleRunner:
         pending = []
         first = True
         while done < nsteps:
-            states, log, flags = self._chunk(states)
+            flavors = self._flavor_pattern(step0 + done, seg)
+            key = (seg, self.config.nnbr, self.config.fep_max_nbr,
+                   self.config.super_nnbr, flavors)
+            chunk = self._chunk.get(key)
+            if chunk is None:
+                chunk = self._build(seg, flavors)
+                self._chunk[key] = chunk
+            states, log, flags = chunk(states)
             logs.append(log)
             done += seg
             since_exchange += seg
@@ -333,7 +416,7 @@ class EnsembleRunner:
                     if fl.shape[2] > 2 and fl[:, :, 2].sum() > 0:
                         self.config.super_nnbr = int(
                             self.config.super_nnbr * 1.5 + 32) // 32 * 32
-                    self._chunk = self._build(seg)
+                    self._chunk = {}
                     self._delta_final = None
                     self._epot_final = None
                     (states, done, since_exchange, n_acc_total,

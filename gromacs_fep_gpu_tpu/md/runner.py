@@ -228,13 +228,19 @@ class MdRunner:
                         and exp.lmc_move not in ("no", ""))
         has_awh = (p.awh is not None and self.all_lambda is not None
                    and p.awh.coord_provider == "fep-lambda")
+        foreign_active = self.all_lambda is not None
         out = []
         for o in range(seg_len):
             s = start_step + o
+            # mirror of the step fn's foreign-sweep `need`
+            foreign = foreign_active and (
+                (s % p.fep.nstdhdl) == 0
+                or (has_expanded and (s % exp.nstexpanded) == 0 and s > 0)
+                or (has_awh and (s % p.awh.nstsample) == 0 and s > 0))
             if not noener_active:
                 ener = True
             else:
-                ener = (s % p.nstcalcenergy) == 0
+                ener = (s % p.nstcalcenergy) == 0 or foreign
                 if p.fep.enabled:
                     ener = ener or (s % p.fep.nstdhdl) == 0
                 if has_expanded:
@@ -243,6 +249,8 @@ class MdRunner:
                     ener = ener or ((s % p.awh.nstsample) == 0 and s > 0)
             vir = vir_active and (s % p.nstpcouple) == 0
             fl = "R" if vir else ("E" if (ener or vir) else "F")
+            if foreign:
+                fl = {"E": "D", "R": "S"}[fl]
             if p.mts and (s % p.mts_factor) != 0:
                 # MTS off-step: recip force skipped.  Energy/virial steps
                 # must land on MTS steps (validated in run()); if an
@@ -286,7 +294,7 @@ class MdRunner:
                 state.x, state.box, self.system, rl,
                 # the v2u path consumes only the union list; a stub
                 # per-cluster list capacity keeps the rebuild cheap
-                nnbr=(8 if v2u else cfg.nnbr),
+                nnbr=(0 if v2u else cfg.nnbr),
                 cell_size=cfg.cell_size,
                 super_nnbr=(cfg.super_nnbr
                             if cfg.use_pallas
@@ -435,26 +443,8 @@ class MdRunner:
                 return state_out, log
             # statically-flavored segments: consecutive same-flavor runs
             # become one lax.scan each, so no per-step cond survives
-            step_by_flavor = {fl: mk_step(fl) for fl in set(flavors)}
-            runs = []
-            for fl in flavors:
-                if runs and runs[-1][0] == fl:
-                    runs[-1][1] += 1
-                else:
-                    runs.append([fl, 1])
-            logs = []
-            for fl, count in runs:
-                sfn = step_by_flavor[fl]
-                if count == 1:
-                    state, lg = sfn(state, None)
-                    logs.append(jax.tree_util.tree_map(
-                        lambda a: jnp.asarray(a)[None], lg))
-                else:
-                    state, lg = jax.lax.scan(sfn, state, length=count)
-                    logs.append(lg)
-            log = (logs[0] if len(logs) == 1 else jax.tree_util.tree_map(
-                lambda *xs: jnp.concatenate(xs, axis=0), *logs))
-            return state, log
+            from .simulator import scan_flavored
+            return scan_flavored(mk_step, flavors, state)
 
         rebuild_j = jax.jit(rebuild)
         scan_j = jax.jit(scan)

@@ -298,9 +298,12 @@ def make_step_fn(system: System, params: MdParams, force_fn: Callable,
         if static_flavor is not None:
             # flavor pinned at trace time: no per-step cond around the
             # force kernels (see docstring); 'f' = MTS off-step (force-
-            # only, PME recip skipped)
-            do_ener = static_flavor not in ("F", "f")
-            do_vir = static_flavor == "R"
+            # only, PME recip skipped); 'D'/'S' = 'E'/'R' plus the
+            # foreign-lambda sweep (statically included)
+            base = {"f": "F", "D": "E", "S": "R"}.get(static_flavor,
+                                                      static_flavor)
+            do_ener = base != "F"
+            do_vir = base == "R"
             if static_flavor == "f":
                 f, terms = force_fn_mts_off(state.x, state.box, lam)
             elif do_vir:
@@ -382,17 +385,25 @@ def make_step_fn(system: System, params: MdParams, force_fn: Callable,
         dh_vec = None
         if foreign_delta_fn is not None and n_foreign > 0:
             do_dhdl = (state.step % params.fep.nstdhdl) == 0
-            need = do_dhdl
-            if has_expanded:
-                need = need | (((state.step % exp.nstexpanded) == 0)
-                               & (state.step > 0))
-            if has_awh:
-                need = need | (((state.step % params.awh.nstsample) == 0)
-                               & (state.step > 0))
-            dh_vec = jax.lax.cond(
-                need,
-                lambda: foreign_delta_fn(state.x, state.box, lam),
-                lambda: jnp.full((n_foreign,), jnp.nan, state.x.dtype))
+            if static_flavor is not None:
+                # foreign sweep gated at trace time (the 'D'/'S' flavors):
+                # the host pattern marks exactly the nstdhdl/MC/awh steps
+                if static_flavor in ("D", "S"):
+                    dh_vec = foreign_delta_fn(state.x, state.box, lam)
+                else:
+                    dh_vec = jnp.full((n_foreign,), jnp.nan, state.x.dtype)
+            else:
+                need = do_dhdl
+                if has_expanded:
+                    need = need | (((state.step % exp.nstexpanded) == 0)
+                                   & (state.step > 0))
+                if has_awh:
+                    need = need | (((state.step % params.awh.nstsample)
+                                    == 0) & (state.step > 0))
+                dh_vec = jax.lax.cond(
+                    need,
+                    lambda: foreign_delta_fn(state.x, state.box, lam),
+                    lambda: jnp.full((n_foreign,), jnp.nan, state.x.dtype))
             delta_h = jnp.where(do_dhdl, dh_vec,
                                 jnp.full((n_foreign,), jnp.nan,
                                          state.x.dtype))
@@ -843,6 +854,35 @@ def make_step_fn(system: System, params: MdParams, force_fn: Callable,
         return new_state, log
 
     return step
+
+
+def scan_flavored(mk_step: Callable, flavors: str, state: State
+                  ) -> Tuple[State, StepLog]:
+    """Compose a chunk from statically-flavored lax.scan segments.
+
+    mk_step(flavor_char) -> step_fn; consecutive same-flavor offsets in
+    `flavors` become one lax.scan each, so no per-step branch survives
+    around the force kernels (see make_step_fn static_flavor)."""
+    step_by_flavor = {fl: mk_step(fl) for fl in set(flavors)}
+    runs = []
+    for fl in flavors:
+        if runs and runs[-1][0] == fl:
+            runs[-1][1] += 1
+        else:
+            runs.append([fl, 1])
+    logs = []
+    for fl, count in runs:
+        sfn = step_by_flavor[fl]
+        if count == 1:
+            state, lg = sfn(state, None)
+            logs.append(jax.tree_util.tree_map(
+                lambda a: jnp.asarray(a)[None], lg))
+        else:
+            state, lg = jax.lax.scan(sfn, state, length=count)
+            logs.append(lg)
+    log = (logs[0] if len(logs) == 1 else jax.tree_util.tree_map(
+        lambda *xs: jnp.concatenate(xs, axis=0), *logs))
+    return state, log
 
 
 def run(state: State, step_fn: Callable, nsteps: int,

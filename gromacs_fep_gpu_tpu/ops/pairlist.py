@@ -296,6 +296,99 @@ def _cluster_neighbors(bb_lo_i, bb_hi_i, bb_lo, bb_hi, box, rlist2, nnbr: int,
     return idx, mask, n_overflow, max_count
 
 
+def _cluster_neighbors_2level(bb_lo_i, bb_hi_i, bb_lo, bb_hi, box, rlist2,
+                              nnbr: int, tile: int = 32,
+                              block: int = 128):
+    """Two-level variant of _cluster_neighbors for large C: j-clusters
+    are grouped into Hilbert-contiguous tiles (a reshape, no gather)
+    with their own bounding boxes; each i-box first selects candidate
+    TILES within rlist, then runs the exact bbox test against only those
+    tiles' members.  Work drops from O(Ci*C) to O(Ci*tcap*tile) — the
+    reference gets the same effect from its cell grid (grid.cpp: only
+    neighbouring columns are scanned).
+
+    Tile-capacity overflow is folded into n_overflow so the runner's
+    grow-and-retry loop covers it (tcap scales with nnbr)."""
+    Ci = bb_lo_i.shape[0]
+    C = bb_lo.shape[0]
+    nt = -(-C // tile)
+    padj = nt * tile - C
+    lo_t = jnp.pad(bb_lo, ((0, padj), (0, 0)),
+                   constant_values=1e6).reshape(nt, tile, 3)
+    hi_t = jnp.pad(bb_hi, ((0, padj), (0, 0)),
+                   constant_values=-1e6).reshape(nt, tile, 3)
+    t_lo = jnp.min(lo_t, axis=1)
+    t_hi = jnp.max(hi_t, axis=1)
+    cen_t = 0.5 * (t_lo + t_hi)
+    half_t = 0.5 * (t_hi - t_lo)          # empty tiles: negative-huge
+
+    # candidate-tile capacity: enough tiles to hold ~nnbr in-range
+    # clusters plus a surface allowance
+    tcap = min(nt, max(8, 2 * nnbr // tile + 8))
+
+    cenj = 0.5 * (bb_lo + bb_hi)
+    halfj = 0.5 * (bb_hi - bb_lo)
+    cenj_p = jnp.pad(cenj, ((0, padj), (0, 0)), constant_values=1e6)
+    halfj_p = jnp.pad(halfj, ((0, padj), (0, 0)))
+
+    Cp = ((Ci + block - 1) // block) * block
+    pad = Cp - Ci
+    lo_p = jnp.pad(bb_lo_i, ((0, pad), (0, 0)), constant_values=1e6)
+    hi_p = jnp.pad(bb_hi_i, ((0, pad), (0, 0)), constant_values=1e6)
+
+    def one_block(cb):
+        lo = jax.lax.dynamic_slice(lo_p, (cb * block, 0), (block, 3))
+        hi = jax.lax.dynamic_slice(hi_p, (cb * block, 0), (block, 3))
+        cen_i = 0.5 * (lo + hi)
+        half_i = 0.5 * (hi - lo)
+        # stage 1: tiles within rlist of the i-box
+        dct = pbc_mod.pbc_dx(cen_i[:, None, :] - cen_t[None, :, :], box)
+        gap_t = jnp.maximum(jnp.abs(dct)
+                            - (half_i[:, None, :] + half_t[None, :, :]),
+                            0.0)
+        lbt = jnp.sum(gap_t * gap_t, -1)
+        cand_t = lbt < rlist2
+        t_count = jnp.sum(cand_t, axis=1)
+        t_sc, t_idx = jax.lax.top_k(jnp.where(cand_t, -lbt, -jnp.inf),
+                                    tcap)
+        t_ok = jnp.isfinite(t_sc)                       # (block, tcap)
+        # stage 2: exact bbox test against candidate tiles' members
+        cand = (t_idx[:, :, None] * tile
+                + jnp.arange(tile)[None, None, :]).reshape(
+                    block, tcap * tile)                 # (block, E)
+        cj = cenj_p[cand]                               # (block, E, 3)
+        hj = halfj_p[cand]
+        dc = pbc_mod.pbc_dx(cen_i[:, None, :] - cj, box)
+        gap = jnp.maximum(jnp.abs(dc) - (half_i[:, None, :] + hj), 0.0)
+        lb2 = jnp.sum(gap * gap, -1)
+        ok = ((lb2 < rlist2) & (cand < C)
+              & jnp.repeat(t_ok, tile, axis=1))
+        count = jnp.sum(ok, axis=1)
+        k = min(nnbr, tcap * tile)
+        top_sc, top_e = jax.lax.top_k(jnp.where(ok, -lb2, -jnp.inf), k)
+        mask = jnp.isfinite(top_sc)
+        idx = jnp.where(mask,
+                        jnp.take_along_axis(cand, top_e, axis=1), C)
+        if k < nnbr:
+            idx = jnp.pad(idx, ((0, 0), (0, nnbr - k)), constant_values=C)
+            mask = jnp.pad(mask, ((0, 0), (0, nnbr - k)))
+        return (idx.astype(jnp.int32), mask.astype(jnp.float32),
+                count, t_count)
+
+    nblocks = Cp // block
+    idx, mask, count, t_count = jax.lax.map(one_block, jnp.arange(nblocks))
+    idx = idx.reshape(Cp, nnbr)[:Ci]
+    mask = mask.reshape(Cp, nnbr)[:Ci]
+    count = count.reshape(Cp)[:Ci]
+    t_count = t_count.reshape(Cp)[:Ci]
+    n_overflow = jnp.sum(count > nnbr) + jnp.sum(t_count > tcap)
+    # when tiles overflow, counts are underestimates: force growth
+    max_count = jnp.maximum(
+        jnp.max(count),
+        jnp.where(jnp.any(t_count > tcap), nnbr + 1, 0))
+    return idx, mask, n_overflow, max_count
+
+
 def _total_image_counts(x, box, perm, n, n_pad, xs, xref, dloc, valid_lane):
     """Per-SORTED-atom periodic image counts of the rebuild's cluster
     LOCAL frame (pad rows 0): x[perm] - img*diag lands each atom exactly
@@ -368,8 +461,17 @@ def build_cluster_pairlist(x, box, system: System, rlist: float,
     bb_lo = xref[:, 0] + jnp.min(dloc, axis=1)
     bb_hi = xref[:, 0] + jnp.max(dloc, axis=1)
 
-    nbr, nbr_mask, n_overflow, max_count = _cluster_neighbors(
-        bb_lo, bb_hi, bb_lo, bb_hi, box, jnp.asarray(rlist**2, x.dtype), nnbr)
+    if nnbr == 0:
+        # the v2u kernel consumes only the union (superblock) list; skip
+        # the O(C^2) per-cluster pass entirely
+        nbr = jnp.zeros((C, 0), jnp.int32)
+        nbr_mask = jnp.zeros((C, 0), x.dtype)
+        n_overflow = jnp.zeros((), jnp.int32)
+        max_count = jnp.zeros((), jnp.int32)
+    else:
+        nbr, nbr_mask, n_overflow, max_count = _cluster_neighbors(
+            bb_lo, bb_hi, bb_lo, bb_hi, box,
+            jnp.asarray(rlist**2, x.dtype), nnbr)
 
     nbr_super = super_overflow = super_max = super_shift = None
     if super_nnbr is not None:
@@ -383,7 +485,9 @@ def build_cluster_pairlist(x, box, system: System, rlist: float,
         # guard: padded rows must not shrink the min
         bbs_lo = jnp.min(lo_s, axis=1)
         bbs_hi = jnp.max(jnp.where(hi_s > 5e5, -1e6, hi_s), axis=1)
-        nbr_s, _, super_overflow, super_max = _cluster_neighbors(
+        search = (_cluster_neighbors_2level if C >= 4096
+                  else _cluster_neighbors)
+        nbr_s, _, super_overflow, super_max = search(
             bbs_lo, bbs_hi, bb_lo, bb_hi, box,
             jnp.asarray(rlist**2, x.dtype), super_nnbr)
         nbr_super = nbr_s

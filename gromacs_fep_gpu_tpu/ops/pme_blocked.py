@@ -1,0 +1,291 @@
+"""Locality-blocked PME spread/gather for large systems.
+
+The dense MXU spread/gather formulations (ops/pme.py spread_charges,
+phi_gather; ops/pme_pallas.py) cost O(N * K^3) FLOPs / O(N * K3) HBM
+reads — fine at 12k atoms / 42^3, catastrophic at the 81k-atom headline
+scale / 80^3 (measured 7.1 ms spread + 4.2 ms gather per step on TPU
+v5e).  This module tiles the box into a regular (nb1, nb2, nb3) grid of
+coarse blocks, buckets atoms by block once per pair-list rebuild, and
+runs the one-hot spline contractions against each block's (s1, s2, s3)
+LOCAL subgrid window only: cost O(N * s^3) with s ~ K/nb + order.
+
+Reference analogue: pme_spread.cu / pme_gather.cu operate on exactly the
+order^3 local support via shared-memory atomics; the TPU equivalent is
+dense einsums over per-block subgrids (static shapes, static window
+origins, overlap-add with static slices — no scatters anywhere on the
+per-step path).
+
+The bucket assignment (build_pme_blocks) is the only scatter and runs at
+rebuild cadence; per-block capacity overflow is reported like the pair
+list's and handled by the runner's grow-and-roll-back machinery.
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from ..core import pbc as pbc_mod
+from .pme import bspline_dweights, bspline_weights
+
+MARGIN = 2          # cells of drift headroom between rebuilds
+
+
+@struct.dataclass
+class PmeBlocks:
+    """Atom bucketing onto the coarse block grid (one per rebuild)."""
+    idx: jnp.ndarray         # (NB, Amax) i32 atom ids; n (=invalid) padded
+    valid: jnp.ndarray       # (NB, Amax) f32 1/0
+    n_overflow: jnp.ndarray  # scalar i32: blocks whose count > Amax
+    nb: Tuple[int, int, int] = struct.field(pytree_node=False)
+
+
+def choose_blocks(grid_shape, n_atoms: int,
+                  order: int = 4) -> Tuple[Tuple[int, int, int], int]:
+    """(nb, amax): coarse-block grid minimising the einsum cost
+    NB * Amax * s1 * s2 * s3 with s = K/nb + order - 1 + 2 * MARGIN,
+    over divisors of each K_d."""
+    halo = order - 1 + 2 * MARGIN
+    best = None
+    for nbs in _divisor_triples(grid_shape):
+        NB = int(np.prod(nbs))
+        amax = _amax_for(n_atoms, NB)
+        s = [grid_shape[d] // nbs[d] + halo for d in range(3)]
+        cost = NB * amax * s[0] * s[1] * s[2]
+        if best is None or cost < best[0]:
+            best = (cost, nbs, amax)
+    return best[1], best[2]
+
+
+def _amax_for(n_atoms: int, NB: int) -> int:
+    # uniform-density headroom; the overflow flag + runner growth covers
+    # density fluctuations beyond it
+    return max(64, int(-(-int(n_atoms / NB * 1.4) // 64)) * 64)
+
+
+def _divisor_triples(grid_shape):
+    outs = []
+    divs = []
+    for K in grid_shape:
+        ds = [d for d in range(2, K + 1)
+              if K % d == 0 and K // d >= 4]
+        divs.append(ds or [1])
+    for d0 in divs[0]:
+        for d1 in divs[1]:
+            for d2 in divs[2]:
+                if d0 * d1 * d2 >= 8:
+                    outs.append((d0, d1, d2))
+    return outs or [(1, 1, 1)]
+
+
+def build_pme_blocks(x, box, grid_shape, nb, amax: int) -> PmeBlocks:
+    """Bucket atoms by coarse block (runs once per pair-list rebuild)."""
+    n = x.shape[0]
+    NB = int(np.prod(nb))
+    binv = pbc_mod.inv3(box)
+    s = x @ binv
+    s = s - jnp.floor(s)
+    nbv = jnp.array(nb)
+    b3 = jnp.clip((s * nbv).astype(jnp.int32), 0, nbv - 1)
+    bid = (b3[:, 0] * nb[1] + b3[:, 1]) * nb[2] + b3[:, 2]
+
+    order = jnp.argsort(bid)
+    bs = bid[order]
+    counts = jnp.zeros((NB,), jnp.int32).at[bid].add(1)
+    start = jnp.cumsum(counts) - counts
+    rank = jnp.arange(n, dtype=jnp.int32) - start[bs]
+    ok = rank < amax
+    rows = jnp.where(ok, bs, NB)          # out of bounds -> dropped
+    idx = jnp.full((NB, amax), n, jnp.int32)
+    idx = idx.at[rows, jnp.where(ok, rank, 0)].set(
+        order.astype(jnp.int32), mode="drop")
+    valid = (idx < n).astype(jnp.float32)
+    n_overflow = jnp.sum((counts > amax).astype(jnp.int32))
+    return PmeBlocks(idx=idx, valid=valid, n_overflow=n_overflow, nb=nb)
+
+
+def _local_splines(xg, box, grid_shape, nb, order, derivatives: bool):
+    """Per-block-atom local spline one-hots.
+
+    xg: (NB, Amax, 3) gathered coordinates.  Returns (oh, doh, bad) with
+    oh[d]: (NB, Amax, s_d) one-hot-weighted rows on the block's local
+    window, and bad: count of atoms outside their window (drift beyond
+    MARGIN since the rebuild)."""
+    NB, A, _ = xg.shape
+    K = jnp.array(grid_shape)
+    halo_lo = order - 1 + MARGIN
+    binv = pbc_mod.inv3(box)
+    sfrac = xg @ binv
+    sfrac = sfrac - jnp.floor(sfrac)
+    u = sfrac * K.astype(xg.dtype)
+    gi = jnp.floor(u).astype(jnp.int32)
+    w = u - gi.astype(xg.dtype)
+
+    cdim = [grid_shape[d] // nb[d] for d in range(3)]
+    s_dim = [cdim[d] + order - 1 + 2 * MARGIN for d in range(3)]
+    b3 = jnp.stack(jnp.unravel_index(jnp.arange(NB), nb), axis=1)
+    o_b = b3 * jnp.array(cdim) - halo_lo                  # (NB, 3)
+    # local cell, with the mod representative chosen in
+    # [order-1, K+order-1): a box-edge wrap must land at rel ~ K (the
+    # window's high side), never at rel ~ 0 where the spline support
+    # rel-j would go negative and silently drop weight
+    lo = order - 1
+    rel = jnp.mod(gi - o_b[:, None, :] - lo, K) + lo      # (NB, A, 3)
+    bad = (rel >= jnp.array(s_dim)).any(-1)
+
+    jj = np.arange(order)
+    oh, doh = [], []
+    for d in range(3):
+        ws = bspline_weights(w[..., d], order)            # (NB, A, order)
+        cells = jnp.arange(s_dim[d], dtype=jnp.int32)
+        # spread cells rel-j, j = 0..order-1
+        tgt = rel[..., d:d + 1] - jnp.asarray(jj)         # (NB, A, order)
+        sel = (tgt[..., None] == cells).astype(xg.dtype)  # (NB,A,o,s_d)
+        oh.append(jnp.einsum('bao,baos->bas', ws, sel,
+                     precision=jax.lax.Precision.HIGHEST))
+        if derivatives:
+            dws = bspline_dweights(w[..., d], order)
+            doh.append(jnp.einsum('bao,baos->bas', dws, sel,
+                      precision=jax.lax.Precision.HIGHEST))
+    return oh, (doh if derivatives else None), bad, s_dim, cdim
+
+
+def _fold_blocks_axis(a, nb_d: int, cdim_d: int, halo_lo: int):
+    """Periodic overlap-add of one block axis.
+
+    a: (nb_d, T, rest...) per-block windows whose local index t maps to
+    global cell (b*cdim + t - halo_lo) mod K.  Returns (K, rest...).
+    Splitting t - halo_lo = m*cdim + u turns the scatter into <= 3
+    block-axis rolls + static slice-adds — O(1) ops per axis instead of
+    O(NB) update-slices."""
+    T = a.shape[1]
+    K = nb_d * cdim_d
+    out = jnp.zeros((nb_d, cdim_d) + a.shape[2:], a.dtype)
+    m_min = -((halo_lo + cdim_d - 1) // cdim_d)
+    m_max = (T - 1 - halo_lo) // cdim_d
+    for m in range(m_min, m_max + 1):
+        t0 = halo_lo + m * cdim_d
+        tt0, tt1 = max(t0, 0), min(t0 + cdim_d, T)
+        if tt0 >= tt1:
+            continue
+        u0 = tt0 - t0
+        piece = jnp.roll(a[:, tt0:tt1], m, axis=0)
+        out = out.at[:, u0:u0 + (tt1 - tt0)].add(piece)
+    return out.reshape((K,) + a.shape[2:])
+
+
+def _window_blocks_axis(g, nb_d: int, cdim_d: int, halo_lo: int, T: int):
+    """Inverse of _fold_blocks_axis (read instead of accumulate):
+    g: (K, rest...) -> (nb_d, T, rest...) with
+    w[b, t] = g[(b*cdim + t - halo_lo) mod K]."""
+    gb = g.reshape((nb_d, cdim_d) + g.shape[1:])
+    pieces = []
+    m_min = -((halo_lo + cdim_d - 1) // cdim_d)
+    m_max = (T - 1 - halo_lo) // cdim_d
+    for m in range(m_min, m_max + 1):
+        t0 = halo_lo + m * cdim_d
+        tt0, tt1 = max(t0, 0), min(t0 + cdim_d, T)
+        if tt0 >= tt1:
+            continue
+        u0 = tt0 - t0
+        pieces.append(jnp.roll(gb, -m, axis=0)[:, u0:u0 + (tt1 - tt0)])
+    return jnp.concatenate(pieces, axis=1)
+
+
+def blocked_spread(x, box, charges, grid_shape, blocks: PmeBlocks,
+                   order: int = 4):
+    """Charge spread via per-block local subgrids; twin of
+    ops/pme.spread_charges."""
+    n = x.shape[0]
+    nb = blocks.nb
+    halo_lo = order - 1 + MARGIN
+    xg = jnp.concatenate([x, jnp.zeros((1, 3), x.dtype)])[blocks.idx]
+    qg = (jnp.concatenate([charges, jnp.zeros((1,), charges.dtype)]
+                          )[blocks.idx] * blocks.valid)
+    oh, _, bad, s_dim, cdim = _local_splines(xg, box, grid_shape, nb,
+                                             order, False)
+    # a REAL atom outside its drift window means the rebuild-time
+    # bucketing is stale beyond MARGIN cells: poison the grid with NaN
+    # (fail hard, like the exclusion checker) rather than silently
+    # dropping its charge
+    bad = bad & (blocks.valid > 0)
+    qg = jnp.where(bad, jnp.nan, qg)
+    hi = jax.lax.Precision.HIGHEST
+    # z-last contraction: (q wx)(x)wy -> (NB, A, s1*s2), then one einsum
+    # against the z one-hots gives each block's local subgrid
+    sxy = jnp.einsum('bax,bay->baxy', oh[0] * qg[..., None], oh[1],
+                     precision=hi)
+    NB, A = xg.shape[0], xg.shape[1]
+    sxy = sxy.reshape(NB, A, s_dim[0] * s_dim[1])
+    qloc = jnp.einsum('bap,baz->bpz', sxy, oh[2], precision=hi)
+    # (nb1, nb2, nb3, s1, s2, s3) -> fold each block axis in turn
+    g = qloc.reshape(tuple(nb) + tuple(s_dim))
+    # axis 0: (nb1, s1, rest) with rest = (nb2, nb3, s2, s3)
+    g = jnp.moveaxis(g, 3, 1)                     # nb1, s1, nb2, nb3, s2, s3
+    g = _fold_blocks_axis(g, nb[0], cdim[0], halo_lo)   # K1, nb2, nb3, s2, s3
+    g = jnp.moveaxis(jnp.moveaxis(g, 1, 0), 3, 1)       # nb2, s2, K1, nb3, s3
+    g = _fold_blocks_axis(g, nb[1], cdim[1], halo_lo)   # K2, K1, nb3, s3
+    g = jnp.moveaxis(jnp.moveaxis(g, 2, 0), 3, 1)       # nb3, s3, K2, K1
+    g = _fold_blocks_axis(g, nb[2], cdim[2], halo_lo)   # K3, K2, K1
+    return jnp.transpose(g, (2, 1, 0))
+
+
+def blocked_phi_gather(x, box, charges, phi, grid_shape,
+                       blocks: PmeBlocks, order: int = 4):
+    """(forces, dEdq) from the potential grid; twin of
+    ops/pme.phi_gather, reading only each block's local window."""
+    n = x.shape[0]
+    nb = blocks.nb
+    halo_lo = order - 1 + MARGIN
+    xg = jnp.concatenate([x, jnp.zeros((1, 3), x.dtype)])[blocks.idx]
+    qg = (jnp.concatenate([charges, jnp.zeros((1,), charges.dtype)]
+                          )[blocks.idx] * blocks.valid)
+    oh, doh, bad, s_dim, cdim = _local_splines(xg, box, grid_shape, nb,
+                                               order, True)
+    bad = bad & (blocks.valid > 0)
+    qg = jnp.where(bad, jnp.nan, qg)
+    hi = jax.lax.Precision.HIGHEST
+    NB, A = xg.shape[0], xg.shape[1]
+
+    # per-block windows of phi via the inverse block fold (O(1) rolls
+    # per axis, no per-block slicing)
+    w = _window_blocks_axis(phi, nb[0], cdim[0], halo_lo, s_dim[0])
+    # (nb1, s1, K2, K3) -> axis 1 next
+    w = jnp.moveaxis(w, 2, 0)                           # K2, nb1, s1, K3
+    w = _window_blocks_axis(w, nb[1], cdim[1], halo_lo, s_dim[1])
+    # (nb2, s2, nb1, s1, K3)
+    w = jnp.moveaxis(w, 4, 0)                           # K3, nb2, s2, nb1, s1
+    w = _window_blocks_axis(w, nb[2], cdim[2], halo_lo, s_dim[2])
+    # (nb3, s3, nb2, s2, nb1, s1) -> (nb1, nb2, nb3, s1, s2, s3)
+    w = jnp.transpose(w, (4, 2, 0, 5, 3, 1))
+    ploc = w.reshape(NB, s_dim[0], s_dim[1], s_dim[2])
+
+    p2 = ploc.reshape(NB, s_dim[0] * s_dim[1], s_dim[2])
+    # Pz[b, a, (x,y)] = sum_z ohz * phi ; Pdz with d/dz weights
+    pz = jnp.einsum('baz,bpz->bap', oh[2], p2, precision=hi)
+    pdz = jnp.einsum('baz,bpz->bap', doh[2], p2, precision=hi)
+    pz = pz.reshape(NB, A, s_dim[0], s_dim[1])
+    pdz = pdz.reshape(NB, A, s_dim[0], s_dim[1])
+
+    def xy(oha, ohb, P):
+        return jnp.einsum('bax,bay,baxy->ba', oha, ohb, P, precision=hi)
+
+    pw = xy(oh[0], oh[1], pz)
+    dEdu = jnp.stack([xy(doh[0], oh[1], pz),
+                      xy(oh[0], doh[1], pz),
+                      xy(oh[0], oh[1], pdz)], axis=-1) * qg[..., None]
+    dEdq_blocks = pw * blocks.valid
+
+    # scatter per-atom results back to original order (unique indices)
+    Kv = jnp.array(grid_shape)
+    binv = pbc_mod.inv3(box)
+    flat_idx = blocks.idx.reshape(-1)
+    f_flat = (dEdu * blocks.valid[..., None]).reshape(-1, 3)
+    d_flat = dEdq_blocks.reshape(-1)
+    dEdu_at = jnp.zeros((n + 1, 3), x.dtype).at[flat_idx].add(f_flat)[:n]
+    dEdq = jnp.zeros((n + 1,), x.dtype).at[flat_idx].add(d_flat)[:n]
+    forces = -(dEdu_at * Kv.astype(x.dtype)) @ binv.T
+    return forces, dEdq

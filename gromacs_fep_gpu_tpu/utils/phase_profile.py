@@ -49,12 +49,13 @@ def time_fn(fn: Callable, *args, iters: int = 24, warmup: int = 2,
             fl2 = list(fl)
             fl2[fidx] = fl[fidx] * (1.0 + c * 1e-30)
             out = fn(*jax.tree.unflatten(tree, fl2))
-            # fold EVERY output leaf into the carry — anything the carry
-            # doesn't depend on would be dead-code-eliminated and the
-            # phase would time as ~0
+            # fold EVERY output leaf FULLY into the carry: keeping only
+            # element [0] lets XLA dead-code-eliminate most of a phase
+            # (e.g. a gather shrinks to one row) and under-reports it;
+            # a full sum costs a few us but keeps the numbers honest
             c2 = jnp.float32(0.0)
             for leaf in jax.tree.leaves(out):
-                c2 = c2 + (jnp.asarray(leaf).ravel()[0].astype(jnp.float32)
+                c2 = c2 + (jnp.sum(jnp.asarray(leaf)).astype(jnp.float32)
                            * 1e-30)
             return c2, None
 
@@ -143,7 +144,7 @@ def profile_step_phases(n_side: int = 16, use_pme: bool = True,
     # --- pair search / rebuild ---------------------------------------
     def rebuild_nb(x, box):
         return build_cluster_pairlist(
-            x, box, system, rl, nnbr=8, cell_size=cell,
+            x, box, system, rl, nnbr=0, cell_size=cell,
             super_nnbr=runner.config.super_nnbr, super_block=4)
 
     nlist = rebuild_nb(state.x, state.box)
