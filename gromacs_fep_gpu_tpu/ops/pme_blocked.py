@@ -289,3 +289,258 @@ def blocked_phi_gather(x, box, charges, phi, grid_shape,
     dEdq = jnp.zeros((n + 1,), x.dtype).at[flat_idx].add(d_flat)[:n]
     forces = -(dEdu_at * Kv.astype(x.dtype)) @ binv.T
     return forces, dEdq
+
+
+# ---------------------------------------------------------------------------
+# Pallas kernels: the per-step path.  Each block's subgrid window lives in
+# VMEM (~50-250 KB), atoms stream through in chunks, spline weights are
+# computed in-kernel from one local coordinate per axis — total HBM
+# traffic is the windows + (A, 3) coordinates + (A, 4) outputs, vs the
+# einsum path's (NB, A, s1*s2) HBM intermediates (measured 7 ms at 81k).
+# ---------------------------------------------------------------------------
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_AC = 256            # atoms per in-kernel chunk
+
+
+def _w4(w):
+    """Closed-form order-4 cardinal B-spline weights M4(w+j), j=0..3,
+    identical to pme.bspline_weights(w, 4) (Essmann recursion)."""
+    m2_0, m2_1 = w, 1.0 - w
+    m3_0 = 0.5 * w * m2_0
+    m3_1 = 0.5 * ((w + 1.0) * m2_1 + (2.0 - w) * m2_0)
+    m3_2 = 0.5 * (1.0 - w) * m2_1
+    m4_0 = (w * m3_0) / 3.0
+    m4_1 = ((w + 1.0) * m3_1 + (3.0 - w) * m3_0) / 3.0
+    m4_2 = ((w + 2.0) * m3_2 + (2.0 - w) * m3_1) / 3.0
+    m4_3 = ((1.0 - w) * m3_2) / 3.0
+    return (m4_0, m4_1, m4_2, m4_3), (m3_0, m3_1, m3_2)
+
+
+def _onehots_chunk(u, s_d):
+    """(AC,) local coordinates -> value/derivative one-hot rows
+    (AC, s_d); dM4(j) = M3(j) - M3(j-1)."""
+    li = jnp.floor(u)
+    w = u - li
+    (m40, m41, m42, m43), (m30, m31, m32) = _w4(w)
+    dm = (m30, m31 - m30, m32 - m31, -m32)
+    lane = jax.lax.broadcasted_iota(
+        jnp.int32, (u.shape[0], s_d), 1).astype(jnp.float32)
+    oh = jnp.zeros((u.shape[0], s_d), jnp.float32)
+    doh = jnp.zeros((u.shape[0], s_d), jnp.float32)
+    for j, (m, d) in enumerate(zip((m40, m41, m42, m43), dm)):
+        sel = (lane == (li[:, None] - j)).astype(jnp.float32)
+        oh = oh + m[:, None] * sel
+        doh = doh + d[:, None] * sel
+    return oh, doh
+
+
+def _spread_kernel(u_ref, q_ref, out_ref, s_dim):
+    s1, s2, s3 = s_dim
+    A = u_ref.shape[0]
+    nc = A // _AC
+    out_ref[...] = jnp.zeros_like(out_ref)
+
+    def chunk(c, carry):
+        sl = pl.ds(c * _AC, _AC)
+        u = u_ref[sl, :]
+        q = q_ref[sl, :]
+        ohx, _ = _onehots_chunk(u[:, 0], s1)
+        ohy, _ = _onehots_chunk(u[:, 1], s2)
+        ohz, _ = _onehots_chunk(u[:, 2], s3)
+        uu = jnp.concatenate([ohy[:, y:y + 1] * ohz for y in range(s2)],
+                             axis=1)
+        qwx = ohx * q
+        out_ref[...] += jax.lax.dot_general(
+            qwx, uu, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
+        return carry
+
+    jax.lax.fori_loop(0, nc, chunk, 0)
+
+
+def blocked_spread_pallas(x, box, charges, grid_shape, blocks: PmeBlocks,
+                          order: int = 4, interpret: bool = False):
+    """Pallas twin of blocked_spread (order 4 only)."""
+    assert order == 4
+    nb = blocks.nb
+    u_loc, q_loc, s_dim, cdim = _pallas_inputs(x, box, charges,
+                                               grid_shape, blocks)
+    NB, A = q_loc.shape[0], q_loc.shape[1]
+    s1, s2, s3 = s_dim
+    qloc = pl.pallas_call(
+        lambda u_ref, q_ref, out_ref: _spread_kernel(
+            u_ref, q_ref, out_ref, s_dim),
+        grid=(NB,),
+        in_specs=[
+            pl.BlockSpec((None, A, 3), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, A, 1), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((None, s1, s2 * s3), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((NB, s1, s2 * s3), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(u_loc, q_loc[..., None])
+    halo_lo = order - 1 + MARGIN
+    g = qloc.reshape(tuple(nb) + (s1, s2, s3))
+    g = jnp.moveaxis(g, 3, 1)
+    g = _fold_blocks_axis(g, nb[0], cdim[0], halo_lo)
+    g = jnp.moveaxis(jnp.moveaxis(g, 1, 0), 3, 1)
+    g = _fold_blocks_axis(g, nb[1], cdim[1], halo_lo)
+    g = jnp.moveaxis(jnp.moveaxis(g, 2, 0), 3, 1)
+    g = _fold_blocks_axis(g, nb[2], cdim[2], halo_lo)
+    return jnp.transpose(g, (2, 1, 0))
+
+
+def _gather_kernel(phi_ref, u_ref, q_ref, out_ref, s_dim):
+    s1, s2, s3 = s_dim
+    A = u_ref.shape[0]
+    nc = A // _AC
+    phi2 = phi_ref[...]                       # (s1*s2, s3)
+
+    def chunk(c, carry):
+        sl = pl.ds(c * _AC, _AC)
+        u = u_ref[sl, :]
+        q = q_ref[sl, :]
+        ohx, dohx = _onehots_chunk(u[:, 0], s1)
+        ohy, dohy = _onehots_chunk(u[:, 1], s2)
+        ohz, dohz = _onehots_chunk(u[:, 2], s3)
+        # (s1*s2, AC) z-contractions on the MXU
+        pz = jax.lax.dot_general(
+            phi2, ohz, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
+        pdz = jax.lax.dot_general(
+            phi2, dohz, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
+        pz3 = pz.reshape(s1, s2, _AC)
+        pdz3 = pdz.reshape(s1, s2, _AC)
+        G = jnp.zeros((s1, _AC), jnp.float32)
+        Gdy = jnp.zeros((s1, _AC), jnp.float32)
+        Gz = jnp.zeros((s1, _AC), jnp.float32)
+        for y in range(s2):
+            wy = ohy[:, y][None, :]
+            dwy = dohy[:, y][None, :]
+            G = G + pz3[:, y, :] * wy
+            Gdy = Gdy + pz3[:, y, :] * dwy
+            Gz = Gz + pdz3[:, y, :] * wy
+        pw = jnp.zeros((_AC,), jnp.float32)
+        fxu = jnp.zeros((_AC,), jnp.float32)
+        fyu = jnp.zeros((_AC,), jnp.float32)
+        fzu = jnp.zeros((_AC,), jnp.float32)
+        for xx in range(s1):
+            wx = ohx[:, xx]
+            dwx = dohx[:, xx]
+            pw = pw + G[xx] * wx
+            fxu = fxu + G[xx] * dwx
+            fyu = fyu + Gdy[xx] * wx
+            fzu = fzu + Gz[xx] * wx
+        qs = q[:, 0]
+        out_ref[sl, 0] = qs * fxu
+        out_ref[sl, 1] = qs * fyu
+        out_ref[sl, 2] = qs * fzu
+        out_ref[sl, 3] = pw
+        return carry
+
+    jax.lax.fori_loop(0, nc, chunk, 0)
+
+
+def blocked_phi_gather_pallas(x, box, charges, phi, grid_shape,
+                              blocks: PmeBlocks, order: int = 4,
+                              interpret: bool = False):
+    """Pallas twin of blocked_phi_gather (order 4 only)."""
+    assert order == 4
+    n = x.shape[0]
+    nb = blocks.nb
+    u_loc, q_loc, s_dim, cdim = _pallas_inputs(x, box, charges,
+                                               grid_shape, blocks)
+    NB, A = q_loc.shape[0], q_loc.shape[1]
+    s1, s2, s3 = s_dim
+    halo_lo = order - 1 + MARGIN
+
+    # per-block windows of phi (roll-based, O(1) ops per axis)
+    w = _window_blocks_axis(phi, nb[0], cdim[0], halo_lo, s1)
+    w = jnp.moveaxis(w, 2, 0)
+    w = _window_blocks_axis(w, nb[1], cdim[1], halo_lo, s2)
+    w = jnp.moveaxis(w, 4, 0)
+    w = _window_blocks_axis(w, nb[2], cdim[2], halo_lo, s3)
+    w = jnp.transpose(w, (4, 2, 0, 5, 3, 1))
+    ploc = w.reshape(NB, s1 * s2, s3)
+
+    outs = pl.pallas_call(
+        lambda phi_ref, u_ref, q_ref, out_ref: _gather_kernel(
+            phi_ref, u_ref, q_ref, out_ref, s_dim),
+        grid=(NB,),
+        in_specs=[
+            pl.BlockSpec((None, s1 * s2, s3), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, A, 3), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, A, 1), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((None, A, 4), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((NB, A, 4), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(ploc, u_loc, q_loc[..., None])
+
+    Kv = jnp.array(grid_shape)
+    binv = pbc_mod.inv3(box)
+    outs = outs[:, :blocks.idx.shape[1]]      # drop kernel-chunk padding
+    flat_idx = blocks.idx.reshape(-1)
+    val = blocks.valid.reshape(-1, 1)
+    f_flat = outs[..., :3].reshape(-1, 3) * val
+    d_flat = outs[..., 3].reshape(-1) * val[:, 0]
+    dEdu_at = jnp.zeros((n + 1, 3), x.dtype).at[flat_idx].add(f_flat)[:n]
+    dEdq = jnp.zeros((n + 1,), x.dtype).at[flat_idx].add(d_flat)[:n]
+    forces = -(dEdu_at * Kv.astype(x.dtype)) @ binv.T
+    return forces, dEdq
+
+
+def _pallas_inputs(x, box, charges, grid_shape, blocks: PmeBlocks,
+                   order: int = 4):
+    """Shared prelude: per-block-atom local coordinates (window frame,
+    integer part = local cell) and NaN-poisoned charges."""
+    nb = blocks.nb
+    NB = int(np.prod(nb))
+    halo_lo = order - 1 + MARGIN
+    xg = jnp.concatenate([x, jnp.zeros((1, 3), x.dtype)])[blocks.idx]
+    qg = (jnp.concatenate([charges, jnp.zeros((1,), charges.dtype)]
+                          )[blocks.idx] * blocks.valid)
+    K = jnp.array(grid_shape)
+    binv = pbc_mod.inv3(box)
+    sfrac = xg @ binv
+    sfrac = sfrac - jnp.floor(sfrac)
+    u = sfrac * K.astype(x.dtype)
+    gi = jnp.floor(u).astype(jnp.int32)
+    wfrac = u - gi.astype(x.dtype)
+    cdim = [grid_shape[d] // nb[d] for d in range(3)]
+    s_dim = [cdim[d] + order - 1 + 2 * MARGIN for d in range(3)]
+    b3 = jnp.stack(jnp.unravel_index(jnp.arange(NB), nb), axis=1)
+    o_b = b3 * jnp.array(cdim) - halo_lo
+    lo = order - 1
+    rel = jnp.mod(gi - o_b[:, None, :] - lo, K) + lo
+    bad = (rel >= jnp.array(s_dim)).any(-1) & (blocks.valid > 0)
+    qg = jnp.where(bad, jnp.nan, qg)
+    # invalid (padding) atoms: park mid-window so weights stay finite
+    u_loc = jnp.where((blocks.valid > 0)[..., None],
+                      rel.astype(x.dtype) + wfrac,
+                      jnp.float32(halo_lo) + 0.5)
+    # pad A to a multiple of the kernel chunk
+    A = u_loc.shape[1]
+    Ap = -(-A // _AC) * _AC
+    if Ap != A:
+        u_loc = jnp.pad(u_loc, ((0, 0), (0, Ap - A), (0, 0)),
+                        constant_values=halo_lo + 0.5)
+        qg = jnp.pad(qg, ((0, 0), (0, Ap - A)))
+    return u_loc, qg, s_dim, cdim
