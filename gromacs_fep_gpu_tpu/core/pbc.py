@@ -56,6 +56,21 @@ def wrap_into_box(x: jnp.ndarray, box: jnp.ndarray) -> jnp.ndarray:
     return x
 
 
+def frac_coords(x: jnp.ndarray, box: jnp.ndarray) -> jnp.ndarray:
+    """Fractional coordinates s with x = s @ box, by exact elementwise
+    back-substitution off the lower-triangular box (x: (..., 3)).
+
+    NOT `x @ inv3(box)`: on TPU that matmul runs on the MXU at bf16 input
+    precision by default, and downstream floor()/round() of the result
+    (image counts, cell assignment, periodic shifts) then misclassifies
+    boundary atoms by whole box lengths — elementwise VPU math stays f32.
+    Works for displacements too (the map is linear)."""
+    s2 = x[..., 2] / box[2, 2]
+    s1 = (x[..., 1] - s2 * box[2, 1]) / box[1, 1]
+    s0 = (x[..., 0] - s1 * box[1, 0] - s2 * box[2, 0]) / box[0, 0]
+    return jnp.stack([s0, s1, s2], axis=-1)
+
+
 def box_volume(box: jnp.ndarray) -> jnp.ndarray:
     return box[0, 0] * box[1, 1] * box[2, 2]
 

@@ -40,7 +40,8 @@ def _lj_influence_scaled(box, influence, beta, dtype):
     """(G, scale) with E_grid = scale * sum(G * |S|^2)."""
     m1, m2, m3, bb = (jnp.asarray(a, dtype) for a in influence)
     binv = pbc_mod.inv3(box)
-    gT = binv.T @ binv
+    gT = jnp.einsum('ji,jk->ik', binv, binv,
+                    precision=jax.lax.Precision.HIGHEST)
     mm = (m1[:, None, None] ** 2 * gT[0, 0]
           + m2[None, :, None] ** 2 * gT[1, 1]
           + m3[None, None, :] ** 2 * gT[2, 2]

@@ -156,7 +156,7 @@ def sort_atoms_by_cell(x, box, cell_size: float,
     # cluster compactness (and thus pair-list tightness)
     raw = jnp.clip(diag / cell_size, 1.0, 255.0)
     ncell = jnp.exp2(jnp.ceil(jnp.log2(raw))).astype(jnp.int32)
-    frac = xw @ pbc_mod.inv3(box)
+    frac = pbc_mod.frac_coords(xw, box)
     ic = jnp.clip((frac * ncell).astype(jnp.int32), 0, ncell - 1)
     if slab_axis is None:
         key = _hilbert3(ic[:, 0], ic[:, 1], ic[:, 2])
@@ -202,7 +202,7 @@ def sort_atoms_dd(x, box, cell_size: float, grid, ps: int):
     diag = jnp.diag(box)
     raw = jnp.clip(diag / cell_size, 1.0, 255.0)
     ncell = jnp.exp2(jnp.ceil(jnp.log2(raw))).astype(jnp.int32)
-    frac = xw @ pbc_mod.inv3(box)
+    frac = pbc_mod.frac_coords(xw, box)
     ic = jnp.clip((frac * ncell).astype(jnp.int32), 0, ncell - 1)
 
     P0, P1, P2 = grid
@@ -400,7 +400,7 @@ def _total_image_counts(x, box, perm, n, n_pad, xs, xref, dloc, valid_lane):
     in-loop minimum image hides but baked shifts must account for."""
     C = xs.shape[0] // CLUSTER
     diag = jnp.diag(box)
-    frac = x @ pbc_mod.inv3(box)
+    frac = pbc_mod.frac_coords(x, box)
     img_wrap = jnp.concatenate(
         [jnp.floor(frac)[perm[:n]].astype(x.dtype),
          jnp.zeros((n_pad - n, 3), x.dtype)])
@@ -509,7 +509,7 @@ def build_cluster_pairlist(x, box, system: System, rlist: float,
         cen_c = 0.5 * (bb_lo + bb_hi)
         he_c = 0.5 * (bb_hi - bb_lo)
         nbr_u = jnp.minimum(nbr_super, C - 1)
-        rel_u = (cen_b[:, None, :] - cen_c[nbr_u]) @ pbc_mod.inv3(box)
+        rel_u = pbc_mod.frac_coords(cen_b[:, None, :] - cen_c[nbr_u], box)
         super_shift = jnp.round(rel_u).astype(jnp.int8)
         diag = jnp.diag(box)
         # validity per member i-cluster: |cen_c - cen_j - s L| + he_c + he_j
@@ -537,7 +537,7 @@ def build_cluster_pairlist(x, box, system: System, rlist: float,
         he = 0.5 * (bb_hi - bb_lo)                        # half extents
         nbr_c = jnp.minimum(nbr, C - 1)
         cj = cen[nbr_c]                                   # (C, nnbr, 3)
-        rel = (cen[:, None, :] - cj) @ pbc_mod.inv3(box)
+        rel = pbc_mod.frac_coords(cen[:, None, :] - cj, box)
         nbr_shift = jnp.round(rel).astype(jnp.int8)
         # validity: after the center shift, the largest possible atom-pair
         # displacement per component must stay below L - rlist, else a

@@ -134,8 +134,7 @@ def _bspline_moduli(K: int, order: int) -> np.ndarray:
 def _spline_data(x, box, grid_shape, order: int):
     """Per-axis B-spline weights and (wrapped) cell indices."""
     K = jnp.array(grid_shape)
-    binv = pbc_mod.inv3(box)
-    s = x @ binv
+    s = pbc_mod.frac_coords(x, box)
     s = s - jnp.floor(s)
     u = s * K.astype(x.dtype)
     gi = jnp.floor(u).astype(jnp.int32)
@@ -324,7 +323,8 @@ def _influence_scaled(box, influence, beta, dtype):
     # reciprocal lattice vectors a*_j = columns of box^-1 (no 2pi);
     # |m_vec|^2 = m^T G m with metric G = binv^T binv
     binv = pbc_mod.inv3(box)
-    gT = binv.T @ binv
+    gT = jnp.einsum('ji,jk->ik', binv, binv,
+                    precision=jax.lax.Precision.HIGHEST)
     mm = (m1[:, None, None] ** 2 * gT[0, 0]
           + m2[None, :, None] ** 2 * gT[1, 1]
           + m3[None, None, :] ** 2 * gT[2, 2]
@@ -412,7 +412,7 @@ def phi_gather(x, box, charges, phi, grid_shape, order: int = 4):
     hi = _prec()
     Kv = jnp.array(grid_shape)
     binv = pbc_mod.inv3(box)
-    s = x @ binv
+    s = pbc_mod.frac_coords(x, box)
     s = s - jnp.floor(s)
     u = s * Kv.astype(x.dtype)
     gi = jnp.floor(u).astype(jnp.int32)
@@ -438,7 +438,8 @@ def phi_gather(x, box, charges, phi, grid_shape, order: int = 4):
     dEdu = jnp.stack([jnp.sum(dxy * pw, 1),
                       jnp.sum(xdy * pw, 1),
                       jnp.sum(wxy * pdz, 1)], axis=1) * charges[:, None]
-    forces = -(dEdu * Kv.astype(x.dtype)) @ binv.T
+    forces = -jnp.einsum('nd,ed->ne', dEdu * Kv.astype(x.dtype), binv,
+                         precision=jax.lax.Precision.HIGHEST)
     dEdq = jnp.sum(wxy * pw, 1)
     return forces, dEdq
 
@@ -585,7 +586,7 @@ def ewald_reciprocal_exact(x, box, charges, beta, kmax: int = 12):
     hi = jax.lax.Precision.HIGHEST
     binv = pbc_mod.inv3(box)
     ks = jnp.arange(-kmax, kmax + 1).astype(x.dtype)
-    s = x @ binv  # fractional
+    s = pbc_mod.frac_coords(x, box)  # fractional
     # per-axis tables: (N, 2*kmax+1) complex as (cos, sin) pairs
     ph = 2.0 * jnp.pi * s[:, :, None] * ks[None, None, :]  # (N, 3, K)
     c, si_ = jnp.cos(ph), jnp.sin(ph)
@@ -607,7 +608,8 @@ def ewald_reciprocal_exact(x, box, charges, beta, kmax: int = 12):
 
     k1, k2, k3 = jnp.meshgrid(ks, ks, ks, indexing="ij")
     kvec_frac = jnp.stack([k1, k2, k3], -1).astype(x.dtype)
-    kvec = kvec_frac @ binv.T  # m_vec = sum_j k_j a*_j
+    kvec = jnp.einsum('...d,ed->...e', kvec_frac, binv,
+                      precision=hi)  # m_vec = sum_j k_j a*_j
     m2 = jnp.sum(kvec * kvec, -1)
     mask = m2 > 1e-10
     m2_safe = jnp.where(mask, m2, 1.0)

@@ -85,8 +85,7 @@ def build_pme_blocks(x, box, grid_shape, nb, amax: int) -> PmeBlocks:
     """Bucket atoms by coarse block (runs once per pair-list rebuild)."""
     n = x.shape[0]
     NB = int(np.prod(nb))
-    binv = pbc_mod.inv3(box)
-    s = x @ binv
+    s = pbc_mod.frac_coords(x, box)
     s = s - jnp.floor(s)
     nbv = jnp.array(nb)
     b3 = jnp.clip((s * nbv).astype(jnp.int32), 0, nbv - 1)
@@ -117,8 +116,7 @@ def _local_splines(xg, box, grid_shape, nb, order, derivatives: bool):
     NB, A, _ = xg.shape
     K = jnp.array(grid_shape)
     halo_lo = order - 1 + MARGIN
-    binv = pbc_mod.inv3(box)
-    sfrac = xg @ binv
+    sfrac = pbc_mod.frac_coords(xg, box)
     sfrac = sfrac - jnp.floor(sfrac)
     u = sfrac * K.astype(xg.dtype)
     gi = jnp.floor(u).astype(jnp.int32)
@@ -287,7 +285,8 @@ def blocked_phi_gather(x, box, charges, phi, grid_shape,
     d_flat = dEdq_blocks.reshape(-1)
     dEdu_at = jnp.zeros((n + 1, 3), x.dtype).at[flat_idx].add(f_flat)[:n]
     dEdq = jnp.zeros((n + 1,), x.dtype).at[flat_idx].add(d_flat)[:n]
-    forces = -(dEdu_at * Kv.astype(x.dtype)) @ binv.T
+    forces = -jnp.einsum('nd,ed->ne', dEdu_at * Kv.astype(x.dtype),
+                         binv, precision=jax.lax.Precision.HIGHEST)
     return forces, dEdq
 
 
@@ -503,7 +502,8 @@ def blocked_phi_gather_pallas(x, box, charges, phi, grid_shape,
     d_flat = outs[..., 3].reshape(-1) * val[:, 0]
     dEdu_at = jnp.zeros((n + 1, 3), x.dtype).at[flat_idx].add(f_flat)[:n]
     dEdq = jnp.zeros((n + 1,), x.dtype).at[flat_idx].add(d_flat)[:n]
-    forces = -(dEdu_at * Kv.astype(x.dtype)) @ binv.T
+    forces = -jnp.einsum('nd,ed->ne', dEdu_at * Kv.astype(x.dtype),
+                         binv, precision=jax.lax.Precision.HIGHEST)
     return forces, dEdq
 
 
@@ -518,8 +518,7 @@ def _pallas_inputs(x, box, charges, grid_shape, blocks: PmeBlocks,
     qg = (jnp.concatenate([charges, jnp.zeros((1,), charges.dtype)]
                           )[blocks.idx] * blocks.valid)
     K = jnp.array(grid_shape)
-    binv = pbc_mod.inv3(box)
-    sfrac = xg @ binv
+    sfrac = pbc_mod.frac_coords(xg, box)
     sfrac = sfrac - jnp.floor(sfrac)
     u = sfrac * K.astype(x.dtype)
     gi = jnp.floor(u).astype(jnp.int32)

@@ -93,8 +93,7 @@ def _onehot(ws, idx, K):
 
 def _spline_onehots(x, box, grid_shape, order, derivatives: bool):
     Kv = jnp.array(grid_shape)
-    binv = pbc_mod.inv3(box)
-    s = x @ binv
+    s = pbc_mod.frac_coords(x, box)
     s = s - jnp.floor(s)
     u = s * Kv.astype(x.dtype)
     gi = jnp.floor(u).astype(jnp.int32)
@@ -252,7 +251,8 @@ def phi_gather_pallas(x, box, charges, phi, grid_shape, order: int = 4,
     Kv = jnp.array(grid_shape)
     binv = pbc_mod.inv3(box)
     dEdu = jnp.stack([fxu, fyu, fzu], axis=1)
-    forces = -(dEdu * Kv.astype(x.dtype)) @ binv.T
+    forces = -jnp.einsum('nd,ed->ne', dEdu * Kv.astype(x.dtype),
+                         binv, precision=jax.lax.Precision.HIGHEST)
     return forces, dedq
 
 
