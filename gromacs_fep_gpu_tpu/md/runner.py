@@ -77,6 +77,15 @@ class RunnerConfig:
     # equal-count sort (ops/pairlist.py sort_atoms_dd) and per-axis
     # ppermute halo sweeps (reference: domdec_setup.cpp rank grids)
     dd_grid: Optional[Tuple[int, ...]] = None
+    # locality-blocked PME spread/gather (ops/pme_blocked.py): atoms are
+    # bucketed onto a coarse block grid at every pair-list rebuild and
+    # the spread/gather run on per-block local subgrids — O(N*s^3)
+    # instead of O(N*K^3).  None = auto (on at >= 30k atoms, where the
+    # dense MXU formulation's HBM traffic dominates; measured crossover
+    # TPU v5e).  Reference analogue: pme_spread.cu/pme_gather.cu touch
+    # only the order^3 support.
+    blocked_pme: Optional[bool] = None
+    pme_block_amax: Optional[int] = None   # per-block atom capacity (auto)
 
 
 class MdRunner:
@@ -119,6 +128,7 @@ class MdRunner:
 
         self.recip_fn = None
         self.recip_force_fn = None
+        self._pme_nb = None    # blocked-PME coarse grid (static)
         if params.coulomb == CoulombType.PME:
             if params.pme_grid is None:
                 raise ValueError("set params.pme_grid (use pme.pme_grid_size)")
@@ -129,6 +139,19 @@ class MdRunner:
                 from ..parallel.spatial import make_sharded_pme
                 self.recip_force_fn = make_sharded_pme(
                     system, params, self._dd_mesh)
+            else:
+                use_blocked = self.config.blocked_pme
+                if use_blocked is None:
+                    use_blocked = (system.n_atoms >= 30_000
+                                   and not self.config.use_dense)
+                if use_blocked and not self.config.use_dense:
+                    from ..ops.pme_blocked import choose_blocks
+                    nb, amax = choose_blocks(params.pme_grid,
+                                             system.n_atoms,
+                                             params.pme_order)
+                    self._pme_nb = nb
+                    if self.config.pme_block_amax is None:
+                        self.config.pme_block_amax = amax
 
         if self.config.use_pallas and not self.config.use_dense:
             # mirror make_cluster_force_fn's fallback conditions so the
@@ -292,7 +315,7 @@ class MdRunner:
 
         def rebuild(state: State):
             if cfg.use_dense:
-                return None, None, None, jnp.zeros((8,), jnp.int32)
+                return None, None, None, None, jnp.zeros((9,), jnp.int32)
             v2u = cfg.use_pallas and cfg.pallas_mode == "v2u"
             nlist = build_cluster_pairlist(
                 state.x, state.box, self.system, rl,
@@ -353,9 +376,17 @@ class MdRunner:
                     self.config.dd_grid
                     or self._dd_mesh.shape[SPATIAL_AXIS],
                     self.config.dd_block).astype(jnp.int32)
+            pme_blocks = None
+            pme_ovf = jnp.zeros((), jnp.int32)
+            if self._pme_nb is not None:
+                from ..ops.pme_blocked import build_pme_blocks
+                pme_blocks = build_pme_blocks(
+                    state.x, state.box, self.params.pme_grid,
+                    self._pme_nb, cfg.pme_block_amax)
+                pme_ovf = pme_blocks.n_overflow.astype(jnp.int32)
             flags = jnp.stack([n_ovf, fep_ovf, n_max,
                                s_ovf, s_max, excl_bad, shift_bad,
-                               halo_bad])
+                               halo_bad, pme_ovf])
             prep = None
             if cfg.use_pallas:
                 if cfg.pallas_mode == "v2u":
@@ -370,23 +401,25 @@ class MdRunner:
                 else:
                     from ..ops.pallas_nb import pallas_prepare_cl
                     prep = pallas_prepare_cl(nlist, self.system.nbfp)
-            return nlist, feplist, prep, flags
+            return nlist, feplist, prep, pme_blocks, flags
 
-        def scan(state: State, nlist, feplist, prep):
+        def scan(state: State, nlist, feplist, prep, pme_blocks):
             # MTS: on-steps apply the recip force as a factor-scaled
             # impulse; off-steps ('f' flavor) skip the recip entirely
             # (reference: mdlib MTS combineMtsForces)
             rs = float(self.params.mts_factor) if self.params.mts else 1.0
             bound_force = lambda x, box, lam: force_fn(x, box, lam, nlist,
                                                        feplist, prep,
-                                                       recip_scale=rs)
+                                                       recip_scale=rs,
+                                                       pme_blocks=pme_blocks)
             bound_force_noener = None
             if not cfg.use_dense and self.params.nstcalcenergy > 1:
                 bound_force_noener = (
                     lambda x, box, lam: force_fn(x, box, lam, nlist,
                                                  feplist, prep,
                                                  need_energy=False,
-                                                 recip_scale=rs))
+                                                 recip_scale=rs,
+                                                 pme_blocks=pme_blocks))
             bound_force_mts_off = None
             if self.params.mts:
                 bound_force_mts_off = (
@@ -404,14 +437,16 @@ class MdRunner:
                     lambda x, box, lam: force_fn(x, box, lam, nlist,
                                                  feplist, prep,
                                                  need_virial=True,
-                                                 recip_scale=rs))
+                                                 recip_scale=rs,
+                                                 pme_blocks=pme_blocks))
 
             pull_static = (self.params.pull is not None
                            and len(self.params.pull) > 0
                            and all(c.rate == 0.0 for c in self.params.pull))
 
             def epot_fn(x, box, lam):
-                _, terms = force_fn(x, box, lam, nlist, feplist, prep)
+                _, terms = force_fn(x, box, lam, nlist, feplist, prep,
+                                    pme_blocks=pme_blocks)
                 e = terms.epot
                 if pull_static:
                     # time-independent pull coords contribute to the
@@ -454,8 +489,8 @@ class MdRunner:
         scan_j = jax.jit(scan)
 
         def chunk(state: State):
-            nlist, feplist, prep, flags = rebuild_j(state)
-            state_out, log = scan_j(state, nlist, feplist, prep)
+            nlist, feplist, prep, pme_blocks, flags = rebuild_j(state)
+            state_out, log = scan_j(state, nlist, feplist, prep, pme_blocks)
             return state_out, log, flags
 
         return chunk
@@ -471,6 +506,9 @@ class MdRunner:
         if len(flags) > 3 and flags[3] > 0:
             need = int(max(flags[4], self.config.super_nnbr) * 1.25 + 8)
             self.config.super_nnbr = (need + 31) // 32 * 32
+        if len(flags) > 5 and flags[5] > 0:
+            self.config.pme_block_amax = int(
+                self.config.pme_block_amax * 1.5 + 63) // 64 * 64
         self._chunk_cache.clear()
 
     def run(self, state: State, nsteps: int,
@@ -589,7 +627,8 @@ class MdRunner:
             flavors = self._flavor_pattern(step0 + done, seg_len)
             key = (seg_len, self.config.nnbr, self.config.fep_max_nbr,
                    self.config.super_nnbr, flavors,
-                   self.config.pallas_baked_shifts)
+                   self.config.pallas_baked_shifts,
+                   self.config.pme_block_amax)
             chunk = self._chunk_cache.get(key)
             if chunk is None:
                 chunk = self._build_chunk(seg_len, flavors)
@@ -654,11 +693,12 @@ class MdRunner:
                         "system is blowing up, or rlist/box is too small "
                         "for the molecular geometry (reference behavior: "
                         "nbnxm/exclusionchecker.cpp fails hard here)")
-                if fl[:, :2].sum() + fl[:, 3:4].sum() > 0:
+                pme_ovf = fl[:, 8].sum() if fl.shape[1] > 8 else 0
+                if fl[:, :2].sum() + fl[:, 3:4].sum() + pme_ovf > 0:
                     # roll back to last verified point with grown capacity
                     self._grow(np.array([fl[:, 0].sum(), fl[:, 1].sum(),
                                          fl[:, 2].max(), fl[:, 3].sum(),
-                                         fl[:, 4].max()]))
+                                         fl[:, 4].max(), pme_ovf]))
                     state = verified_state
                     done = verified_done
                     logs = logs[:verified_nlogs]

@@ -504,7 +504,8 @@ def make_cluster_force_fn(system: System, params: MdParams,
     def force_fn(x, box, lam, nlist: ClusterPairlist,
                  feplist: Optional[FepPairlist] = None, prep=None,
                  need_energy: bool = True, need_virial: bool = False,
-                 recip_scale: float = 1.0, skip_recip: bool = False):
+                 recip_scale: float = 1.0, skip_recip: bool = False,
+                 pme_blocks=None):
         """need_energy=False runs the force-only kernel flavor and skips
         the dV/dlambda backward pass (the reference computes energies only
         at nstcalcenergy steps; F vs VF kernels in nbnxm_cuda.cu).
@@ -589,9 +590,15 @@ def make_cluster_force_fn(system: System, params: MdParams,
             terms = terms.replace(vir_diag=vir_total)
         if pme_recip_force_fn is not None and not skip_recip:
             # PME reciprocal via the hand-written gather pass (energy,
-            # force, dvdl together) instead of AD through the spread
-            e_rec, f_rec, dvdl_rec = pme_recip_force_fn(
-                x, box, lam[FepCoupling.COUL])
+            # force, dvdl together) instead of AD through the spread;
+            # pme_blocks (rebuild-cadence atom bucketing) routes it
+            # through the locality-blocked spread/gather at large scale
+            if pme_blocks is not None:
+                e_rec, f_rec, dvdl_rec = pme_recip_force_fn(
+                    x, box, lam[FepCoupling.COUL], blocks=pme_blocks)
+            else:
+                e_rec, f_rec, dvdl_rec = pme_recip_force_fn(
+                    x, box, lam[FepCoupling.COUL])
             f = f + recip_scale * f_rec
             terms = terms.replace(coul_recip=e_rec)
             if need_energy:

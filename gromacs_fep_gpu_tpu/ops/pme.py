@@ -369,7 +369,8 @@ def _spread_dispatch(x, box, charges, grid_shape, order):
 
 
 def reciprocal_energy_force(x, box, charges, grid_shape, beta,
-                            order: int = 4, influence=None, dft_mats=None):
+                            order: int = 4, influence=None, dft_mats=None,
+                            blocks=None):
     """SPME reciprocal energy, forces, and dE/dq — hand-written gather
     pass instead of AD through the spread (the pme_gather.cu analogue;
     reference: ewald/pme_gather.cpp).
@@ -381,6 +382,12 @@ def reciprocal_energy_force(x, box, charges, grid_shape, beta,
     transpose but skips rebuilding the (N, K2*K3) one-hot intermediate,
     which dominates the AD backward's HBM traffic.
 
+    blocks: optional PmeBlocks (ops/pme_blocked.py) atom bucketing from
+    the pair-list rebuild; routes spread/gather through the
+    locality-blocked kernels — O(N*s^3) instead of O(N*K^3), the win at
+    the ~80k-atom scale (reference: pme_spread.cu/pme_gather.cu operate
+    on the order^3 local support the same way).
+
     Returns (energy, forces, dE/dq)."""
     if influence is None:
         influence = make_influence_function(grid_shape, order)
@@ -389,7 +396,23 @@ def reciprocal_energy_force(x, box, charges, grid_shape, beta,
     n = x.shape[0]
     K1, K2, K3 = grid_shape
     hi = jax.lax.Precision.HIGHEST
-    grid = _spread_dispatch(x, box, charges, grid_shape, order)
+    use_blk_pallas = False
+    if blocks is not None:
+        # Pallas kernels on TPU (atoms-on-lanes, measured 2-4x the einsum
+        # twins at 80^3/81k); einsum twins elsewhere (CPU CI)
+        use_blk_pallas = (jax.default_backend() == "tpu"
+                          and order == 4
+                          and os.environ.get("TPUMD_PME_BLOCKED",
+                                             "pallas") == "pallas")
+        if use_blk_pallas:
+            from .pme_blocked import blocked_spread_pallas
+            grid = blocked_spread_pallas(x, box, charges, grid_shape,
+                                         blocks, order)
+        else:
+            from .pme_blocked import blocked_spread
+            grid = blocked_spread(x, box, charges, grid_shape, blocks, order)
+    else:
+        grid = _spread_dispatch(x, box, charges, grid_shape, order)
     q_re, q_im = matmul_fft3(grid, dft_mats)
     G, scale = _influence_scaled(box, influence, beta, x.dtype)
     energy = scale * jnp.sum(G * (q_re * q_re + q_im * q_im))
@@ -399,7 +422,17 @@ def reciprocal_energy_force(x, box, charges, grid_shape, beta,
     for ax in range(3):
         rr, ii = _axis_dft(rr, ii, dft_mats[ax][0], dft_mats[ax][1], ax)
     phi = 2.0 * scale * rr
-    forces, dEdq = phi_gather(x, box, charges, phi, grid_shape, order)
+    if blocks is not None:
+        if use_blk_pallas:
+            from .pme_blocked import blocked_phi_gather_pallas
+            forces, dEdq = blocked_phi_gather_pallas(
+                x, box, charges, phi, grid_shape, blocks, order)
+        else:
+            from .pme_blocked import blocked_phi_gather
+            forces, dEdq = blocked_phi_gather(x, box, charges, phi,
+                                              grid_shape, blocks, order)
+    else:
+        forces, dEdq = phi_gather(x, box, charges, phi, grid_shape, order)
     return energy, forces, dEdq
 
 
@@ -422,7 +455,11 @@ def phi_gather(x, box, charges, phi, grid_shape, order: int = 4):
     jj = jnp.arange(order)
     idx = [(gi[:, d:d + 1] - jj[None, :]) % grid_shape[d] for d in range(3)]
 
-    # z one-hots carry the z weights; the (x,y) support is a row gather
+    # z one-hots carry the z weights; the (x,y) support is a row gather.
+    # (A z-blocked (n, o*o, 2, 8) gather of just the support was tried
+    # and is 5x SLOWER on TPU: narrow-row gathers are per-row bound at
+    # ~7 ns/row; wide z-line rows amortize.  Large grids route through
+    # ops/pme_blocked.py instead.)
     cells3 = jnp.arange(K3)
     sel = (idx[2][:, :, None] == cells3[None, None, :])   # (n, order, K3)
     ohz = jnp.sum(ws[2][:, :, None] * sel, axis=1)
@@ -541,17 +578,19 @@ def make_pme_recip_pair(system: System, params: MdParams,
 
     edd_and_grad = jax.value_and_grad(_edd)
 
-    def force_fn(x, box, lam_c):
+    def force_fn(x, box, lam_c, blocks=None):
         vol = pbc_mod.box_volume(box)
         if not fep_q:
             e_grid, f, _ = reciprocal_energy_force(
-                x, box, qa, grid_shape, beta, order, influence, dft_mats)
+                x, box, qa, grid_shape, beta, order, influence, dft_mats,
+                blocks=blocks)
             e = (e_grid + self_energy(qa, beta)
                  + net_charge_energy(qa, beta, vol))
             return e, f, jnp.zeros((), x.dtype)
         qmix = (1.0 - lam_c) * qa + lam_c * qb
         e_grid, f, dEdq = reciprocal_energy_force(
-            x, box, qmix, grid_shape, beta, order, influence, dft_mats)
+            x, box, qmix, grid_shape, beta, order, influence, dft_mats,
+            blocks=blocks)
         e = (e_grid + self_energy(qmix, beta)
              + net_charge_energy(qmix, beta, vol))
         dq = dq_pert.astype(x.dtype)

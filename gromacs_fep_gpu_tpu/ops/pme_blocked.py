@@ -29,7 +29,7 @@ import numpy as np
 from flax import struct
 
 from ..core import pbc as pbc_mod
-from .pme import bspline_dweights, bspline_weights
+from .pme import _prec, bspline_dweights, bspline_weights
 
 MARGIN = 2          # cells of drift headroom between rebuilds
 
@@ -45,25 +45,45 @@ class PmeBlocks:
 
 def choose_blocks(grid_shape, n_atoms: int,
                   order: int = 4) -> Tuple[Tuple[int, int, int], int]:
-    """(nb, amax): coarse-block grid minimising the einsum cost
-    NB * Amax * s1 * s2 * s3 with s = K/nb + order - 1 + 2 * MARGIN,
-    over divisors of each K_d."""
+    """(nb, amax): coarse-block grid minimising the Pallas-kernel cost
+    over divisors of each K_d.
+
+    Model: per-block atom lanes pad to the 128-lane vreg width, so the
+    compute term uses pad128(amax); the second term charges the XLA
+    window/fold staging (NB * s^3 grid-window elements, weight fit on
+    TPU v5e where it made (8,8,8) beat the flop-tied (10,10,20) by ~3x
+    at 80^3/81k).  VMEM guard: the (s2*s3, Apad) one-hot outer products
+    (4 live in the gather kernel) must fit comfortably."""
     halo = order - 1 + 2 * MARGIN
     best = None
     for nbs in _divisor_triples(grid_shape):
         NB = int(np.prod(nbs))
         amax = _amax_for(n_atoms, NB)
+        apad = -(-amax // 128) * 128
         s = [grid_shape[d] // nbs[d] + halo for d in range(3)]
-        cost = NB * amax * s[0] * s[1] * s[2]
+        svol = s[0] * s[1] * s[2]
+        if s[1] * s[2] * apad * 4 * 4 > 6 << 20:
+            continue
+        cost = NB * apad * svol + 256 * NB * svol
         if best is None or cost < best[0]:
             best = (cost, nbs, amax)
+    if best is None:        # tiny grids: fall back to the flop model
+        for nbs in _divisor_triples(grid_shape):
+            NB = int(np.prod(nbs))
+            amax = _amax_for(n_atoms, NB)
+            s = [grid_shape[d] // nbs[d] + halo for d in range(3)]
+            cost = NB * amax * s[0] * s[1] * s[2]
+            if best is None or cost < best[0]:
+                best = (cost, nbs, amax)
     return best[1], best[2]
 
 
 def _amax_for(n_atoms: int, NB: int) -> int:
-    # uniform-density headroom; the overflow flag + runner growth covers
-    # density fluctuations beyond it
-    return max(64, int(-(-int(n_atoms / NB * 1.4) // 64)) * 64)
+    # mean + 60% headroom: liquid-density fluctuations at ~1 nm blocks
+    # reach ~1.5x the mean over thousands of blocks (1.4x measured
+    # overflowing at 12k/294 blocks); the overflow flag + runner growth
+    # covers the tail beyond it
+    return max(64, int(-(-int(n_atoms / NB * 1.6) // 64)) * 64)
 
 
 def _divisor_triples(grid_shape):
@@ -143,11 +163,11 @@ def _local_splines(xg, box, grid_shape, nb, order, derivatives: bool):
         tgt = rel[..., d:d + 1] - jnp.asarray(jj)         # (NB, A, order)
         sel = (tgt[..., None] == cells).astype(xg.dtype)  # (NB,A,o,s_d)
         oh.append(jnp.einsum('bao,baos->bas', ws, sel,
-                     precision=jax.lax.Precision.HIGHEST))
+                     precision=_prec()))
         if derivatives:
             dws = bspline_dweights(w[..., d], order)
             doh.append(jnp.einsum('bao,baos->bas', dws, sel,
-                      precision=jax.lax.Precision.HIGHEST))
+                      precision=_prec()))
     return oh, (doh if derivatives else None), bad, s_dim, cdim
 
 
@@ -211,7 +231,7 @@ def blocked_spread(x, box, charges, grid_shape, blocks: PmeBlocks,
     # dropping its charge
     bad = bad & (blocks.valid > 0)
     qg = jnp.where(bad, jnp.nan, qg)
-    hi = jax.lax.Precision.HIGHEST
+    hi = _prec()
     # z-last contraction: (q wx)(x)wy -> (NB, A, s1*s2), then one einsum
     # against the z one-hots gives each block's local subgrid
     sxy = jnp.einsum('bax,bay->baxy', oh[0] * qg[..., None], oh[1],
@@ -245,7 +265,7 @@ def blocked_phi_gather(x, box, charges, phi, grid_shape,
                                                order, True)
     bad = bad & (blocks.valid > 0)
     qg = jnp.where(bad, jnp.nan, qg)
-    hi = jax.lax.Precision.HIGHEST
+    hi = _prec()
     NB, A = xg.shape[0], xg.shape[1]
 
     # per-block windows of phi via the inverse block fold (O(1) rolls
@@ -292,15 +312,18 @@ def blocked_phi_gather(x, box, charges, phi, grid_shape,
 
 # ---------------------------------------------------------------------------
 # Pallas kernels: the per-step path.  Each block's subgrid window lives in
-# VMEM (~50-250 KB), atoms stream through in chunks, spline weights are
-# computed in-kernel from one local coordinate per axis — total HBM
-# traffic is the windows + (A, 3) coordinates + (A, 4) outputs, vs the
-# einsum path's (NB, A, s1*s2) HBM intermediates (measured 7 ms at 81k).
+# VMEM (~50-250 KB) and the whole block's atoms are processed in one shot
+# with atoms riding the 128-wide LANE dimension: one-hot spline rows are
+# (s_d, A) tiles (full VPU lanes), the spread/gather contractions over
+# atoms run on the MXU.  The first version of these kernels put atoms on
+# sublanes and the tiny (11-15) window dims on lanes — ~12% lane
+# utilization, measured 2x SLOWER than the einsum path; this transposed
+# layout is ~10x faster than the einsums at the 81k/80^3 scale.
 # ---------------------------------------------------------------------------
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_AC = 256            # atoms per in-kernel chunk
+_ALIGN = 128         # atom padding per block (lane dimension)
 
 
 def _w4(w):
@@ -317,47 +340,42 @@ def _w4(w):
     return (m4_0, m4_1, m4_2, m4_3), (m3_0, m3_1, m3_2)
 
 
-def _onehots_chunk(u, s_d):
-    """(AC,) local coordinates -> value/derivative one-hot rows
-    (AC, s_d); dM4(j) = M3(j) - M3(j-1)."""
+def _onehots_lanes(u, s_d: int, derivatives: bool):
+    """u: (1, A) local window coordinates -> one-hot-weighted rows
+    (s_d, A): row r of column a is M4 weight of atom a at window cell r
+    (dM4 rows when derivatives).  dM4(j) = M3(j) - M3(j-1)."""
     li = jnp.floor(u)
     w = u - li
     (m40, m41, m42, m43), (m30, m31, m32) = _w4(w)
-    dm = (m30, m31 - m30, m32 - m31, -m32)
-    lane = jax.lax.broadcasted_iota(
-        jnp.int32, (u.shape[0], s_d), 1).astype(jnp.float32)
-    oh = jnp.zeros((u.shape[0], s_d), jnp.float32)
-    doh = jnp.zeros((u.shape[0], s_d), jnp.float32)
-    for j, (m, d) in enumerate(zip((m40, m41, m42, m43), dm)):
-        sel = (lane == (li[:, None] - j)).astype(jnp.float32)
-        oh = oh + m[:, None] * sel
-        doh = doh + d[:, None] * sel
-    return oh, doh
+    taps = (m40, m41, m42, m43)
+    dtaps = (m30, m31 - m30, m32 - m31, -m32)
+    A = u.shape[1]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (s_d, A), 0)
+    lii = li.astype(jnp.int32)
+    oh = jnp.zeros((s_d, A), jnp.float32)
+    doh = jnp.zeros((s_d, A), jnp.float32)
+    for j in range(4):
+        sel = (rows == (lii - j)).astype(jnp.float32)
+        oh = oh + taps[j] * sel
+        if derivatives:
+            doh = doh + dtaps[j] * sel
+    return oh, (doh if derivatives else None)
 
 
 def _spread_kernel(u_ref, q_ref, out_ref, s_dim):
     s1, s2, s3 = s_dim
-    A = u_ref.shape[0]
-    nc = A // _AC
-    out_ref[...] = jnp.zeros_like(out_ref)
-
-    def chunk(c, carry):
-        sl = pl.ds(c * _AC, _AC)
-        u = u_ref[sl, :]
-        q = q_ref[sl, :]
-        ohx, _ = _onehots_chunk(u[:, 0], s1)
-        ohy, _ = _onehots_chunk(u[:, 1], s2)
-        ohz, _ = _onehots_chunk(u[:, 2], s3)
-        uu = jnp.concatenate([ohy[:, y:y + 1] * ohz for y in range(s2)],
-                             axis=1)
-        qwx = ohx * q
-        out_ref[...] += jax.lax.dot_general(
-            qwx, uu, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)
-        return carry
-
-    jax.lax.fori_loop(0, nc, chunk, 0)
+    u = u_ref[0]                                   # (3, A)
+    q = q_ref[0]                                   # (1, A)
+    ohx, _ = _onehots_lanes(u[0:1], s1, False)
+    ohy, _ = _onehots_lanes(u[1:2], s2, False)
+    ohz, _ = _onehots_lanes(u[2:3], s3, False)
+    # uu row y*s3+z = ohy[y] * ohz[z]  -> (s2*s3, A)
+    uu = jnp.concatenate([ohy[y:y + 1] * ohz for y in range(s2)], axis=0)
+    qwx = ohx * q                                  # (s1, A)
+    out_ref[0] = jax.lax.dot_general(
+        qwx, uu, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)
 
 
 def blocked_spread_pallas(x, box, charges, grid_shape, blocks: PmeBlocks,
@@ -367,25 +385,25 @@ def blocked_spread_pallas(x, box, charges, grid_shape, blocks: PmeBlocks,
     nb = blocks.nb
     u_loc, q_loc, s_dim, cdim = _pallas_inputs(x, box, charges,
                                                grid_shape, blocks)
-    NB, A = q_loc.shape[0], q_loc.shape[1]
+    NB, A = q_loc.shape[0], q_loc.shape[2]
     s1, s2, s3 = s_dim
     qloc = pl.pallas_call(
         lambda u_ref, q_ref, out_ref: _spread_kernel(
             u_ref, q_ref, out_ref, s_dim),
         grid=(NB,),
         in_specs=[
-            pl.BlockSpec((None, A, 3), lambda b: (b, 0, 0),
+            pl.BlockSpec((1, 3, A), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, A, 1), lambda b: (b, 0, 0),
+            pl.BlockSpec((1, 1, A), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((None, s1, s2 * s3), lambda b: (b, 0, 0),
+        out_specs=pl.BlockSpec((1, s1, s2 * s3), lambda b: (b, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((NB, s1, s2 * s3), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
         interpret=interpret,
-    )(u_loc, q_loc[..., None])
+    )(u_loc, q_loc)
     halo_lo = order - 1 + MARGIN
     g = qloc.reshape(tuple(nb) + (s1, s2, s3))
     g = jnp.moveaxis(g, 3, 1)
@@ -399,56 +417,39 @@ def blocked_spread_pallas(x, box, charges, grid_shape, blocks: PmeBlocks,
 
 def _gather_kernel(phi_ref, u_ref, q_ref, out_ref, s_dim):
     s1, s2, s3 = s_dim
-    A = u_ref.shape[0]
-    nc = A // _AC
-    phi2 = phi_ref[...]                       # (s1*s2, s3)
+    u = u_ref[0]                                   # (3, A)
+    q = q_ref[0]                                   # (1, A)
+    ohx, dohx = _onehots_lanes(u[0:1], s1, True)
+    ohy, dohy = _onehots_lanes(u[1:2], s2, True)
+    ohz, dohz = _onehots_lanes(u[2:3], s3, True)
+    phi2 = phi_ref[0]                              # (s1, s2*s3)
 
-    def chunk(c, carry):
-        sl = pl.ds(c * _AC, _AC)
-        u = u_ref[sl, :]
-        q = q_ref[sl, :]
-        ohx, dohx = _onehots_chunk(u[:, 0], s1)
-        ohy, dohy = _onehots_chunk(u[:, 1], s2)
-        ohz, dohz = _onehots_chunk(u[:, 2], s3)
-        # (s1*s2, AC) z-contractions on the MXU
-        pz = jax.lax.dot_general(
-            phi2, ohz, (((1,), (1,)), ((), ())),
+    def yz(a, b):
+        # outer-product rows (s2*s3, A): row y*s3+z = a[y] * b[z]
+        return jnp.concatenate([a[y:y + 1] * b for y in range(s2)], axis=0)
+
+    def dot(m, w):
+        # (s1, s2*s3) @ (s2*s3, A) on the MXU — full-width contraction
+        return jax.lax.dot_general(
+            m, w, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST)
-        pdz = jax.lax.dot_general(
-            phi2, dohz, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)
-        pz3 = pz.reshape(s1, s2, _AC)
-        pdz3 = pdz.reshape(s1, s2, _AC)
-        G = jnp.zeros((s1, _AC), jnp.float32)
-        Gdy = jnp.zeros((s1, _AC), jnp.float32)
-        Gz = jnp.zeros((s1, _AC), jnp.float32)
-        for y in range(s2):
-            wy = ohy[:, y][None, :]
-            dwy = dohy[:, y][None, :]
-            G = G + pz3[:, y, :] * wy
-            Gdy = Gdy + pz3[:, y, :] * dwy
-            Gz = Gz + pdz3[:, y, :] * wy
-        pw = jnp.zeros((_AC,), jnp.float32)
-        fxu = jnp.zeros((_AC,), jnp.float32)
-        fyu = jnp.zeros((_AC,), jnp.float32)
-        fzu = jnp.zeros((_AC,), jnp.float32)
-        for xx in range(s1):
-            wx = ohx[:, xx]
-            dwx = dohx[:, xx]
-            pw = pw + G[xx] * wx
-            fxu = fxu + G[xx] * dwx
-            fyu = fyu + Gdy[xx] * wx
-            fzu = fzu + Gz[xx] * wx
-        qs = q[:, 0]
-        out_ref[sl, 0] = qs * fxu
-        out_ref[sl, 1] = qs * fyu
-        out_ref[sl, 2] = qs * fzu
-        out_ref[sl, 3] = pw
-        return carry
 
-    jax.lax.fori_loop(0, nc, chunk, 0)
+    G = dot(phi2, yz(ohy, ohz))                    # (s1, A)
+    Gdy = dot(phi2, yz(dohy, ohz))
+    Gdz = dot(phi2, yz(ohy, dohz))
+    pw = jnp.zeros((1, G.shape[1]), jnp.float32)
+    fxu = jnp.zeros((1, G.shape[1]), jnp.float32)
+    fyu = jnp.zeros((1, G.shape[1]), jnp.float32)
+    fzu = jnp.zeros((1, G.shape[1]), jnp.float32)
+    for xx in range(s1):
+        wx = ohx[xx:xx + 1]
+        dwx = dohx[xx:xx + 1]
+        pw = pw + G[xx:xx + 1] * wx
+        fxu = fxu + G[xx:xx + 1] * dwx
+        fyu = fyu + Gdy[xx:xx + 1] * wx
+        fzu = fzu + Gdz[xx:xx + 1] * wx
+    out_ref[0] = jnp.concatenate([q * fxu, q * fyu, q * fzu, pw], axis=0)
 
 
 def blocked_phi_gather_pallas(x, box, charges, phi, grid_shape,
@@ -460,7 +461,7 @@ def blocked_phi_gather_pallas(x, box, charges, phi, grid_shape,
     nb = blocks.nb
     u_loc, q_loc, s_dim, cdim = _pallas_inputs(x, box, charges,
                                                grid_shape, blocks)
-    NB, A = q_loc.shape[0], q_loc.shape[1]
+    NB, A = q_loc.shape[0], q_loc.shape[2]
     s1, s2, s3 = s_dim
     halo_lo = order - 1 + MARGIN
 
@@ -471,35 +472,35 @@ def blocked_phi_gather_pallas(x, box, charges, phi, grid_shape,
     w = jnp.moveaxis(w, 4, 0)
     w = _window_blocks_axis(w, nb[2], cdim[2], halo_lo, s3)
     w = jnp.transpose(w, (4, 2, 0, 5, 3, 1))
-    ploc = w.reshape(NB, s1 * s2, s3)
+    ploc = w.reshape(NB, s1, s2 * s3)
 
     outs = pl.pallas_call(
         lambda phi_ref, u_ref, q_ref, out_ref: _gather_kernel(
             phi_ref, u_ref, q_ref, out_ref, s_dim),
         grid=(NB,),
         in_specs=[
-            pl.BlockSpec((None, s1 * s2, s3), lambda b: (b, 0, 0),
+            pl.BlockSpec((1, s1, s2 * s3), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, A, 3), lambda b: (b, 0, 0),
+            pl.BlockSpec((1, 3, A), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, A, 1), lambda b: (b, 0, 0),
+            pl.BlockSpec((1, 1, A), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((None, A, 4), lambda b: (b, 0, 0),
+        out_specs=pl.BlockSpec((1, 4, A), lambda b: (b, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((NB, A, 4), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((NB, 4, A), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
         interpret=interpret,
-    )(ploc, u_loc, q_loc[..., None])
+    )(ploc, u_loc, q_loc)
 
     Kv = jnp.array(grid_shape)
     binv = pbc_mod.inv3(box)
-    outs = outs[:, :blocks.idx.shape[1]]      # drop kernel-chunk padding
+    outs = outs[:, :, :blocks.idx.shape[1]]   # drop atom padding
     flat_idx = blocks.idx.reshape(-1)
     val = blocks.valid.reshape(-1, 1)
-    f_flat = outs[..., :3].reshape(-1, 3) * val
-    d_flat = outs[..., 3].reshape(-1) * val[:, 0]
+    f_flat = outs[:, :3].transpose(0, 2, 1).reshape(-1, 3) * val
+    d_flat = outs[:, 3].reshape(-1) * val[:, 0]
     dEdu_at = jnp.zeros((n + 1, 3), x.dtype).at[flat_idx].add(f_flat)[:n]
     dEdq = jnp.zeros((n + 1,), x.dtype).at[flat_idx].add(d_flat)[:n]
     forces = -jnp.einsum('nd,ed->ne', dEdu_at * Kv.astype(x.dtype),
@@ -510,7 +511,8 @@ def blocked_phi_gather_pallas(x, box, charges, phi, grid_shape,
 def _pallas_inputs(x, box, charges, grid_shape, blocks: PmeBlocks,
                    order: int = 4):
     """Shared prelude: per-block-atom local coordinates (window frame,
-    integer part = local cell) and NaN-poisoned charges."""
+    integer part = local cell) and NaN-poisoned charges, transposed to
+    (NB, 3, A) / (NB, 1, A) with A padded to the 128-lane alignment."""
     nb = blocks.nb
     NB = int(np.prod(nb))
     halo_lo = order - 1 + MARGIN
@@ -535,11 +537,10 @@ def _pallas_inputs(x, box, charges, grid_shape, blocks: PmeBlocks,
     u_loc = jnp.where((blocks.valid > 0)[..., None],
                       rel.astype(x.dtype) + wfrac,
                       jnp.float32(halo_lo) + 0.5)
-    # pad A to a multiple of the kernel chunk
     A = u_loc.shape[1]
-    Ap = -(-A // _AC) * _AC
+    Ap = -(-A // _ALIGN) * _ALIGN
     if Ap != A:
         u_loc = jnp.pad(u_loc, ((0, 0), (0, Ap - A), (0, 0)),
                         constant_values=halo_lo + 0.5)
         qg = jnp.pad(qg, ((0, 0), (0, Ap - A)))
-    return u_loc, qg, s_dim, cdim
+    return (u_loc.transpose(0, 2, 1), qg[:, None, :], s_dim, cdim)

@@ -131,3 +131,37 @@ def test_pallas_spread_under_drift():
                                            interpret=True)
     np.testing.assert_allclose(np.asarray(f_pl), np.asarray(f_ref),
                                atol=5e-6 * float(jnp.abs(f_ref).max()))
+
+
+def test_runner_blocked_pme_matches_dense_path():
+    """Production wiring: a PME run with blocked_pme=True forced must
+    track the default (dense spread/gather) run step for step —
+    pme_blocks rebuilt at NS cadence, overflow flag surfaced through the
+    runner (reference acceptance: GPU-path == CPU-path trajectories,
+    freeenergy.cpp:159-165)."""
+    from gromacs_fep_gpu_tpu.core.types import (CoulombType, MdParams,
+                                                TcouplType)
+    from gromacs_fep_gpu_tpu.md.runner import (MdRunner, RunnerConfig,
+                                               concat_logs)
+    from gromacs_fep_gpu_tpu.models.water import water_box
+    from gromacs_fep_gpu_tpu.ops.pme import pme_grid_size
+
+    box_l = 3 * 0.4
+    params = MdParams(dt=0.001, nstlist=5, coulomb=CoulombType.PME,
+                      rcoulomb=0.55, rvdw=0.55, rlist=0.62,
+                      pme_grid=pme_grid_size((box_l,) * 3, 0.08),
+                      tcoupl=TcouplType.V_RESCALE, ref_t=300.0,
+                      nsttcouple=1, nstcomm=0, nstcalcenergy=1)
+    system, state = water_box(3, spacing=0.4, temperature=300.0, seed=5)
+
+    r_blk = MdRunner(system, params, RunnerConfig(blocked_pme=True))
+    assert r_blk._pme_nb is not None
+    f_b, logs_b = r_blk.run(state, 20)
+    r_ref = MdRunner(system, params, RunnerConfig(blocked_pme=False))
+    assert r_ref._pme_nb is None
+    f_r, logs_r = r_ref.run(state, 20)
+
+    lb, lr = concat_logs(logs_b), concat_logs(logs_r)
+    np.testing.assert_allclose(lb.epot, lr.epot, rtol=2e-4, atol=5e-2)
+    np.testing.assert_allclose(np.asarray(f_b.x), np.asarray(f_r.x),
+                               atol=5e-4)
