@@ -45,15 +45,26 @@ class PmeBlocks:
 
 def choose_blocks(grid_shape, n_atoms: int,
                   order: int = 4) -> Tuple[Tuple[int, int, int], int]:
-    """(nb, amax): coarse-block grid minimising the Pallas-kernel cost
-    over divisors of each K_d.
+    """(nb, amax): coarse-block grid for the Pallas spread/gather.
 
-    Model: per-block atom lanes pad to the 128-lane vreg width, so the
-    compute term uses pad128(amax); the second term charges the XLA
-    window/fold staging (NB * s^3 grid-window elements, weight fit on
-    TPU v5e where it made (8,8,8) beat the flop-tied (10,10,20) by ~3x
-    at 80^3/81k).  VMEM guard: the (s2*s3, Apad) one-hot outer products
-    (4 live in the gather kernel) must fit comfortably."""
+    Selection is shape-driven, not flop-driven: a TPU v5e sweep at
+    80^3/81k measured the gather near-flat across geometries
+    (3.4-4.0 ms) while the spread varied 0.77-3.6 ms with NO flop/
+    element model predicting it (e.g. s=(23,23,17) ran 3.1 ms while the
+    strictly-larger (27,23,17) ran 0.77 ms — Mosaic layout effects).
+    The one robust pattern: near-CUBIC local windows were always fast
+    (s=23^3 -> 0.82 ms, s=17^3 -> 1.23 ms) and every slow geometry was
+    non-cubic.  So: minimise the window aspect ratio, tie-break by
+    larger per-block atom tiles (fewer grid programs amortise the
+    per-program constant: 125x23^3 beat 512x17^3), under a VMEM guard
+    for the gather kernel's ~4 live (s2*s3, Apad) f32 products.
+
+    Env override for hand tuning: TPUMD_PME_BLOCKS="nb1,nb2,nb3"."""
+    import os
+    ov = os.environ.get("TPUMD_PME_BLOCKS")
+    if ov:
+        nbs = tuple(int(v) for v in ov.split(","))
+        return nbs, _amax_for(n_atoms, int(np.prod(nbs)))
     halo = order - 1 + 2 * MARGIN
     best = None
     for nbs in _divisor_triples(grid_shape):
@@ -61,12 +72,16 @@ def choose_blocks(grid_shape, n_atoms: int,
         amax = _amax_for(n_atoms, NB)
         apad = -(-amax // 128) * 128
         s = [grid_shape[d] // nbs[d] + halo for d in range(3)]
-        svol = s[0] * s[1] * s[2]
-        if s[1] * s[2] * apad * 4 * 4 > 6 << 20:
+        # gather-kernel live VMEM (hard scoped-vmem limit is 16M; leave
+        # headroom for the phi window and accumulators)
+        if 4 * s[1] * s[2] * apad * 4 > 12 << 20:
             continue
-        cost = NB * apad * svol + 256 * NB * svol
-        if best is None or cost < best[0]:
-            best = (cost, nbs, amax)
+        if apad > 1152:
+            continue
+        aspect = max(s) / min(s)
+        key = (round(aspect, 3), -amax, NB)
+        if best is None or key < best[0]:
+            best = (key, nbs, amax)
     if best is None:        # tiny grids: fall back to the flop model
         for nbs in _divisor_triples(grid_shape):
             NB = int(np.prod(nbs))
@@ -79,11 +94,17 @@ def choose_blocks(grid_shape, n_atoms: int,
 
 
 def _amax_for(n_atoms: int, NB: int) -> int:
-    # mean + 60% headroom: liquid-density fluctuations at ~1 nm blocks
-    # reach ~1.5x the mean over thousands of blocks (1.4x measured
-    # overflowing at 12k/294 blocks); the overflow flag + runner growth
-    # covers the tail beyond it
-    return max(64, int(-(-int(n_atoms / NB * 1.6) // 64)) * 64)
+    # mean + 6*sqrt(mean) headroom: empirical block-count spread scales
+    # ~sqrt(mean) (widest observed: 1.4x mean = +2.6 sigma at 12k/294
+    # blocks during lattice-melt equilibration), so a relative factor
+    # wastes lanes at large blocks — at 81k/125 blocks the old 1.6x
+    # padded 648-atom means to 1088 slots while mean+6*sqrt covers the
+    # same tail at 832.  EVERY per-lane op in the spread/gather kernels
+    # scales with this capacity.  The overflow flag + runner growth
+    # (1.5x rollback-and-recompile) covers anything beyond.
+    mean = n_atoms / NB
+    amax = int(mean + max(6.0 * mean ** 0.5, 24.0))
+    return max(64, -(-amax // 64) * 64)
 
 
 def _divisor_triples(grid_shape):
@@ -465,14 +486,25 @@ def blocked_phi_gather_pallas(x, box, charges, phi, grid_shape,
     s1, s2, s3 = s_dim
     halo_lo = order - 1 + MARGIN
 
-    # per-block windows of phi (roll-based, O(1) ops per axis)
-    w = _window_blocks_axis(phi, nb[0], cdim[0], halo_lo, s1)
-    w = jnp.moveaxis(w, 2, 0)
-    w = _window_blocks_axis(w, nb[1], cdim[1], halo_lo, s2)
-    w = jnp.moveaxis(w, 4, 0)
-    w = _window_blocks_axis(w, nb[2], cdim[2], halo_lo, s3)
-    w = jnp.transpose(w, (4, 2, 0, 5, 3, 1))
-    ploc = w.reshape(NB, s1, s2 * s3)
+    # per-block windows of phi via static one-hot SELECTION MATMULS
+    # (W_d[b*s+t, (b*cdim+t-halo) mod K] = 1): three MXU contractions
+    # replace the roll/moveaxis chains, which dominated the gather cost
+    # at 80^3 (XLA transposes of awkward 6-D shapes); W entries are
+    # exact 0/1 so 3-pass bf16 keeps phi at f32 accuracy
+    hi = _prec()
+    Ws = []
+    for d in range(3):
+        t = np.arange(nb[d] * s_dim[d])
+        src = (t // s_dim[d] * cdim[d] + t % s_dim[d] - halo_lo) \
+            % grid_shape[d]
+        W = np.zeros((nb[d] * s_dim[d], grid_shape[d]), np.float32)
+        W[t, src] = 1.0
+        Ws.append(jnp.asarray(W))
+    p = jnp.einsum('xi,ijk->xjk', Ws[0], phi, precision=hi)
+    p = jnp.einsum('yj,xjk->xyk', Ws[1], p, precision=hi)
+    p = jnp.einsum('zk,xyk->xyz', Ws[2], p, precision=hi)
+    ploc = p.reshape(nb[0], s1, nb[1], s2, nb[2], s3).transpose(
+        0, 2, 4, 1, 3, 5).reshape(NB, s1, s2 * s3)
 
     outs = pl.pallas_call(
         lambda phi_ref, u_ref, q_ref, out_ref: _gather_kernel(
