@@ -91,10 +91,14 @@ def run_config(n_side: int, nsteps: int, use_pme: bool, eq_steps: int = 600,
                                    eq_runner.config.super_nnbr)
     runner.config.fep_max_nbr = max(runner.config.fep_max_nbr,
                                     eq_runner.config.fep_max_nbr)
+    def _caps():
+        return (runner.config.super_nnbr, runner.config.fep_max_nbr,
+                runner.config.super_g, runner.config.pme_block_amax)
+
     for _ in range(8):
-        caps = (runner.config.super_nnbr, runner.config.fep_max_nbr)
+        caps = _caps()
         state, _ = runner.run(state, 10 * params.nstlist)
-        if (runner.config.super_nnbr, runner.config.fep_max_nbr) == caps:
+        if _caps() == caps:
             break
 
     # drain the dispatch pipeline before timing: through the axon tunnel

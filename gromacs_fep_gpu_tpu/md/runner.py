@@ -62,8 +62,18 @@ class RunnerConfig:
     # interaction cutoff (reference: nbnxm_cuda_kernel_pruneonly.cuh).
     # Default off: exact but a net loss at GJU=32 group granularity —
     # the prune pass costs ~0.3 ms and shaves only ~1 group per block
-    # (measured 12k atoms, TPU v5e)
+    # (measured 12k atoms, TPU v5e; still a net loss at 81k: +3.5 ms)
     pallas_prune: bool = False
+    # static cap (in GJU-cluster groups) on the packed v2u j-stream.
+    # List CAPACITY (super_nnbr) carries 1.25x-growth headroom for the
+    # worst block ever observed, but every per-step cost that scales
+    # with the packed width (j-coordinate gather, shift fold, VMEM
+    # staging, prep pack) only needs the CURRENT max in-range count
+    # (s_max flag): at 81k capacity was G=23 vs max ng 13.  Maintained
+    # lazily from the lagged flag reads; a rebuild that needs more than
+    # the cap is caught by the s_max flag and rolled back like any
+    # other overflow.  None = uncapped (= capacity).
+    super_g: Optional[int] = None
     # spatial domain decomposition: a jax.sharding.Mesh with a 'spatial'
     # axis (parallel/mesh.py make_mesh).  Atoms are slab-sorted along x,
     # each device owns a contiguous cluster slab, positions move by
@@ -391,7 +401,8 @@ class MdRunner:
             if cfg.use_pallas:
                 if cfg.pallas_mode == "v2u":
                     from ..ops.pallas_nb import pallas_prepare_v2u
-                    prep = pallas_prepare_v2u(nlist, self.system.nbfp)
+                    prep = pallas_prepare_v2u(nlist, self.system.nbfp,
+                                              g_cap=cfg.super_g)
                 elif cfg.pallas_mode == "v2":
                     from ..ops.pallas_nb import pallas_prepare_v2
                     prep = pallas_prepare_v2(nlist, self.system.nbfp)
@@ -628,7 +639,7 @@ class MdRunner:
             key = (seg_len, self.config.nnbr, self.config.fep_max_nbr,
                    self.config.super_nnbr, flavors,
                    self.config.pallas_baked_shifts,
-                   self.config.pme_block_amax)
+                   self.config.pme_block_amax, self.config.super_g)
             chunk = self._chunk_cache.get(key)
             if chunk is None:
                 chunk = self._build_chunk(seg_len, flavors)
@@ -694,16 +705,44 @@ class MdRunner:
                         "for the molecular geometry (reference behavior: "
                         "nbnxm/exclusionchecker.cpp fails hard here)")
                 pme_ovf = fl[:, 8].sum() if fl.shape[1] > 8 else 0
-                if fl[:, :2].sum() + fl[:, 3:4].sum() + pme_ovf > 0:
+                s_max_obs = int(fl[:, 4].max())
+                v2u_active = (self.config.use_pallas
+                              and self.config.pallas_mode == "v2u"
+                              and not self.config.use_dense)
+                g_trunc = 0
+                if v2u_active and self.config.super_g is not None:
+                    from ..ops.pallas_nb import GJU
+                    if s_max_obs > self.config.super_g * GJU:
+                        # a rebuild needed more j-groups than the packed
+                        # cap: the kernel walked a truncated stream —
+                        # discard those chunks and re-pack wider
+                        g_trunc = 1
+                        self.config.super_g = -(-int(s_max_obs * 1.1 + 8)
+                                                // GJU)
+                        self._chunk_cache.clear()
+                if (fl[:, :2].sum() + fl[:, 3:4].sum() + pme_ovf
+                        + g_trunc > 0):
                     # roll back to last verified point with grown capacity
-                    self._grow(np.array([fl[:, 0].sum(), fl[:, 1].sum(),
-                                         fl[:, 2].max(), fl[:, 3].sum(),
-                                         fl[:, 4].max(), pme_ovf]))
+                    if fl[:, :2].sum() + fl[:, 3:4].sum() + pme_ovf > 0:
+                        self._grow(np.array([fl[:, 0].sum(), fl[:, 1].sum(),
+                                             fl[:, 2].max(), fl[:, 3].sum(),
+                                             fl[:, 4].max(), pme_ovf]))
                     state = verified_state
                     done = verified_done
                     logs = logs[:verified_nlogs]
                     pending = []
                     continue
+                if v2u_active and s_max_obs > 0:
+                    # lazily tighten the packed j-stream to what rebuilds
+                    # actually need (vs the 1.25x-headroom CAPACITY): all
+                    # per-step stream costs scale with it.  Hysteresis of
+                    # 2 groups avoids recompile churn.
+                    from ..ops.pallas_nb import GJU
+                    target = -(-int(s_max_obs * 1.05 + 8) // GJU)
+                    if (self.config.super_g is None
+                            or target <= self.config.super_g - 2):
+                        self.config.super_g = target
+                        self._chunk_cache.clear()
                 verified_state, verified_done, verified_nlogs = (
                     take[-1][1], take[-1][2], take[-1][3])
                 pending = pending[len(take):]

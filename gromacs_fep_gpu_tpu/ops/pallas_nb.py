@@ -1279,7 +1279,8 @@ class PallasPrepV2U:
     shift: Optional[jnp.ndarray] = None   # (S, G, GJU, 3) int8
 
 
-def pallas_prepare_v2u(nlist: ClusterPairlist, nbfp) -> PallasPrepV2U:
+def pallas_prepare_v2u(nlist: ClusterPairlist, nbfp,
+                       g_cap: Optional[int] = None) -> PallasPrepV2U:
     """Pack the union-of-4 lists (+shifts, bitmasks) for the v2u kernel.
     Requires nlist built with super_nnbr=..., super_block=4 and
     compute_shifts=True."""
@@ -1302,6 +1303,20 @@ def pallas_prepare_v2u(nlist: ClusterPairlist, nbfp) -> PallasPrepV2U:
     extra = ncl * CLUSTER - n_pad
     nnbr_pad = -(-nnbr // GJU) * GJU
     G = nnbr_pad // GJU
+    if g_cap is not None and g_cap < G:
+        # cap the packed stream at g_cap j-groups: the union stream is
+        # distance-ordered with all in-range entries first, so this
+        # drops only the farthest entries.  EVERY per-step cost of the
+        # kernel (j-coordinate gather, shift fold, VMEM staging) and
+        # this pack itself scale with G, while list CAPACITY is sized
+        # for the worst block ever seen (x1.25 growth headroom) — at
+        # 81k that meant G=23 staged for a max ng of 13.  The runner
+        # validates via the s_max flag and rolls back + regrows if a
+        # rebuild actually needs more (same contract as the top-k
+        # capacity truncation itself).
+        nnbr_pad = g_cap * GJU
+        nnbr = min(nnbr, nnbr_pad)
+        G = g_cap
 
     def plane(a, fill=0.0):
         pad = jnp.full((extra,), fill, a.dtype)
@@ -1317,7 +1332,8 @@ def pallas_prepare_v2u(nlist: ClusterPairlist, nbfp) -> PallasPrepV2U:
     s12 = plane(diag12[nlist.t_a])
     pvp = plane(pv)
 
-    nbr_p = jnp.pad(jnp.where(nlist.nbr_super >= 0, nlist.nbr_super, C),
+    nbr_src = nlist.nbr_super[:, :nnbr]
+    nbr_p = jnp.pad(jnp.where(nbr_src >= 0, nbr_src, C),
                     ((0, 0), (0, nnbr_pad - nnbr)), constant_values=C)
     count = jnp.sum(nbr_p != C, axis=1)
     ng = (-(-count // GJU)).astype(jnp.int32).reshape(S, 1, 1)
@@ -1358,7 +1374,7 @@ def pallas_prepare_v2u(nlist: ClusterPairlist, nbfp) -> PallasPrepV2U:
 
     shift = None
     if nlist.super_shift is not None:
-        shift = jnp.pad(nlist.super_shift,
+        shift = jnp.pad(nlist.super_shift[:, :nnbr],
                         ((0, 0), (0, nnbr_pad - nnbr), (0, 0))
                         ).reshape(S, G, GJU, 3)
 

@@ -139,3 +139,35 @@ def test_pallas_v2u_baked_shifts_and_prune(coulomb):
         scale = float(jnp.abs(f_ref).max())
         np.testing.assert_allclose(np.asarray(f_p), np.asarray(f_ref),
                                    atol=2e-5 * scale)
+
+
+@pytest.mark.parametrize("coulomb", [CoulombType.PME])
+def test_pallas_v2u_g_cap(coulomb):
+    """Packing the union stream with a g_cap >= the needed group count
+    must be exactly equivalent to the uncapped pack (the runner's
+    super_g tightening; truncating caps are detected via the s_max flag
+    and rolled back, so only the sufficient-cap case must be exact)."""
+    from gromacs_fep_gpu_tpu.ops.pallas_nb import (GJU,
+                                                   pallas_cluster_forces_v2u,
+                                                   pallas_prepare_v2u)
+    params = MdParams(rcoulomb=0.55, rvdw=0.55, rlist=0.6, coulomb=coulomb)
+    system, state = water_box(8, spacing=0.31, seed=30)
+    beta = 3.5
+    nlist = build_cluster_pairlist(state.x, state.box, system, params.rlist,
+                                   nnbr=96, super_nnbr=192, super_block=4)
+    assert int(nlist.super_overflow) == 0
+    need = int(-(-int(nlist.super_max_count) // GJU))
+    full = pallas_prepare_v2u(nlist, system.nbfp)
+    assert need < full.nbr2.shape[1], "fixture must have slack to cap"
+    capped = pallas_prepare_v2u(nlist, system.nbfp, g_cap=need)
+    assert capped.nbr2.shape[1] == need
+
+    f_ref, ec_ref, el_ref = pallas_cluster_forces_v2u(
+        state.x, state.box, nlist, system.nbfp, params, beta, prep=full,
+        interpret=True)
+    f_c, ec_c, el_c = pallas_cluster_forces_v2u(
+        state.x, state.box, nlist, system.nbfp, params, beta, prep=capped,
+        interpret=True)
+    np.testing.assert_allclose(float(ec_c), float(ec_ref), rtol=1e-6)
+    np.testing.assert_allclose(float(el_c), float(el_ref), rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(f_c), np.asarray(f_ref))
