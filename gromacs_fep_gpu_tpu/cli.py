@@ -43,6 +43,20 @@ def cmd_grompp(args):
                            include_dirs=[os.path.dirname(args.p)],
                            couple_moltype_override=args.couple_moltype,
                            ndx_text=ndx_text or None, posres_x=posres_x)
+    if args.o.endswith(".tpr"):
+        # GROMACS-format run input (reference: tpxio.cpp write_tpx_state)
+        # so reference mdrun can run/validate repo-grompp'd systems
+        from .io.tprwrite import write_tpr
+        write_tpr(args.o, pp.system, pp.params, x,
+                  v if v is not None else np.zeros_like(x), box,
+                  all_lambda=(np.asarray(pp.all_lambda)
+                              if pp.all_lambda is not None else None),
+                  init_fep_state=pp.params.fep.init_lambda_state,
+                  nsteps=pp.params.nsteps,
+                  ref_t=pp.params.ref_t)
+        print(f"wrote {args.o} ({pp.system.n_atoms} atoms, tpx "
+              "version 118)")
+        return
     extra_npz = {}
     if posres_x is not None:
         extra_npz["posres_x"] = posres_x

@@ -56,6 +56,21 @@ def wrap_into_box(x: jnp.ndarray, box: jnp.ndarray) -> jnp.ndarray:
     return x
 
 
+def wrap_frac_cell(x: jnp.ndarray, box: jnp.ndarray) -> jnp.ndarray:
+    """Wrap atoms into the FRACTIONAL unit cell (s in [0,1) per box
+    vector), recomposed elementwise off the box rows.  Identical to
+    wrap_into_box for rectangular boxes; for triclinic cells this is the
+    frame in which fractionally-compact atom groups are also
+    Cartesian-compact — wrap_into_box's Cartesian brick splits them
+    across lattice images, which breaks any machinery that assumes one
+    shared periodic image per compact group (the baked-shift pair
+    lists)."""
+    f = frac_coords(x, box)
+    f = f - jnp.floor(f)
+    return (f[..., 0:1] * box[0] + f[..., 1:2] * box[1]
+            + f[..., 2:3] * box[2])
+
+
 def frac_coords(x: jnp.ndarray, box: jnp.ndarray) -> jnp.ndarray:
     """Fractional coordinates s with x = s @ box, by exact elementwise
     back-substitution off the lower-triangular box (x: (..., 3)).

@@ -53,6 +53,9 @@ class MoleculeType:
     pairs_raw: List[Tuple] = dataclasses.field(default_factory=list)
     # constraints
     settle: Optional[Tuple[int, int, int, float, float]] = None  # (O,H1,H2,dOH,dHH)
+    # additional settle groups (a molecule type holding many waters,
+    # e.g. a whole-system moltype written by io/tprwrite.py)
+    settles: List[Tuple] = dataclasses.field(default_factory=list)
     constraints: List[Tuple] = dataclasses.field(default_factory=list)  # (i,j,lenA[,lenB])
     # virtual sites: (indices tuple, params tuple); see md/vsites.py kinds
     vsites2: List[Tuple] = dataclasses.field(default_factory=list)   # ((s,i,j),(a,))
@@ -85,8 +88,9 @@ class MoleculeType:
         for row in (self.vsites2 + self.vsites3 + self.vsites3out
                     + self.vsites3fd + self.vsites3fad + self.vsites4fdn):
             edges.append((int(row[0][0]), int(row[0][1])))
-        if self.settle is not None:
-            o, h1, h2 = self.settle[:3]
+        for st in ([self.settle] if self.settle is not None else []) \
+                + list(self.settles):
+            o, h1, h2 = st[:3]
             edges += [(o, h1), (o, h2), (h1, h2)]
         return edges
 
@@ -266,8 +270,9 @@ def build_system(molecules: Sequence[Tuple[MoleculeType, int]],
                 for row in mol.orires:
                     orires_rows.append((off(row[0]), row[1]))
                 orires_fit = list(range(offset, offset + nm))
-            if mol.settle is not None:
-                o, h1, h2, doh, dhh = mol.settle
+            for st in ([mol.settle] if mol.settle is not None else []) \
+                    + list(mol.settles):
+                o, h1, h2, doh, dhh = st
                 settle_rows.append((off((o, h1, h2)), doh, dhh))
             for con in mol.constraints:
                 i, j, la = con[0], con[1], con[2]

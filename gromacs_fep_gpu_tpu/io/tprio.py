@@ -563,10 +563,7 @@ def tpr_to_system(t: TprData):
                     mol.constraints.append((at[0], at[1], pp[0], pp[1],
                                             "nc"))
                 elif name == "SETTLE":
-                    if mol.settle is not None:
-                        raise NotImplementedError(
-                            "tpr: multiple settles per molecule type")
-                    mol.settle = (at[0], at[1], at[2], pp[0], pp[1])
+                    mol.settles.append((at[0], at[1], at[2], pp[0], pp[1]))
                 elif name == "POSRES":
                     mol.posres.append(((at[0],), tuple(pp[0:6]),
                                        tuple(pp[6:12])))

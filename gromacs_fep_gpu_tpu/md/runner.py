@@ -74,6 +74,15 @@ class RunnerConfig:
     # the cap is caught by the s_max flag and rolled back like any
     # other overflow.  None = uncapped (= capacity).
     super_g: Optional[int] = None
+    # candidate-tile capacity of the two-level pair search (its own knob:
+    # deriving it from super_nnbr made the capacity shrink and the tile
+    # growth fight each other).  None = formula default; grown from the
+    # tile_max flag like the other capacities.
+    tile_cap: Optional[int] = None
+    # v3u fixup-stream capacity (entries per block needing pair/exclusion
+    # masks: own clusters + exclusion-partner clusters).  Grown on the
+    # fx_overflow flag; must stay a multiple of 32 (one j-group).
+    fixup_cap: int = 32
     # spatial domain decomposition: a jax.sharding.Mesh with a 'spatial'
     # axis (parallel/mesh.py make_mesh).  Atoms are slab-sorted along x,
     # each device owns a contiguous cluster slab, positions move by
@@ -121,7 +130,13 @@ class MdRunner:
             from ..parallel.mesh import SPATIAL_AXIS
             if self.config.mesh.shape.get(SPATIAL_AXIS, 1) > 1:
                 self._dd_mesh = self.config.mesh
-                self.config.use_pallas = False   # DD path = XLA kernel
+                if self.config.pallas_mode == "v3u":
+                    # the DD halo flavor exists for the v2u streams;
+                    # same physics, marginally slower single-chip kernel
+                    self.config.pallas_mode = "v2u"
+                if self.config.pallas_mode != "v2u":
+                    # only the v2u union-stream kernel has a DD flavor
+                    self.config.use_pallas = False
                 if self.config.dd_grid is not None:
                     from ..ops.pairlist import dd_geometry
                     grid = tuple(self.config.dd_grid) + (1,) * (
@@ -173,28 +188,8 @@ class MdRunner:
                     or params.vdw_type == "pme"):
                 self.config.use_pallas = False
 
-        self._force_fn = None
-        if self.config.use_dense:
-            dense = make_dense_force_fn(system, params, self.recip_fn)
-            self._force_fn = (lambda x, box, lam, nl, fl, prep=None,
-                              **_flavor_kwargs: dense(x, box, lam))
-        else:
-            nb_override = None
-            if self._dd_mesh is not None:
-                from ..ops.forces import get_beta
-                from ..parallel.spatial import make_dd_nb_override
-                nb_override = make_dd_nb_override(
-                    system, params, self._dd_mesh, get_beta(params),
-                    block=self.config.dd_block,
-                    grid=self.config.dd_grid)
-            self._force_fn = make_cluster_force_fn(
-                system, params, self.recip_fn, has_fep=self.has_fep,
-                block=self.config.kernel_block,
-                use_pallas=self.config.use_pallas,
-                pallas_interpret=self.config.pallas_interpret,
-                pallas_prune=self.config.pallas_prune,
-                pme_recip_force_fn=self.recip_force_fn,
-                nb_kernel_override=nb_override)
+        self._triclinic = False   # set from the state box in run()
+        self._make_force_fn()
 
         # density-guided simulation: load the reference map and build the
         # force provider once (reference: densityfitting.cpp:349-365)
@@ -212,6 +207,45 @@ class MdRunner:
         self._chunk_cache = {}
         self._rlist = None   # kinetic-theory sized at run() (needs volume)
         self.stopped_at = None   # step the StopHandler ended the run at
+
+    # ------------------------------------------------------------------
+    def _make_force_fn(self):
+        """(Re)build the production force function from the current
+        config — called at init and again if run() demotes the kernel
+        path (e.g. triclinic box without baked shifts)."""
+        system, params = self.system, self.params
+        if self.config.use_dense:
+            dense = make_dense_force_fn(system, params, self.recip_fn)
+            self._force_fn = (lambda x, box, lam, nl, fl, prep=None,
+                              **_flavor_kwargs: dense(x, box, lam))
+            return
+        nb_override = None
+        if self._dd_mesh is not None:
+            from ..ops.forces import get_beta
+            from ..parallel.spatial import (make_dd_nb_override,
+                                            make_dd_v2u_override)
+            if self.config.use_pallas:
+                # production Pallas kernels under DD (reference runs
+                # its CUDA kernels under DD the same way,
+                # nbnxm_cuda.cu:642 + gpuhaloexchange)
+                nb_override = make_dd_v2u_override(
+                    system, params, self._dd_mesh, get_beta(params),
+                    block=self.config.dd_block,
+                    grid=self.config.dd_grid,
+                    interpret=self.config.pallas_interpret)
+            else:
+                nb_override = make_dd_nb_override(
+                    system, params, self._dd_mesh, get_beta(params),
+                    block=self.config.dd_block,
+                    grid=self.config.dd_grid)
+        self._force_fn = make_cluster_force_fn(
+            system, params, self.recip_fn, has_fep=self.has_fep,
+            block=self.config.kernel_block,
+            use_pallas=self.config.use_pallas,
+            pallas_interpret=self.config.pallas_interpret,
+            pallas_prune=self.config.pallas_prune,
+            pme_recip_force_fn=self.recip_force_fn,
+            nb_kernel_override=nb_override)
 
     # ------------------------------------------------------------------
     def _foreign_factory(self):
@@ -256,7 +290,7 @@ class MdRunner:
         vir_active = (compute_pressure and not self.config.use_dense
                       and self._dd_mesh is None
                       and (not self.config.use_pallas
-                           or self.config.pallas_mode == "v2u")
+                           or self.config.pallas_mode in ("v2u", "v3u"))
                       and p.pcoupltype != "anisotropic")
         noener_active = (not self.config.use_dense and p.nstcalcenergy > 1)
         exp = p.expanded
@@ -326,7 +360,7 @@ class MdRunner:
         def rebuild(state: State):
             if cfg.use_dense:
                 return None, None, None, None, jnp.zeros((9,), jnp.int32)
-            v2u = cfg.use_pallas and cfg.pallas_mode == "v2u"
+            v2u = cfg.use_pallas and cfg.pallas_mode in ("v2u", "v3u")
             nlist = build_cluster_pairlist(
                 state.x, state.box, self.system, rl,
                 # the v2u path consumes only the union list; a stub
@@ -335,7 +369,8 @@ class MdRunner:
                 cell_size=cfg.cell_size,
                 super_nnbr=(cfg.super_nnbr
                             if cfg.use_pallas
-                            and cfg.pallas_mode in ("super", "v2u")
+                            and cfg.pallas_mode in ("super", "v2u",
+                                                    "v3u")
                             else None),
                 super_block=(4 if v2u else 8),
                 # DD: slab-sort along x (1-D ring) or the hierarchical
@@ -351,8 +386,14 @@ class MdRunner:
                 # per-pair min-image folds)
                 compute_shifts=(cfg.use_pallas
                                 and (cfg.pallas_mode == "v2"
-                                     or (cfg.pallas_mode == "v2u"
-                                         and cfg.pallas_baked_shifts))))
+                                     or (cfg.pallas_mode in ("v2u", "v3u")
+                                         and cfg.pallas_baked_shifts))),
+                # dynamic prune walks a distance-ordered prefix; all
+                # other consumers only need front-packed streams, which
+                # the sort-free compaction builds much cheaper
+                ordered_super=(v2u and cfg.pallas_prune),
+                triclinic=self._triclinic,
+                tile_cap=cfg.tile_cap)
             feplist = None
             fep_ovf = jnp.zeros((), jnp.int32)
             if self.has_fep:
@@ -394,12 +435,22 @@ class MdRunner:
                     state.x, state.box, self.params.pme_grid,
                     self._pme_nb, cfg.pme_block_amax)
                 pme_ovf = pme_blocks.n_overflow.astype(jnp.int32)
-            flags = jnp.stack([n_ovf, fep_ovf, n_max,
-                               s_ovf, s_max, excl_bad, shift_bad,
-                               halo_bad, pme_ovf])
+            t_ovf = (nlist.tile_overflow.astype(jnp.int32)
+                     if nlist.tile_overflow is not None
+                     else jnp.zeros((), jnp.int32))
+            t_max = (nlist.tile_max.astype(jnp.int32)
+                     if nlist.tile_max is not None
+                     else jnp.zeros((), jnp.int32))
+            fx_ov = jnp.zeros((), jnp.int32)
             prep = None
             if cfg.use_pallas:
-                if cfg.pallas_mode == "v2u":
+                if cfg.pallas_mode == "v3u":
+                    from ..ops.pallas_nb import pallas_prepare_v3u
+                    prep = pallas_prepare_v3u(nlist, self.system.nbfp,
+                                              g_cap=cfg.super_g,
+                                              n_fx=cfg.fixup_cap)
+                    fx_ov = prep.fx_overflow.astype(jnp.int32)
+                elif cfg.pallas_mode == "v2u":
                     from ..ops.pallas_nb import pallas_prepare_v2u
                     prep = pallas_prepare_v2u(nlist, self.system.nbfp,
                                               g_cap=cfg.super_g)
@@ -412,6 +463,9 @@ class MdRunner:
                 else:
                     from ..ops.pallas_nb import pallas_prepare_cl
                     prep = pallas_prepare_cl(nlist, self.system.nbfp)
+            flags = jnp.stack([n_ovf, fep_ovf, n_max,
+                               s_ovf, s_max, excl_bad, shift_bad,
+                               halo_bad, pme_ovf, t_ovf, t_max, fx_ov])
             return nlist, feplist, prep, pme_blocks, flags
 
         def scan(state: State, nlist, feplist, prep, pme_blocks):
@@ -443,7 +497,8 @@ class MdRunner:
             bound_force_vir = None
             if (compute_pressure and not cfg.use_dense
                     and self._dd_mesh is None
-                    and (not cfg.use_pallas or cfg.pallas_mode == "v2u")):
+                    and (not cfg.use_pallas
+                         or cfg.pallas_mode in ("v2u", "v3u"))):
                 bound_force_vir = (
                     lambda x, box, lam: force_fn(x, box, lam, nlist,
                                                  feplist, prep,
@@ -559,12 +614,23 @@ class MdRunner:
                         f"mts-level2-factor {m} requires {nm} (= {n}) to "
                         "be a multiple of it (reference: readir.cpp MTS "
                         "checks)")
-        if self.config.use_pallas:
-            b = np.asarray(state.box)
-            if np.abs(b - np.diag(np.diag(b))).max() > 1e-6:
-                raise ValueError("Pallas NB kernel supports rectangular "
-                                 "boxes only; use use_pallas=False for "
-                                 "triclinic cells")
+        b = np.asarray(state.box)
+        self._triclinic = bool(np.abs(b - np.diag(np.diag(b))).max() > 1e-6)
+        if self.config.use_pallas and self._triclinic:
+            # triclinic (e.g. dodecahedron) runs on the v2u Pallas path
+            # via baked build-time shifts — the kernel itself is PBC-free
+            # (reference: pbc.cpp triclinic shift machinery baked into
+            # nbnxn_ci_t::shift indices).  Other Pallas modes / the
+            # in-loop minimum-image flavor fall back to the XLA kernel.
+            if not (self.config.pallas_mode in ("v2u", "v3u")
+                    and self.config.pallas_baked_shifts):
+                self.config.use_pallas = False
+                self._make_force_fn()
+                self._chunk_cache.clear()
+            if self.config.pallas_prune:
+                self.config.pallas_prune = False   # prune path is rect-only
+                self._make_force_fn()
+                self._chunk_cache.clear()
         from .vsites import construct_vsites, n_vsites
         if n_vsites(self.system) > 0:
             state = state.replace(
@@ -633,13 +699,16 @@ class MdRunner:
         verified_state, verified_done, verified_nlogs = state, 0, 0
         pending = []   # (flags_device, done_after, nlogs_after)
         first_chunk = True
+        may_tighten = True   # stream tightening only at the first check
         while done < nsteps:
             seg_len = min(nst, nsteps - done)
             flavors = self._flavor_pattern(step0 + done, seg_len)
             key = (seg_len, self.config.nnbr, self.config.fep_max_nbr,
                    self.config.super_nnbr, flavors,
                    self.config.pallas_baked_shifts,
-                   self.config.pme_block_amax, self.config.super_g)
+                   self.config.pme_block_amax, self.config.super_g,
+                   self.config.use_pallas, self._triclinic,
+                   self.config.tile_cap, self.config.fixup_cap)
             chunk = self._chunk_cache.get(key)
             if chunk is None:
                 chunk = self._build_chunk(seg_len, flavors)
@@ -676,7 +745,18 @@ class MdRunner:
                         "(reference behavior: domdec cell-size-vs-cutoff "
                         "fatal error, domdec.cpp)")
                 if fl.shape[1] > 6 and fl[:, 6].sum() > 0:
-                    if (self.config.pallas_mode == "v2u"
+                    if self._triclinic and self.config.use_pallas:
+                        # ambiguous-image entries in a skewed cell: the
+                        # baked-shift contract fails -> XLA kernel path
+                        self.config.use_pallas = False
+                        self._make_force_fn()
+                        self._chunk_cache.clear()
+                        state = verified_state
+                        done = verified_done
+                        logs = logs[:verified_nlogs]
+                        pending = []
+                        continue
+                    if (self.config.pallas_mode in ("v2u", "v3u")
                             and self.config.pallas_baked_shifts):
                         # cluster extents too large relative to the box
                         # for build-time shifts (small box / gas density):
@@ -706,8 +786,10 @@ class MdRunner:
                         "nbnxm/exclusionchecker.cpp fails hard here)")
                 pme_ovf = fl[:, 8].sum() if fl.shape[1] > 8 else 0
                 s_max_obs = int(fl[:, 4].max())
+                t_ovf = fl[:, 9].sum() if fl.shape[1] > 9 else 0
+                t_max_obs = int(fl[:, 10].max()) if fl.shape[1] > 10 else 0
                 v2u_active = (self.config.use_pallas
-                              and self.config.pallas_mode == "v2u"
+                              and self.config.pallas_mode in ("v2u", "v3u")
                               and not self.config.use_dense)
                 g_trunc = 0
                 if v2u_active and self.config.super_g is not None:
@@ -720,8 +802,21 @@ class MdRunner:
                         self.config.super_g = -(-int(s_max_obs * 1.1 + 8)
                                                 // GJU)
                         self._chunk_cache.clear()
+                if t_ovf > 0:
+                    # candidate-tile capacity exceeded: the rebuild's
+                    # lists are underestimates — grow the tile knob
+                    self.config.tile_cap = (
+                        int(max(t_max_obs,
+                                (self.config.tile_cap or 0)) * 1.25) + 8)
+                    self._chunk_cache.clear()
+                fx_ovf = fl[:, 11].sum() if fl.shape[1] > 11 else 0
+                if fx_ovf > 0:
+                    # a block needs more masked (fixup) entries than the
+                    # v3u stream holds (dense exclusion topology)
+                    self.config.fixup_cap += 32
+                    self._chunk_cache.clear()
                 if (fl[:, :2].sum() + fl[:, 3:4].sum() + pme_ovf
-                        + g_trunc > 0):
+                        + g_trunc + t_ovf + fx_ovf > 0):
                     # roll back to last verified point with grown capacity
                     if fl[:, :2].sum() + fl[:, 3:4].sum() + pme_ovf > 0:
                         self._grow(np.array([fl[:, 0].sum(), fl[:, 1].sum(),
@@ -732,17 +827,34 @@ class MdRunner:
                     logs = logs[:verified_nlogs]
                     pending = []
                     continue
-                if v2u_active and s_max_obs > 0:
+                if v2u_active and s_max_obs > 0 and may_tighten:
                     # lazily tighten the packed j-stream to what rebuilds
                     # actually need (vs the 1.25x-headroom CAPACITY): all
                     # per-step stream costs scale with it.  Hysteresis of
-                    # 2 groups avoids recompile churn.
+                    # 2 groups avoids recompile churn, and tightening is
+                    # only allowed at the FIRST check of a run() call so
+                    # a long production run never recompiles mid-flight.
                     from ..ops.pallas_nb import GJU
                     target = -(-int(s_max_obs * 1.05 + 8) // GJU)
                     if (self.config.super_g is None
                             or target <= self.config.super_g - 2):
                         self.config.super_g = target
                         self._chunk_cache.clear()
+                    # shrink list CAPACITY back toward observed need too:
+                    # the pair-search packing cost scales with it (e.g.
+                    # equilibration can leave a 1.5x-oversized capacity
+                    # behind for the whole production run)
+                    cap = -(-int(s_max_obs * 1.2 + 16) // 32) * 32
+                    if cap <= self.config.super_nnbr - 96:
+                        self.config.super_nnbr = cap
+                        self._chunk_cache.clear()
+                    if t_max_obs > 0:
+                        tc = int(t_max_obs * 1.2) + 6
+                        if (self.config.tile_cap is None
+                                or tc <= self.config.tile_cap - 12):
+                            self.config.tile_cap = tc
+                            self._chunk_cache.clear()
+                may_tighten = False
                 verified_state, verified_done, verified_nlogs = (
                     take[-1][1], take[-1][2], take[-1][3])
                 pending = pending[len(take):]

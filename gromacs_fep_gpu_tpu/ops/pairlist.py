@@ -69,6 +69,10 @@ class ClusterPairlist:
     # (only possible for gas-density systems or tiny boxes) — nonzero
     # means the v2 kernel may not be used
     shift_overflow: Optional[jnp.ndarray] = None  # () int32
+    # two-level search candidate-TILE capacity diagnostics (decoupled
+    # from the list capacity so the runner can grow the right knob)
+    tile_overflow: Optional[jnp.ndarray] = None   # () int32
+    tile_max: Optional[jnp.ndarray] = None        # () int32
 
     @property
     def n_clusters(self) -> int:
@@ -149,14 +153,23 @@ def sort_atoms_by_cell(x, box, cell_size: float,
     the ring-halo spatial decomposition (parallel/spatial.py), mirroring
     the reference DD's per-dimension cell grids (domdec_setup.cpp)."""
     n = x.shape[0]
-    xw = pbc_mod.wrap_into_box(x, box)
     diag = jnp.diag(box)
-    # snap the per-dim cell count UP to a power of two: the Hilbert curve
-    # is built on a 2^b cube and non-power-of-2 grids measurably degrade
-    # cluster compactness (and thus pair-list tightness)
-    raw = jnp.clip(diag / cell_size, 1.0, 255.0)
-    ncell = jnp.exp2(jnp.ceil(jnp.log2(raw))).astype(jnp.int32)
-    frac = pbc_mod.frac_coords(xw, box)
+    # ONE power-of-two cell count for all dims: the Hilbert curve is
+    # built on a 2^b cube, and per-dim counts would leave unoccupied
+    # coordinate ranges the curve jumps across (holes -> consecutive
+    # occupied cells far apart -> bloated cluster bboxes, measured on
+    # anisotropic/triclinic cells).  Fractional space is fully occupied,
+    # so a uniform grid has no holes; cells are merely box-shaped.
+    # One extra refinement level over the ~cluster-sized target measurably
+    # tightens the cluster-extent tail (finer keys only refine the order).
+    raw = jnp.clip(jnp.exp(jnp.mean(jnp.log(
+        jnp.clip(diag / cell_size, 1.0, 255.0)))), 1.0, 127.0)
+    ncell = (2 * jnp.exp2(jnp.ceil(jnp.log2(raw)))).astype(jnp.int32)
+    # fractional modulo — NOT frac(wrap_into_box(x)): the Cartesian-brick
+    # wrap leaves triclinic fractional coords outside [0,1) and the clip
+    # would lump distant atoms into boundary cells
+    frac = pbc_mod.frac_coords(x, box)
+    frac = frac - jnp.floor(frac)
     ic = jnp.clip((frac * ncell).astype(jnp.int32), 0, ncell - 1)
     if slab_axis is None:
         key = _hilbert3(ic[:, 0], ic[:, 1], ic[:, 2])
@@ -198,11 +211,11 @@ def sort_atoms_dd(x, box, cell_size: float, grid, ps: int):
     load (static load balance; the reference's DLB adjusts cell sizes
     for the same goal, dlb.cpp)."""
     n = x.shape[0]
-    xw = pbc_mod.wrap_into_box(x, box)
     diag = jnp.diag(box)
     raw = jnp.clip(diag / cell_size, 1.0, 255.0)
     ncell = jnp.exp2(jnp.ceil(jnp.log2(raw))).astype(jnp.int32)
-    frac = pbc_mod.frac_coords(xw, box)
+    frac = pbc_mod.frac_coords(x, box)
+    frac = frac - jnp.floor(frac)   # true fractional cell, triclinic-safe
     ic = jnp.clip((frac * ncell).astype(jnp.int32), 0, ncell - 1)
 
     P0, P1, P2 = grid
@@ -247,33 +260,76 @@ def _morton2(a, b):
     return m2
 
 
+def _pack_valid(ok, k: int):
+    """Stable front-compaction of a boolean lane mask without a sort.
+
+    ok: (rows, E) validity.  Returns (pos, valid): pos[r, p] = lane index
+    of the (p+1)-th True entry of row r (clipped to E-1 when p >= count),
+    valid[r, p] = p < count.  Mechanism: cumsum gives each True entry its
+    output rank; the inverse map is a searchsorted expressed as a
+    compare-and-reduce (the cumsum is sorted), which vectorizes on the
+    VPU instead of lowering to XLA's variadic sort like lax.top_k — the
+    pair-list stream needs only *front-packed valid entries*, order
+    among them is irrelevant (padding is masked in the kernels), so the
+    distance sort the old top_k build paid for was pure overhead
+    (reference analogue: pairlist.cpp:3128 emits j-groups in raw grid
+    order too, no sorting).  p is swept in chunks so the (rows, E, Pc)
+    compare never materializes at full k width."""
+    E = ok.shape[-1]
+    cs = jnp.cumsum(ok.astype(jnp.int32), axis=-1)            # (rows, E)
+    count = cs[..., -1]
+    chunk = 128
+    outs = []
+    for p0 in range(0, k, chunk):
+        pr = jnp.arange(p0, min(p0 + chunk, k), dtype=jnp.int32)
+        outs.append(jnp.sum(
+            (cs[..., :, None] <= pr).astype(jnp.int32), axis=-2))
+    pos = jnp.concatenate(outs, axis=-1)                      # (rows, k)
+    valid = jnp.arange(k, dtype=jnp.int32) < count[..., None]
+    return jnp.minimum(pos, E - 1), valid
+
+
+def _as_members(lo, hi):
+    """Normalize query boxes to (Ci, M, 3) member form."""
+    if lo.ndim == 2:
+        return lo[:, None, :], hi[:, None, :]
+    return lo, hi
+
+
 @partial(jax.jit, static_argnames=("nnbr", "block"))
 def _cluster_neighbors(bb_lo_i, bb_hi_i, bb_lo, bb_hi, box, rlist2, nnbr: int,
                        block: int = 256):
-    """For each i-box, up to nnbr j-clusters whose axis-aligned bounding
+    """For each i-query, up to nnbr j-clusters whose axis-aligned bounding
     boxes come within rlist (exact bbox-bbox lower bound, much tighter
     than bounding spheres for ragged clusters; same role as the
     reference's SIMD-packed cluster bounds, nbnxm/boundingboxes.h).
-    bb_lo_i/bb_hi_i: (Ci, 3) query boxes (clusters or superclusters);
+    bb_lo_i/bb_hi_i: (Ci, 3) query boxes, or (Ci, M, 3) per-MEMBER boxes
+    of multi-cluster query blocks — the per-member test keeps a block
+    that straddles a sort-order jump from matching the whole corridor
+    between its members (union-of-members, not bbox-of-union);
     bb_lo/bb_hi: (C, 3) j-cluster boxes."""
-    Ci = bb_lo_i.shape[0]
+    bb_lo_i, bb_hi_i = _as_members(bb_lo_i, bb_hi_i)
+    Ci, M = bb_lo_i.shape[0], bb_lo_i.shape[1]
     C = bb_lo.shape[0]
     Cp = ((Ci + block - 1) // block) * block
     pad = Cp - Ci
-    lo_p = jnp.pad(bb_lo_i, ((0, pad), (0, 0)), constant_values=1e6)
-    hi_p = jnp.pad(bb_hi_i, ((0, pad), (0, 0)), constant_values=1e6)
+    lo_p = jnp.pad(bb_lo_i, ((0, pad), (0, 0), (0, 0)),
+                   constant_values=1e6)
+    hi_p = jnp.pad(bb_hi_i, ((0, pad), (0, 0), (0, 0)),
+                   constant_values=1e6)
     centers = 0.5 * (bb_lo + bb_hi)
     half = 0.5 * (bb_hi - bb_lo)
 
     def one_block(cb):
-        lo = jax.lax.dynamic_slice(lo_p, (cb * block, 0), (block, 3))
-        hi = jax.lax.dynamic_slice(hi_p, (cb * block, 0), (block, 3))
+        lo = jax.lax.dynamic_slice(lo_p, (cb * block, 0, 0), (block, M, 3))
+        hi = jax.lax.dynamic_slice(hi_p, (cb * block, 0, 0), (block, M, 3))
         cen_i = 0.5 * (lo + hi)
         half_i = 0.5 * (hi - lo)
-        dc = pbc_mod.pbc_dx(cen_i[:, None, :] - centers[None, :, :], box)
-        gap = jnp.abs(dc) - (half_i[:, None, :] + half[None, :, :])
+        dc = pbc_mod.pbc_dx(
+            cen_i[:, :, None, :] - centers[None, None, :, :], box)
+        gap = jnp.abs(dc) - (half_i[:, :, None, :] + half[None, None, :, :])
         gap = jnp.maximum(gap, 0.0)
-        lb2 = jnp.sum(gap * gap, -1)
+        lb2 = jnp.min(jnp.sum(gap * gap, -1), axis=1)    # min over members
         cand = lb2 < rlist2
         count = jnp.sum(cand, axis=1)
         score = jnp.where(cand, -lb2, -jnp.inf)
@@ -298,7 +354,8 @@ def _cluster_neighbors(bb_lo_i, bb_hi_i, bb_lo, bb_hi, box, rlist2, nnbr: int,
 
 def _cluster_neighbors_2level(bb_lo_i, bb_hi_i, bb_lo, bb_hi, box, rlist2,
                               nnbr: int, tile: int = 32,
-                              block: int = 128):
+                              block: int = 128, ordered: bool = False,
+                              tile_cap: Optional[int] = None):
     """Two-level variant of _cluster_neighbors for large C: j-clusters
     are grouped into Hilbert-contiguous tiles (a reshape, no gather)
     with their own bounding boxes; each i-box first selects candidate
@@ -307,9 +364,15 @@ def _cluster_neighbors_2level(bb_lo_i, bb_hi_i, bb_lo, bb_hi, box, rlist2,
     reference gets the same effect from its cell grid (grid.cpp: only
     neighbouring columns are scanned).
 
+    ordered=False (default) packs the in-range clusters to the front
+    with the sort-free compaction (_pack_valid) — 4x+ cheaper than the
+    distance top_k, which only the dynamic-prune path needs (its trip
+    counts assume a distance-ordered stream); ordered=True keeps it.
+
     Tile-capacity overflow is folded into n_overflow so the runner's
     grow-and-retry loop covers it (tcap scales with nnbr)."""
-    Ci = bb_lo_i.shape[0]
+    bb_lo_i, bb_hi_i = _as_members(bb_lo_i, bb_hi_i)
+    Ci, M = bb_lo_i.shape[0], bb_lo_i.shape[1]
     C = bb_lo.shape[0]
     nt = -(-C // tile)
     padj = nt * tile - C
@@ -323,52 +386,78 @@ def _cluster_neighbors_2level(bb_lo_i, bb_hi_i, bb_lo, bb_hi, box, rlist2,
     half_t = 0.5 * (t_hi - t_lo)          # empty tiles: negative-huge
 
     # candidate-tile capacity: enough tiles to hold ~nnbr in-range
-    # clusters plus a surface allowance
-    tcap = min(nt, max(8, 2 * nnbr // tile + 8))
+    # clusters plus a surface allowance; the runner tracks the observed
+    # need and passes tile_cap explicitly (its own knob — deriving it
+    # from nnbr made capacity-shrink and tile-growth fight each other)
+    tcap = min(nt, tile_cap if tile_cap is not None
+               else max(8, 2 * nnbr // tile + 8))
 
     cenj = 0.5 * (bb_lo + bb_hi)
     halfj = 0.5 * (bb_hi - bb_lo)
-    cenj_p = jnp.pad(cenj, ((0, padj), (0, 0)), constant_values=1e6)
-    halfj_p = jnp.pad(halfj, ((0, padj), (0, 0)))
+    # per-tile slab rows [cen(3) | half(3) | valid | pad] so stage 2
+    # gathers tcap 256-byte tile rows per i-box instead of tcap*tile
+    # per-cluster rows (whole-row gathers are the cheap shape on TPU)
+    slab = jnp.concatenate(
+        [cenj, halfj,
+         jnp.ones((C, 1), cenj.dtype), jnp.zeros((C, 1), cenj.dtype)],
+        axis=1)
+    slab = jnp.pad(slab, ((0, padj), (0, 0)))                 # valid=0 pad
+    slab_t = slab.reshape(nt, tile * 8)
 
     Cp = ((Ci + block - 1) // block) * block
     pad = Cp - Ci
-    lo_p = jnp.pad(bb_lo_i, ((0, pad), (0, 0)), constant_values=1e6)
-    hi_p = jnp.pad(bb_hi_i, ((0, pad), (0, 0)), constant_values=1e6)
+    lo_p = jnp.pad(bb_lo_i, ((0, pad), (0, 0), (0, 0)),
+                   constant_values=1e6)
+    hi_p = jnp.pad(bb_hi_i, ((0, pad), (0, 0), (0, 0)),
+                   constant_values=1e6)
 
     def one_block(cb):
-        lo = jax.lax.dynamic_slice(lo_p, (cb * block, 0), (block, 3))
-        hi = jax.lax.dynamic_slice(hi_p, (cb * block, 0), (block, 3))
-        cen_i = 0.5 * (lo + hi)
+        lo = jax.lax.dynamic_slice(lo_p, (cb * block, 0, 0), (block, M, 3))
+        hi = jax.lax.dynamic_slice(hi_p, (cb * block, 0, 0), (block, M, 3))
+        cen_i = 0.5 * (lo + hi)                          # (block, M, 3)
         half_i = 0.5 * (hi - lo)
-        # stage 1: tiles within rlist of the i-box
-        dct = pbc_mod.pbc_dx(cen_i[:, None, :] - cen_t[None, :, :], box)
-        gap_t = jnp.maximum(jnp.abs(dct)
-                            - (half_i[:, None, :] + half_t[None, :, :]),
-                            0.0)
-        lbt = jnp.sum(gap_t * gap_t, -1)
+        # stage 1: tiles within rlist of any member box
+        dct = pbc_mod.pbc_dx(
+            cen_i[:, :, None, :] - cen_t[None, None, :, :], box)
+        gap_t = jnp.maximum(
+            jnp.abs(dct) - (half_i[:, :, None, :]
+                            + half_t[None, None, :, :]), 0.0)
+        lbt = jnp.min(jnp.sum(gap_t * gap_t, -1), axis=1)
         cand_t = lbt < rlist2
         t_count = jnp.sum(cand_t, axis=1)
-        t_sc, t_idx = jax.lax.top_k(jnp.where(cand_t, -lbt, -jnp.inf),
-                                    tcap)
-        t_ok = jnp.isfinite(t_sc)                       # (block, tcap)
-        # stage 2: exact bbox test against candidate tiles' members
-        cand = (t_idx[:, :, None] * tile
-                + jnp.arange(tile)[None, None, :]).reshape(
-                    block, tcap * tile)                 # (block, E)
-        cj = cenj_p[cand]                               # (block, E, 3)
-        hj = halfj_p[cand]
-        dc = pbc_mod.pbc_dx(cen_i[:, None, :] - cj, box)
-        gap = jnp.maximum(jnp.abs(dc) - (half_i[:, None, :] + hj), 0.0)
-        lb2 = jnp.sum(gap * gap, -1)
-        ok = ((lb2 < rlist2) & (cand < C)
-              & jnp.repeat(t_ok, tile, axis=1))
+        if ordered:
+            t_sc, t_idx = jax.lax.top_k(jnp.where(cand_t, -lbt, -jnp.inf),
+                                        tcap)
+            t_ok = jnp.isfinite(t_sc)                   # (block, tcap)
+        else:
+            t_pos, t_ok = _pack_valid(cand_t, tcap)
+            t_idx = t_pos
+        # stage 2: exact bbox test against candidate tiles' members,
+        # slab-gathered whole tiles at a time
+        g = slab_t[t_idx].reshape(block, tcap * tile, 8)
+        cj = g[..., 0:3]
+        hj = g[..., 3:6]
+        ok_j = (g[..., 6] > 0.5) & jnp.repeat(t_ok, tile, axis=1)
+        dc = pbc_mod.pbc_dx(
+            cen_i[:, :, None, :] - cj[:, None, :, :], box)
+        gap = jnp.maximum(
+            jnp.abs(dc) - (half_i[:, :, None, :] + hj[:, None, :, :]), 0.0)
+        lb2 = jnp.min(jnp.sum(gap * gap, -1), axis=1)
+        ok = (lb2 < rlist2) & ok_j
         count = jnp.sum(ok, axis=1)
         k = min(nnbr, tcap * tile)
-        top_sc, top_e = jax.lax.top_k(jnp.where(ok, -lb2, -jnp.inf), k)
-        mask = jnp.isfinite(top_sc)
-        idx = jnp.where(mask,
-                        jnp.take_along_axis(cand, top_e, axis=1), C)
+        if ordered:
+            cand = (t_idx[:, :, None] * tile
+                    + jnp.arange(tile)[None, None, :]).reshape(
+                        block, tcap * tile)             # (block, E)
+            top_sc, top_e = jax.lax.top_k(jnp.where(ok, -lb2, -jnp.inf), k)
+            mask = jnp.isfinite(top_sc)
+            idx = jnp.where(mask,
+                            jnp.take_along_axis(cand, top_e, axis=1), C)
+        else:
+            pos, mask = _pack_valid(ok, k)              # (block, k)
+            t_sel = jnp.take_along_axis(t_idx, pos // tile, axis=1)
+            idx = jnp.where(mask, t_sel * tile + pos % tile, C)
         if k < nnbr:
             idx = jnp.pad(idx, ((0, 0), (0, nnbr - k)), constant_values=C)
             mask = jnp.pad(mask, ((0, 0), (0, nnbr - k)))
@@ -381,32 +470,35 @@ def _cluster_neighbors_2level(bb_lo_i, bb_hi_i, bb_lo, bb_hi, box, rlist2,
     mask = mask.reshape(Cp, nnbr)[:Ci]
     count = count.reshape(Cp)[:Ci]
     t_count = t_count.reshape(Cp)[:Ci]
-    n_overflow = jnp.sum(count > nnbr) + jnp.sum(t_count > tcap)
-    # when tiles overflow, counts are underestimates: force growth
-    max_count = jnp.maximum(
-        jnp.max(count),
-        jnp.where(jnp.any(t_count > tcap), nnbr + 1, 0))
-    return idx, mask, n_overflow, max_count
+    # reported separately: when tiles overflow, counts are
+    # underestimates and the whole rebuild is invalid — but the runner
+    # must grow the TILE knob, not the list width
+    t_overflow = jnp.sum(t_count > tcap)
+    n_overflow = jnp.sum(count > nnbr)
+    max_count = jnp.max(count)
+    return (idx, mask, n_overflow, max_count,
+            t_overflow, jnp.max(t_count))
 
 
 def _total_image_counts(x, box, perm, n, n_pad, xs, xref, dloc, valid_lane):
     """Per-SORTED-atom periodic image counts of the rebuild's cluster
-    LOCAL frame (pad rows 0): x[perm] - img*diag lands each atom exactly
+    LOCAL frame (pad rows 0): x[perm] - img @ box lands each atom exactly
     where the build-time bounding boxes / shifts modelled it — the
     rebuild-frame wrap PLUS the per-cluster local fold.  The local fold
     matters for clusters spanning a sort-order jump (Morton octant
     crossings): their wrapped coordinates sit a full period away from
     the periodic-compact hull the shifts were derived from, which the
-    in-loop minimum image hides but baked shifts must account for."""
+    in-loop minimum image hides but baked shifts must account for.
+    Counts are integer box-VECTOR multiples (fractional-space), so the
+    same machinery covers triclinic cells."""
     C = xs.shape[0] // CLUSTER
-    diag = jnp.diag(box)
     frac = pbc_mod.frac_coords(x, box)
     img_wrap = jnp.concatenate(
         [jnp.floor(frac)[perm[:n]].astype(x.dtype),
          jnp.zeros((n_pad - n, 3), x.dtype)])
     # local-frame fold counts: xs (wrapped) -> xref + dloc
     local_pos = (xref + dloc).reshape(n_pad, 3)
-    k = jnp.round((xs - local_pos) / diag)
+    k = jnp.round(pbc_mod.frac_coords(xs - local_pos, box))
     k = jnp.where(valid_lane.reshape(n_pad, 1), k, 0.0)
     return img_wrap + k.astype(x.dtype)
 
@@ -418,7 +510,10 @@ def build_cluster_pairlist(x, box, system: System, rlist: float,
                            slab_axis: Optional[int] = None,
                            compute_shifts: bool = False,
                            super_block: int = 8,
-                           dd_sort=None) -> ClusterPairlist:
+                           dd_sort=None,
+                           ordered_super: bool = False,
+                           triclinic: bool = False,
+                           tile_cap: Optional[int] = None) -> ClusterPairlist:
     """Rebuild the cluster pair list (NS step analogue).
 
     super_block: i-clusters per block for the union (super) list — 8 for
@@ -447,7 +542,10 @@ def build_cluster_pairlist(x, box, system: System, rlist: float,
 
     # padded sorted coordinates; dummies parked far away and spread out
     dummy = 1e4 + jnp.arange(n_pad - n, dtype=x.dtype)[:, None] * jnp.ones(3)
-    xs = jnp.concatenate([pbc_mod.wrap_into_box(x, box)[perm[:n]], dummy])
+    # fractional-cell wrap (== wrap_into_box for rect boxes): keeps the
+    # members of a frac-compact cluster block in ONE lattice image so the
+    # shared baked shifts are well-defined on triclinic cells
+    xs = jnp.concatenate([pbc_mod.wrap_frac_cell(x, box)[perm[:n]], dummy])
     xc = xs.reshape(C, CLUSTER, 3)
     # Bounding boxes in a per-cluster local frame: clusters straddling the
     # periodic boundary would otherwise span the whole box and match every
@@ -474,22 +572,29 @@ def build_cluster_pairlist(x, box, system: System, rlist: float,
             jnp.asarray(rlist**2, x.dtype), nnbr)
 
     nbr_super = super_overflow = super_max = super_shift = None
+    tile_overflow = tile_max = None
     if super_nnbr is not None:
         SB = super_block  # clusters per supercluster block
         S = (C + SB - 1) // SB
         pad_s = S * SB - C
+        # per-MEMBER query boxes: a block straddling a Hilbert jump must
+        # match the union of its members' neighbourhoods, not the whole
+        # corridor its union bbox spans (keeps list capacity tight)
         lo_s = jnp.pad(bb_lo, ((0, pad_s), (0, 0)),
                        constant_values=1e6).reshape(S, SB, 3)
         hi_s = jnp.pad(bb_hi, ((0, pad_s), (0, 0)),
                        constant_values=1e6).reshape(S, SB, 3)
-        # guard: padded rows must not shrink the min
-        bbs_lo = jnp.min(lo_s, axis=1)
-        bbs_hi = jnp.max(jnp.where(hi_s > 5e5, -1e6, hi_s), axis=1)
-        search = (_cluster_neighbors_2level if C >= 4096
-                  else _cluster_neighbors)
-        nbr_s, _, super_overflow, super_max = search(
-            bbs_lo, bbs_hi, bb_lo, bb_hi, box,
-            jnp.asarray(rlist**2, x.dtype), super_nnbr)
+        if C >= 4096:
+            (nbr_s, _, super_overflow, super_max,
+             tile_overflow, tile_max) = _cluster_neighbors_2level(
+                lo_s, hi_s, bb_lo, bb_hi, box,
+                jnp.asarray(rlist**2, x.dtype), super_nnbr,
+                ordered=ordered_super, tile_cap=tile_cap)
+        else:
+            nbr_s, _, super_overflow, super_max = _cluster_neighbors(
+                lo_s, hi_s, bb_lo, bb_hi, box,
+                jnp.asarray(rlist**2, x.dtype), super_nnbr)
+            tile_overflow = tile_max = None
         nbr_super = nbr_s
 
     nbr_shift = img = shift_overflow = None
@@ -509,23 +614,77 @@ def build_cluster_pairlist(x, box, system: System, rlist: float,
         cen_c = 0.5 * (bb_lo + bb_hi)
         he_c = 0.5 * (bb_hi - bb_lo)
         nbr_u = jnp.minimum(nbr_super, C - 1)
-        rel_u = pbc_mod.frac_coords(cen_b[:, None, :] - cen_c[nbr_u], box)
-        super_shift = jnp.round(rel_u).astype(jnp.int8)
-        diag = jnp.diag(box)
-        # validity per member i-cluster: |cen_c - cen_j - s L| + he_c + he_j
-        # must stay below L - rlist per component for the block shift to
-        # give every member's pairs their true minimum image
-        cen_m = jnp.pad(cen_c, ((0, pad_u), (0, 0))).reshape(Su, SBu, 3)
-        he_m = jnp.pad(he_c, ((0, pad_u), (0, 0))).reshape(Su, SBu, 3)
-        valid_m = (jnp.arange(Su * SBu).reshape(Su, SBu) < C)
-        sL = super_shift.astype(x.dtype) * diag
-        # (Su, SBu, nnbr, 3)
-        d_m = jnp.abs(cen_m[:, :, None, :] - cen_c[nbr_u][:, None, :, :]
-                      - sL[:, None, :, :]) + he_m[:, :, None, :] \
-            + he_c[nbr_u][:, None, :, :]
-        bad_m = jnp.any(d_m > (diag - rlist), axis=-1) & valid_m[:, :, None]
-        bad_u = jnp.any(bad_m, axis=1)
+        cen_d = cen_b[:, None, :] - cen_c[nbr_u]          # (Su, nnbr, 3)
         valid_u = nbr_super < C
+        if not triclinic:
+            rel_u = pbc_mod.frac_coords(cen_d, box)
+            super_shift = jnp.round(rel_u).astype(jnp.int8)
+            diag = jnp.diag(box)
+            # validity per member i-cluster: |cen_c - cen_j - s L| +
+            # he_c + he_j must stay below L - rlist per component for the
+            # block shift to give every member's pairs their true minimum
+            # image
+            cen_m = jnp.pad(cen_c, ((0, pad_u), (0, 0))).reshape(Su, SBu, 3)
+            he_m = jnp.pad(he_c, ((0, pad_u), (0, 0))).reshape(Su, SBu, 3)
+            valid_m = (jnp.arange(Su * SBu).reshape(Su, SBu) < C)
+            sL = super_shift.astype(x.dtype) * diag
+            # (Su, SBu, nnbr, 3)
+            d_m = jnp.abs(cen_m[:, :, None, :]
+                          - cen_c[nbr_u][:, None, :, :]
+                          - sL[:, None, :, :]) + he_m[:, :, None, :] \
+                + he_c[nbr_u][:, None, :, :]
+            bad_m = (jnp.any(d_m > (diag - rlist), axis=-1)
+                     & valid_m[:, :, None])
+            bad_u = jnp.any(bad_m, axis=1)
+        else:
+            # triclinic (reference: pbcutil/pbc.cpp triclinic shift
+            # search): pick the Cartesian-nearest of the 27 integer
+            # lattice shifts around the fractional rounding, and flag
+            # any entry where a SECOND image could also interact
+            # (|d - tB| <= rlist + extents for t != chosen) — then the
+            # per-entry baked shift is exact for every member pair.
+            base = jnp.round(pbc_mod.frac_coords(cen_d, box))
+            cen_m = jnp.pad(cen_c, ((0, pad_u), (0, 0))).reshape(Su, SBu, 3)
+            he_m = jnp.pad(he_c, ((0, pad_u), (0, 0))).reshape(Su, SBu, 3)
+            valid_m = (jnp.arange(Su * SBu).reshape(Su, SBu) < C)
+            he_sum_m = he_m[:, :, None, :] + he_c[nbr_u][:, None, :, :]
+            dm = (cen_m[:, :, None, :]
+                  - cen_c[nbr_u][:, None, :, :])          # (Su,SBu,nnbr,3)
+            r2s = []          # block-center distance (image selection)
+            lb2s = []         # per-MEMBER bbox-gap pair lower bounds
+            cands = []
+            for dx_ in (-1.0, 0.0, 1.0):
+                for dy_ in (-1.0, 0.0, 1.0):
+                    for dz_ in (-1.0, 0.0, 1.0):
+                        t = base + jnp.array([dx_, dy_, dz_], x.dtype)
+                        # elementwise box-row expansion (a matmul would
+                        # ride the bf16 MXU and misplace shifts)
+                        tL = (t[..., 0:1] * box[0] + t[..., 1:2] * box[1]
+                              + t[..., 2:3] * box[2])
+                        d = cen_d - tL
+                        r2s.append(jnp.sum(d * d, -1))
+                        gm = jnp.maximum(
+                            jnp.abs(dm - tL[:, None, :, :]) - he_sum_m, 0.0)
+                        lb2s.append(jnp.sum(gm * gm, -1))
+                        cands.append(t)
+            r2s = jnp.stack(r2s, -1)                      # (Su, nnbr, 27)
+            lb2s = jnp.stack(lb2s, -1)               # (Su, SBu, nnbr, 27)
+            best = jnp.argmin(r2s, -1)
+            cand_arr = jnp.stack(cands, -2)               # (Su, nnbr, 27, 3)
+            super_shift = jnp.take_along_axis(
+                cand_arr, best[..., None, None], axis=-2
+            )[..., 0, :].astype(jnp.int8)
+            # a baked shift is exact iff, for every member cluster, NO
+            # image other than the chosen one can bring a pair within
+            # rlist (bbox-gap lower bound per candidate image).  With
+            # GROMACS-legal boxes (rlist < half the minimal cell height)
+            # true ambiguity is impossible; flags arise only from bbox
+            # slack on near-degenerate cells and route to the XLA kernel.
+            in_reach = lb2s <= jnp.asarray(rlist * rlist, x.dtype)
+            not_chosen = (jnp.arange(27) != best[:, None, :, None])
+            bad_m = jnp.any(in_reach & not_chosen, axis=-1) \
+                & valid_m[:, :, None]
+            bad_u = jnp.any(bad_m, axis=1)
         shift_overflow = jnp.sum((bad_u & valid_u).astype(jnp.int32))
         img = _total_image_counts(x, box, perm, n, n_pad, xs, xref, dloc,
                                   valid_lane)
@@ -579,7 +738,8 @@ def build_cluster_pairlist(x, box, system: System, rlist: float,
                            nbr_super=nbr_super, super_overflow=super_overflow,
                            super_max_count=super_max,
                            nbr_shift=nbr_shift, super_shift=super_shift,
-                           img=img, shift_overflow=shift_overflow)
+                           img=img, shift_overflow=shift_overflow,
+                           tile_overflow=tile_overflow, tile_max=tile_max)
 
 
 def check_exclusions(x, box, system: System, rlist: float,

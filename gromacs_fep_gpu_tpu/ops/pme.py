@@ -507,8 +507,11 @@ def make_pme_recip_fn(system: System, params: MdParams,
 
     holds exactly for every quadratic functional (grid energy, Ewald self,
     net-charge).  E[dq] involves only the perturbed atoms and is evaluated
-    as an exact reciprocal k-sum at the grid's own resolution — one full
-    spread+FFT saved per step."""
+    with the SAME mesh functional (spread of the few perturbed atoms +
+    one solve), so the identity reproduces the reference's dual-grid
+    energies and dvdl exactly, mesh-discretization error included —
+    an exact k-sum here left a ~1e-4 relative dVcoul/dl residual vs the
+    reference refdata."""
     beta = ewald_beta(params.rcoulomb, params.ewald_rtol)
     if grid_shape is None:
         if params.pme_grid is not None:
@@ -540,7 +543,8 @@ def make_pme_recip_fn(system: System, params: MdParams,
                  + self_energy(qmix, beta)
                  + net_charge_energy(qmix, beta, vol))
         dq = dq_pert.astype(x.dtype)
-        e_dd = (ewald_reciprocal_exact(x[pert_idx], box, dq, beta, kmax)
+        e_dd = (reciprocal_energy(x[pert_idx], box, dq, grid_shape, beta,
+                                  order, influence, dft_mats)
                 + self_energy(dq, beta)
                 + net_charge_energy(dq, beta, vol))
         return e_mix + lam_c * (1.0 - lam_c) * e_dd
@@ -574,7 +578,11 @@ def make_pme_recip_pair(system: System, params: MdParams,
     kmax = _edd_kmax(grid_shape, params.fourier_spacing)
 
     def _edd(xp, box, dq):
-        return ewald_reciprocal_exact(xp, box, dq, beta, kmax)
+        # mesh functional (not the exact k-sum): reproduces the
+        # reference's dual-grid dvdl to mesh precision (see
+        # make_pme_recip_fn docstring)
+        return reciprocal_energy(xp, box, dq, grid_shape, beta, order,
+                                 influence, dft_mats)
 
     edd_and_grad = jax.value_and_grad(_edd)
 

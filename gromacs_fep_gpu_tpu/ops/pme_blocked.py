@@ -40,6 +40,13 @@ class PmeBlocks:
     idx: jnp.ndarray         # (NB, Amax) i32 atom ids; n (=invalid) padded
     valid: jnp.ndarray       # (NB, Amax) f32 1/0
     n_overflow: jnp.ndarray  # scalar i32: blocks whose count > Amax
+    # inverse of idx: atom -> block*Amax + rank.  The bucketing is a
+    # disjoint partition, so the gather-side "scatter-add" of per-block
+    # results is really an inverse permutation — a row GATHER per atom
+    # (measured 1.6 ms/step cheaper than .at[].add at 81k on TPU v5e).
+    # Overflow-dropped atoms point at slot 0 (garbage values — the
+    # overflow flag already forces a rollback+regrow in the runner).
+    inv_pos: jnp.ndarray     # (n,) i32
     nb: Tuple[int, int, int] = struct.field(pytree_node=False)
 
 
@@ -144,7 +151,11 @@ def build_pme_blocks(x, box, grid_shape, nb, amax: int) -> PmeBlocks:
         order.astype(jnp.int32), mode="drop")
     valid = (idx < n).astype(jnp.float32)
     n_overflow = jnp.sum((counts > amax).astype(jnp.int32))
-    return PmeBlocks(idx=idx, valid=valid, n_overflow=n_overflow, nb=nb)
+    pos = jnp.where(ok, rows * amax + rank, 0)
+    inv_pos = jnp.zeros((n,), jnp.int32).at[order].set(
+        pos.astype(jnp.int32))
+    return PmeBlocks(idx=idx, valid=valid, n_overflow=n_overflow,
+                     inv_pos=inv_pos, nb=nb)
 
 
 def _local_splines(xg, box, grid_shape, nb, order, derivatives: bool):
@@ -318,14 +329,11 @@ def blocked_phi_gather(x, box, charges, phi, grid_shape,
                       xy(oh[0], oh[1], pdz)], axis=-1) * qg[..., None]
     dEdq_blocks = pw * blocks.valid
 
-    # scatter per-atom results back to original order (unique indices)
+    # back to original atom order: inverse-permutation row gather
     Kv = jnp.array(grid_shape)
     binv = pbc_mod.inv3(box)
-    flat_idx = blocks.idx.reshape(-1)
-    f_flat = (dEdu * blocks.valid[..., None]).reshape(-1, 3)
-    d_flat = dEdq_blocks.reshape(-1)
-    dEdu_at = jnp.zeros((n + 1, 3), x.dtype).at[flat_idx].add(f_flat)[:n]
-    dEdq = jnp.zeros((n + 1,), x.dtype).at[flat_idx].add(d_flat)[:n]
+    dEdu_at = dEdu.reshape(-1, 3)[blocks.inv_pos]
+    dEdq = dEdq_blocks.reshape(-1)[blocks.inv_pos]
     forces = -jnp.einsum('nd,ed->ne', dEdu_at * Kv.astype(x.dtype),
                          binv, precision=jax.lax.Precision.HIGHEST)
     return forces, dEdq
@@ -528,16 +536,17 @@ def blocked_phi_gather_pallas(x, box, charges, phi, grid_shape,
 
     Kv = jnp.array(grid_shape)
     binv = pbc_mod.inv3(box)
-    outs = outs[:, :, :blocks.idx.shape[1]]   # drop atom padding
-    flat_idx = blocks.idx.reshape(-1)
-    val = blocks.valid.reshape(-1, 1)
-    f_flat = outs[:, :3].transpose(0, 2, 1).reshape(-1, 3) * val
-    d_flat = outs[:, 3].reshape(-1) * val[:, 0]
-    dEdu_at = jnp.zeros((n + 1, 3), x.dtype).at[flat_idx].add(f_flat)[:n]
-    dEdq = jnp.zeros((n + 1,), x.dtype).at[flat_idx].add(d_flat)[:n]
-    forces = -jnp.einsum('nd,ed->ne', dEdu_at * Kv.astype(x.dtype),
+    # back to original atom order: the bucketing is a disjoint partition,
+    # so this is an inverse-permutation row gather, not a scatter-add
+    # (the .at[].add tail alone measured 1.6 ms/step at 81k).  outs rows
+    # are (NB, 4, Apad): per-atom flat position = block * Apad + rank.
+    Apad = outs.shape[2]
+    amax = blocks.idx.shape[1]
+    pos = (blocks.inv_pos // amax) * Apad + blocks.inv_pos % amax
+    fq = outs.transpose(0, 2, 1).reshape(-1, 4)[pos]      # (n, 4)
+    forces = -jnp.einsum('nd,ed->ne', fq[:, :3] * Kv.astype(x.dtype),
                          binv, precision=jax.lax.Precision.HIGHEST)
-    return forces, dEdq
+    return forces, fq[:, 3]
 
 
 def _pallas_inputs(x, box, charges, grid_shape, blocks: PmeBlocks,

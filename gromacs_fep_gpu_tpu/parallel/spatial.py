@@ -108,27 +108,45 @@ def halo_shard_geometry(nlist: ClusterPairlist, grid_or_nsh, block: int):
     return per_shard, per_shard * nsh
 
 
+def _dev_offset_bad(ci_dev, oj_dev, grid):
+    """Per-entry flag: j's owner device is beyond the +-1 halo of i's on
+    any decomposed axis.  ci_dev: (rows,), oj_dev: (rows, width)."""
+    P0, P1, P2 = grid
+    bad = jnp.zeros(oj_dev.shape, bool)
+    for axis, P in enumerate(grid):
+        if P <= 1:
+            continue
+        div = {0: P1 * P2, 1: P2, 2: 1}[axis]
+        gi = (ci_dev[:, None] // div) % P
+        gj = (oj_dev // div) % P
+        bad |= jnp.mod(gj - gi + 1, P) >= 3
+    return bad
+
+
 def halo_violations(nlist: ClusterPairlist, grid_or_nsh, block: int):
     """Number of listed pairs whose j-cluster lies outside the i-cluster's
     halo neighbourhood (offset beyond +-1 on any decomposed axis) —
     nonzero means a DD cell is thinner than the list cutoff and the halo
     path would MISS interactions (the runner must abort).  The reference
     errors out the same way when a DD cell shrinks below the cutoff
-    (domdec.cpp check_grid_jump)."""
+    (domdec.cpp check_grid_jump).  Checks the per-cluster lists and, when
+    present, the v2u union (super) lists the Pallas DD path consumes."""
     grid = _as_grid(grid_or_nsh)
-    P0, P1, P2 = grid
     ps, c_pad = halo_shard_geometry(nlist, grid, block)
-    ci = jnp.arange(nlist.nbr.shape[0], dtype=jnp.int32) // ps
-    oj = nlist.nbr // ps
-    bad = jnp.zeros(nlist.nbr.shape, bool)
-    for axis, P in enumerate(grid):
-        if P <= 1:
-            continue
-        div = {0: P1 * P2, 1: P2, 2: 1}[axis]
-        gi = (ci[:, None] // div) % P
-        gj = (oj // div) % P
-        bad |= jnp.mod(gj - gi + 1, P) >= 3
-    return jnp.sum((bad & (nlist.nbr_mask > 0)).astype(jnp.int32))
+    total = jnp.zeros((), jnp.int32)
+    C = nlist.n_clusters
+    if nlist.nbr.shape[1] > 0:
+        ci = jnp.arange(nlist.nbr.shape[0], dtype=jnp.int32) // ps
+        bad = _dev_offset_bad(ci, nlist.nbr // ps, grid)
+        total += jnp.sum((bad & (nlist.nbr_mask > 0)).astype(jnp.int32))
+    if nlist.nbr_super is not None:
+        S = nlist.nbr_super.shape[0]
+        sbu = -(-C // S)                      # clusters per union block
+        ci = (jnp.arange(S, dtype=jnp.int32) * sbu) // ps
+        oj = jnp.minimum(nlist.nbr_super, C - 1) // ps
+        bad = _dev_offset_bad(ci, oj, grid)
+        total += jnp.sum((bad & (nlist.nbr_super < C)).astype(jnp.int32))
+    return total
 
 
 def sort_state_arrays(x, nlist: ClusterPairlist, c_pad: int):
@@ -316,6 +334,214 @@ def make_halo_cluster_force(system: System, params: MdParams, mesh: Mesh,
     return halo_force
 
 
+def make_dd_v2u_override(system: System, params: MdParams, mesh: Mesh,
+                         beta, block: int = 8, grid=None,
+                         interpret: bool = False):
+    """nb_kernel_override routing the v2u Pallas union-stream kernel
+    through the ppermute halo: each device owns a contiguous range of
+    4-cluster i-blocks (the DD sort makes block ranges spatial cells),
+    receives only its halo neighbours' position strips, gathers its own
+    blocks' j-streams from the halo-extended plane and runs the SAME
+    production Pallas kernel on its slice.  The reference runs its
+    fastest CUDA kernels under DD exactly like this
+    (nbnxm/cuda/nbnxm_cuda.cu:642 + domdec/gpuhaloexchange_impl_gpu.cpp:
+    277 — fast kernels + device-direct halo coexist).
+
+    Requires: pair list built with the DD sort + super_block=4 +
+    compute_shifts (or not — min-image kernel flavor), prep =
+    PallasPrepV2U from the same rebuild, halo_violations(nlist) == 0
+    (checked per rebuild by the runner)."""
+    import numpy as _np
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    from ..core.units import ONE_4PI_EPS0
+    from ..ops.pallas_nb import (BU, GJU, PallasPrepV2U, _make_kernel_v2u)
+    from ..ops.pairlist import CLUSTER as CL
+
+    grid = _as_grid(grid if grid is not None
+                    else mesh.shape[SPATIAL_AXIS])
+    P0, P1, P2 = grid
+    nsh = _grid_nsh(grid)
+    assert mesh.shape[SPATIAL_AXIS] == nsh
+    offs = _axis_offsets(grid)
+    b0, b1, b2 = (len(o) for o in offs)
+    B = b0 * b1 * b2
+    own_blk = ((1 if P0 > 1 else 0) * b1 + (1 if P1 > 1 else 0)) * b2 \
+        + (1 if P2 > 1 else 0)
+    epsfac = float(ONE_4PI_EPS0 / params.epsilon_r)
+
+    def _compose(g):
+        return (g[0] * P1 + g[1]) * P2 + g[2]
+
+    def _decompose_py(s):
+        return (s // (P1 * P2), (s // P2) % P1, s % P2)
+
+    def _shift_perm(axis, d):
+        pairs = []
+        for s in range(nsh):
+            g = list(_decompose_py(s))
+            g[axis] = (g[axis] + d) % grid[axis]
+            pairs.append((s, _compose(g)))
+        return pairs
+
+    def nb(x, box, nlist: ClusterPairlist, prep: PallasPrepV2U,
+           need_energy: bool = True):
+        ps, c_pad = halo_shard_geometry(nlist, grid, block)
+        assert ps % BU == 0, "DD cell size must align to 4-cluster blocks"
+        sps = ps // BU                      # v2u blocks per device
+        Sp = c_pad // BU                    # padded total blocks
+        n = nlist.inv_perm.shape[0]
+        n_pad = nlist.n_pad
+        S = prep.nbr2.shape[0]
+        G = prep.nbr2.shape[1]
+        L = GJU * CL
+        dummy_cl = B * ps                   # cat-space dummy cluster id
+
+        # global sorted rows in the rebuild frame (img-adjusted when the
+        # kernel uses baked shifts), padded to c_pad clusters
+        xs = jnp.where((nlist.perm < n)[:, None],
+                       x[jnp.minimum(nlist.perm, n - 1)],
+                       1e4 + jnp.arange(n_pad, dtype=x.dtype)[:, None])
+        if prep.shift is not None:
+            diag0 = jnp.stack([box[0, 0], box[1, 1], box[2, 2]])
+            xs = xs - nlist.img * diag0
+        extra = c_pad * CL - n_pad
+        xs = jnp.concatenate(
+            [xs, 2e4 + jnp.arange(extra, dtype=x.dtype)[:, None]
+             * jnp.ones(3, x.dtype)])
+
+        # prep arrays padded to the full device-aligned block count
+        def padb(a, fill=0):
+            if a.shape[0] == Sp:
+                return a
+            pad = [(0, Sp - a.shape[0])] + [(0, 0)] * (a.ndim - 1)
+            return jnp.pad(a, pad, constant_values=fill)
+
+        C = nlist.n_clusters
+        iq_p = padb(prep.iq)
+        is6_p = padb(prep.is6)
+        is12_p = padb(prep.is12)
+        ng_p = padb(prep.ng)
+        nbr2_p = padb(prep.nbr2, C)
+        jq_p = padb(prep.jq)
+        js6_p = padb(prep.js6)
+        js12_p = padb(prep.js12)
+        pm_p = padb(prep.pair_m)
+        em_p = padb(prep.excl_m)
+        sh_p = padb(prep.shift) if prep.shift is not None else None
+
+        kernel = _make_kernel_v2u(G, params, beta, epsfac,
+                                  compute_energy=need_energy,
+                                  baked_shifts=prep.shift is not None)
+
+        in_specs = [P(SPATIAL_AXIS), P(),
+                    P(SPATIAL_AXIS), P(SPATIAL_AXIS), P(SPATIAL_AXIS),
+                    P(SPATIAL_AXIS), P(SPATIAL_AXIS), P(SPATIAL_AXIS),
+                    P(SPATIAL_AXIS), P(SPATIAL_AXIS), P(SPATIAL_AXIS),
+                    P(SPATIAL_AXIS)]
+        args = [xs, box, iq_p, is6_p, is12_p, ng_p, nbr2_p,
+                jq_p, js6_p, js12_p, pm_p, em_p]
+        if sh_p is not None:
+            in_specs.append(P(SPATIAL_AXIS))
+            args.append(sh_p)
+
+        @partial(shard_map, mesh=mesh, in_specs=tuple(in_specs),
+                 out_specs=(P(SPATIAL_AXIS), P(), P()),
+                 check_vma=False)
+        def run(xs_d, bb, iq, is6, is12, ng, nbr2, jq, js6, js12, pm, em,
+                *rest):
+            sh = rest[0] if rest else None
+            sid = jax.lax.axis_index(SPATIAL_AXIS)
+            g_dev = (sid // (P1 * P2), (sid // P2) % P1, sid % P2)
+
+            # dimension-sweep ppermute halo (dd_move_x analogue)
+            strip = xs_d
+            for axis in (2, 1, 0):
+                if grid[axis] <= 1:
+                    continue
+                minus = jax.lax.ppermute(strip, SPATIAL_AXIS,
+                                         _shift_perm(axis, +1))
+                plus = jax.lax.ppermute(strip, SPATIAL_AXIS,
+                                        _shift_perm(axis, -1))
+                strip = jnp.concatenate([minus, strip, plus])
+            dummy = (3e4 + jnp.arange(CL, dtype=xs_d.dtype)[:, None]
+                     * jnp.ones(3, xs_d.dtype))
+            xcat = jnp.concatenate([strip, dummy])
+            ncl_cat = B * ps + 1
+
+            # remap this device's union stream to cat-space cluster ids
+            owner = nbr2 // ps
+            ok = nbr2 < c_pad
+            blk = jnp.zeros_like(nbr2)
+            for axis, Pg in enumerate(grid):
+                div = {0: P1 * P2, 1: P2, 2: 1}[axis]
+                bfac = {0: b1 * b2, 1: b2, 2: 1}[axis]
+                if Pg <= 1:
+                    continue
+                ds = jnp.mod((owner // div) % Pg - g_dev[axis] + 1, Pg)
+                ok &= ds < 3
+                blk = blk + jnp.minimum(ds, 2) * bfac
+            nbr_cat = jnp.where(ok, blk * ps + jnp.mod(nbr2, ps), dummy_cl)
+
+            xx = xcat[:, 0].reshape(ncl_cat, CL)
+            xy = xcat[:, 1].reshape(ncl_cat, CL)
+            xz = xcat[:, 2].reshape(ncl_cat, CL)
+            packed = jnp.concatenate([xx, xy, xz], axis=1)
+            gth = packed[nbr_cat]                      # (sps, G, GJU, 24)
+            if sh is not None:
+                diag = jnp.stack([bb[0, 0], bb[1, 1], bb[2, 2]])
+                sL = sh.astype(xs_d.dtype) * diag
+                gth = gth + jnp.repeat(sL, CL, axis=-1)
+            jx = gth[..., 0:CL].reshape(sps, G, L)
+            jy = gth[..., CL:2 * CL].reshape(sps, G, L)
+            jz = gth[..., 2 * CL:].reshape(sps, G, L)
+
+            # own i-block coordinates from the own cat region
+            own = jax.lax.dynamic_slice(
+                packed, (own_blk * ps, 0), (ps, 3 * CL))
+            ixx = own[:, 0:CL].reshape(sps, BU, CL)
+            ixy = own[:, CL:2 * CL].reshape(sps, BU, CL)
+            ixz = own[:, 2 * CL:].reshape(sps, BU, CL)
+
+            box_diag = jnp.stack([bb[0, 0], bb[1, 1],
+                                  bb[2, 2]]).reshape(1, 3)
+            iblk = pl.BlockSpec((1, BU, CL), lambda i: (i, 0, 0),
+                                memory_space=pltpu.VMEM)
+            jrow = pl.BlockSpec((1, G, L), lambda i: (i, 0, 0),
+                                memory_space=pltpu.VMEM)
+            fx, fy, fz, e = pl.pallas_call(
+                kernel, grid=(sps,),
+                in_specs=[
+                    pl.BlockSpec((1, 3), lambda i: (0, 0),
+                                 memory_space=pltpu.SMEM),
+                    pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0),
+                                 memory_space=pltpu.SMEM),
+                    iblk, iblk, iblk, iblk, iblk, iblk,
+                    jrow, jrow, jrow, jrow, jrow, jrow, jrow, jrow],
+                out_specs=[
+                    iblk, iblk, iblk,
+                    pl.BlockSpec((1, 1, 2), lambda i: (i, 0, 0),
+                                 memory_space=pltpu.SMEM)],
+                out_shape=[
+                    jax.ShapeDtypeStruct((sps, BU, CL), jnp.float32),
+                    jax.ShapeDtypeStruct((sps, BU, CL), jnp.float32),
+                    jax.ShapeDtypeStruct((sps, BU, CL), jnp.float32),
+                    jax.ShapeDtypeStruct((sps, 1, 2), jnp.float32)],
+                interpret=interpret,
+            )(box_diag, ng, ixx, ixy, ixz, iq, is6, is12,
+              jx, jy, jz, jq, js6, js12, pm, em)
+            f_rows = jnp.stack(
+                [fx.reshape(-1), fy.reshape(-1), fz.reshape(-1)], axis=-1)
+            e_c = jax.lax.psum(jnp.sum(e[:, 0, 0]), SPATIAL_AXIS)
+            e_lj = jax.lax.psum(jnp.sum(e[:, 0, 1]), SPATIAL_AXIS)
+            return f_rows, e_c, e_lj
+
+        f_all, e_c, e_lj = run(*args)
+        return f_all[: n_pad], 0.5 * e_c, 0.5 * e_lj
+
+    return nb
+
+
 def make_dd_nb_override(system: System, params: MdParams, mesh: Mesh,
                         beta, block: int = 8, grid=None):
     """nb_kernel_override for make_cluster_force_fn: routes the plain NB
@@ -329,7 +555,7 @@ def make_dd_nb_override(system: System, params: MdParams, mesh: Mesh,
     grid = _as_grid(grid if grid is not None
                     else mesh.shape[SPATIAL_AXIS])
 
-    def nb(x, box, nlist: ClusterPairlist):
+    def nb(x, box, nlist: ClusterPairlist, prep=None, need_energy=True):
         _, c_pad = halo_shard_geometry(nlist, grid, block)
         xs = sort_state_arrays(x, nlist, c_pad)
         halo = make_halo_cluster_force(system, params, mesh, beta, nlist,
@@ -459,9 +685,13 @@ def make_sharded_pme(system: System, params: MdParams, mesh: Mesh,
         e = (energy + pme_mod.self_energy(qmix, beta)
              + pme_mod.net_charge_energy(qmix, beta, vol))
         dq = dq_pert.astype(x.dtype)
+        # mesh functional for E[dq] (see make_pme_recip_fn: reproduces
+        # the reference's dual-grid dvdl to mesh precision)
+        dft_full = pme_mod.make_dft_matrices(grid_shape)
         e_kk, g_kk = jax.value_and_grad(
-            lambda xp: pme_mod.ewald_reciprocal_exact(xp, box, dq, beta,
-                                                      kmax))(x[pert_idx])
+            lambda xp: pme_mod.reciprocal_energy(
+                xp, box, dq, grid_shape, beta, order, influence,
+                dft_full))(x[pert_idx])
         e_dd = (e_kk + pme_mod.self_energy(dq, beta)
                 + pme_mod.net_charge_energy(dq, beta, vol))
         e = e + lam_c * (1.0 - lam_c) * e_dd

@@ -60,24 +60,33 @@ from gromacs_fep_gpu_tpu.validate.golden import load_case, load_refdata
 from gromacs_fep_gpu_tpu.validate.runner import run_case
 
 name = sys.argv[1]
+mode = sys.argv[2] if len(sys.argv) > 2 else "traj"
 ref = load_refdata(name, "d")
-got = run_case(load_case(name))
 out = {}
-for term, vals in ref.items():
-    g = got[term][: len(vals)]
-    out[term] = {"ref": list(map(float, vals)), "got": list(map(float, g))}
-out["fep_state"] = list(map(int, got["fep_state"]))
+if mode == "step0":
+    from gromacs_fep_gpu_tpu.validate.runner import run_case_step0
+    got0 = run_case_step0(load_case(name))
+    for term, vals in ref.items():
+        if term in got0:
+            out[term] = {"ref": [float(vals[0])], "got": [float(got0[term])]}
+else:
+    got = run_case(load_case(name))
+    for term, vals in ref.items():
+        g = got[term][: len(vals)]
+        out[term] = {"ref": list(map(float, vals)),
+                     "got": list(map(float, g))}
+    out["fep_state"] = list(map(int, got["fep_state"]))
 print("GOLDEN_JSON " + json.dumps(out))
 """
 
 
-def _run_driver(name):
+def _run_driver(name, mode="traj"):
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
     env["JAX_ENABLE_X64"] = "1"
     env.pop("XLA_FLAGS", None)
     proc = subprocess.run(
-        [sys.executable, "-c", _DRIVER, name],
+        [sys.executable, "-c", _DRIVER, name, mode],
         capture_output=True, text=True, env=env,
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         timeout=1200)
@@ -110,6 +119,16 @@ def test_golden_fep_system(name):
             tol = 5e-5 * np.abs(ref)
         else:
             tol = np.maximum(1e-3 * np.abs(ref), 0.015)
+        # frame 0 is a NON-accumulating comparison at the reference's
+        # own initial configuration: hold it to the reference's dhdl
+        # tolerance (freeenergy.cpp:115-136) — no trajectory-chaos
+        # allowance applies before the first step.  The absolute floor
+        # covers constraint-PROJECTION degeneracy: our matrix-free LINCS
+        # lands on a slightly different (equally valid) point of the
+        # constraint manifold than the reference's, which
+        # position-dependent restraint terms feel at the ~5e-4 level
+        # while all other frame-0 terms match to ~1e-6.
+        tol[0] = max(1e-4 * abs(ref[0]), 1e-3)
         err = np.abs(got - ref)
         worst = int(np.argmax(err - tol))
         assert (err <= tol).all(), (
@@ -120,3 +139,4 @@ def test_golden_fep_system(name):
         assert states == EXPANDED_STATES_EVERY5, (
             f"lambda-state MC trajectory diverged from the reference: "
             f"{states} != {EXPANDED_STATES_EVERY5}")
+

@@ -171,3 +171,112 @@ def test_pallas_v2u_g_cap(coulomb):
     np.testing.assert_allclose(float(ec_c), float(ec_ref), rtol=1e-6)
     np.testing.assert_allclose(float(el_c), float(el_ref), rtol=1e-6)
     np.testing.assert_array_equal(np.asarray(f_c), np.asarray(f_ref))
+
+
+@pytest.mark.parametrize("coulomb", [CoulombType.REACTION_FIELD,
+                                     CoulombType.PME])
+def test_pallas_v2u_triclinic_box(coulomb):
+    """Triclinic (dodecahedron-like) cell on the v2u Pallas path: the
+    build-time shifts are integer box-vector counts, so the PBC-free
+    baked-shift kernel handles skewed cells exactly (reference:
+    pbcutil/pbc.cpp triclinic shift machinery + nbnxm/pairlist.h shift
+    indices).  Must match the XLA cluster kernel, which uses general
+    minimum-image math."""
+    from gromacs_fep_gpu_tpu.ops.pallas_nb import (pallas_cluster_forces_v2u,
+                                                   pallas_prepare_v2u)
+    # realistic cutoff/cell proportions (rlist ~ 0.16 of the cell
+    # height): with an aggressive rlist ~ 0.35 of the height, two images
+    # of a cluster pair can both carry interacting pairs and the build
+    # correctly flags shift_overflow -> XLA fallback instead
+    params = MdParams(rcoulomb=0.55, rvdw=0.55, rlist=0.6, coulomb=coulomb)
+    system, state = water_box(16, spacing=0.31, seed=30)
+    L = float(state.box[0, 0])
+    # rhombic-dodecahedron box rows (GROMACS convention)
+    box = jnp.array([[L, 0.0, 0.0],
+                     [0.0, L, 0.0],
+                     [0.5 * L, 0.5 * L, L / np.sqrt(2.0)]], jnp.float32)
+    # fill the skewed cell by mapping the rect lattice through fractional
+    # space (shears molecules slightly — irrelevant for kernel parity)
+    from gromacs_fep_gpu_tpu.core.pbc import frac_coords
+    s = frac_coords(state.x, state.box)
+    x = s[:, 0:1] * box[0] + s[:, 1:2] * box[1] + s[:, 2:3] * box[2]
+    beta = 3.5 if coulomb == CoulombType.PME else None
+    nlist = build_cluster_pairlist(x, box, system, params.rlist,
+                                   nnbr=128, super_nnbr=640, super_block=4,
+                                   compute_shifts=True, triclinic=True)
+    assert int(nlist.super_overflow) == 0
+    assert int(nlist.shift_overflow) == 0
+
+    f_ref, ec_ref, el_ref = cluster_nb_kernel(
+        x, box, nlist, system.nbfp, params, beta, block=16,
+        lj_mode="geometric")
+    prep = pallas_prepare_v2u(nlist, system.nbfp)
+    f_p, ec_p, el_p = pallas_cluster_forces_v2u(
+        x, box, nlist, system.nbfp, params, beta, prep=prep,
+        interpret=True)
+    np.testing.assert_allclose(float(ec_p), float(ec_ref), rtol=2e-5)
+    np.testing.assert_allclose(float(el_p), float(el_ref), rtol=2e-5)
+    scale = float(jnp.abs(f_ref).max())
+    np.testing.assert_allclose(np.asarray(f_p), np.asarray(f_ref),
+                               atol=3e-5 * scale)
+
+
+@pytest.mark.parametrize("coulomb", [CoulombType.REACTION_FIELD,
+                                     CoulombType.PME])
+@pytest.mark.parametrize("compute_energy", [True, False])
+def test_pallas_v3u_matches_xla_kernel(coulomb, compute_energy):
+    """v3u clean-stream + fixup kernel: mask-needing entries (self /
+    exclusion-partner clusters) run in the masked fixup group, the main
+    loop is mask-free with pv-zeroed params — must match the XLA kernel
+    exactly, including perturbed atoms and unwrapped coordinates."""
+    from gromacs_fep_gpu_tpu.models.solvation import solvation_system
+    from gromacs_fep_gpu_tpu.ops.pallas_nb import (pallas_cluster_forces_v3u,
+                                                   pallas_prepare_v3u)
+    params = MdParams(rcoulomb=0.55, rvdw=0.55, rlist=0.6, coulomb=coulomb)
+    system, state = solvation_system(n_side=12, spacing=0.31, seed=3)
+    x = state.x.at[10].add(jnp.array([3.0 * state.box[0, 0], 0.0, 0.0]))
+    beta = 3.5 if coulomb == CoulombType.PME else None
+    nlist = build_cluster_pairlist(x, state.box, system, params.rlist,
+                                   nnbr=96, super_nnbr=192, super_block=4,
+                                   compute_shifts=True)
+    assert int(nlist.super_overflow) == 0
+    assert int(nlist.shift_overflow) == 0
+
+    f_ref, ec_ref, el_ref = cluster_nb_kernel(
+        x, state.box, nlist, system.nbfp, params, beta, block=16,
+        lj_mode="geometric")
+    prep = pallas_prepare_v3u(nlist, system.nbfp)
+    assert int(prep.fx_overflow) == 0
+    f_p, ec_p, el_p = pallas_cluster_forces_v3u(
+        x, state.box, nlist, system.nbfp, params, beta, prep=prep,
+        interpret=True, compute_energy=compute_energy)
+
+    if compute_energy:
+        np.testing.assert_allclose(float(ec_p), float(ec_ref), rtol=1e-5)
+        np.testing.assert_allclose(float(el_p), float(el_ref), rtol=1e-5)
+    scale = float(jnp.abs(f_ref).max())
+    np.testing.assert_allclose(np.asarray(f_p), np.asarray(f_ref),
+                               atol=2e-5 * scale)
+
+
+def test_pallas_v3u_virial_matches_v2u():
+    from gromacs_fep_gpu_tpu.ops.pallas_nb import (
+        pallas_cluster_forces_v2u, pallas_cluster_forces_v3u,
+        pallas_prepare_v2u, pallas_prepare_v3u)
+    params = MdParams(rcoulomb=0.55, rvdw=0.55, rlist=0.6,
+                      coulomb=CoulombType.PME)
+    system, state = water_box(8, spacing=0.31, seed=30)
+    nlist = build_cluster_pairlist(state.x, state.box, system, params.rlist,
+                                   nnbr=96, super_nnbr=192, super_block=4,
+                                   compute_shifts=True)
+    p2 = pallas_prepare_v2u(nlist, system.nbfp)
+    p3 = pallas_prepare_v3u(nlist, system.nbfp)
+    _, ec2, el2, v2 = pallas_cluster_forces_v2u(
+        state.x, state.box, nlist, system.nbfp, params, 3.5, prep=p2,
+        interpret=True, compute_virial=True)
+    _, ec3, el3, v3 = pallas_cluster_forces_v3u(
+        state.x, state.box, nlist, system.nbfp, params, 3.5, prep=p3,
+        interpret=True, compute_virial=True)
+    np.testing.assert_allclose(float(ec3), float(ec2), rtol=1e-5)
+    np.testing.assert_allclose(float(el3), float(el2), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(v3), np.asarray(v2), rtol=1e-4)
