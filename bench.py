@@ -93,7 +93,8 @@ def run_config(n_side: int, nsteps: int, use_pme: bool, eq_steps: int = 600,
                                     eq_runner.config.fep_max_nbr)
     def _caps():
         return (runner.config.super_nnbr, runner.config.fep_max_nbr,
-                runner.config.super_g, runner.config.pme_block_amax)
+                runner.config.super_g, runner.config.pme_block_amax,
+                runner.config.tile_cap)
 
     for _ in range(8):
         caps = _caps()

@@ -103,10 +103,22 @@ FTUPD = [
 
 
 class XdrReader:
-    def __init__(self, data: bytes, double: bool = False):
+    """Reader for both tpr body encodings.
+
+    mem=False: classic XDR (bodies of tpx < 119 and all headers) —
+    4-byte bools/uchars/ushorts, two-length padded strings.
+    mem=True: the InMemorySerializer layout used for tpx >= 119 bodies
+    (tpxv_AddSizeField, generation >= 27; reference:
+    utility/inmemoryserializer.cpp, big-endian-swapped) — natural-width
+    bools(1)/uchars(1)/ushorts(2) and u64-length unpadded strings.
+    Multi-byte scalars/arrays are big-endian in both."""
+
+    def __init__(self, data: bytes, double: bool = False,
+                 mem: bool = False):
         self.d = data
         self.pos = 0
         self.double = double
+        self.mem = mem
 
     def _take(self, n):
         b = self.d[self.pos:self.pos + n]
@@ -124,6 +136,9 @@ class XdrReader:
     def i64(self):
         return struct.unpack(">q", self._take(8))[0]
 
+    def u64(self):
+        return struct.unpack(">Q", self._take(8))[0]
+
     def f32(self):
         return struct.unpack(">f", self._take(4))[0]
 
@@ -134,12 +149,18 @@ class XdrReader:
         return self.f64() if self.double else self.f32()
 
     def bool_(self):
+        if self.mem:
+            return self._take(1)[0] != 0
         return self.i32() != 0
 
     def uchar(self):
+        if self.mem:
+            return self._take(1)[0]
         return self.u32() & 0xff
 
     def ushort(self):
+        if self.mem:
+            return struct.unpack(">H", self._take(2))[0]
         return self.u32() & 0xffff
 
     def ints(self, n):
@@ -151,6 +172,8 @@ class XdrReader:
         return np.frombuffer(self._take(4 * n), ">f4").astype(np.float64)
 
     def uchars(self, n):
+        if self.mem:
+            return np.frombuffer(self._take(n), np.uint8).copy()
         # xdr_vector of xdr_u_char: each element is a 4-byte word
         return (np.frombuffer(self._take(4 * n), ">u4") & 0xff).astype(
             np.uint8)
@@ -159,6 +182,9 @@ class XdrReader:
         return self.reals(3 * n).reshape(n, 3)
 
     def string(self):
+        if self.mem:
+            n = self.u64()
+            return self._take(n).decode("utf-8", "replace")
         self.u32()                       # allocated length (len+1)
         n = self.u32()                   # used length
         b = self._take((n + 3) // 4 * 4)
@@ -395,7 +421,13 @@ def read_tpr(path: str) -> TprData:
     b_f = r.bool_()
     b_box = r.bool_()
     if version >= TPXV["AddSizeField"] and generation >= 27:
-        r.i64()                                      # body size
+        body_size = r.i64()
+        # the body is an InMemorySerializer blob (written via doOpaque;
+        # reference: tpxio.cpp write_tpx_state + doTpxBodyBuffer) — same
+        # big-endian scalars but natural-width bools/uchars/ushorts and
+        # u64-length strings.  Switch decoding modes for the rest.
+        body = r._take(int(body_size))
+        r = XdrReader(body, double=r.double, mem=True)
 
     # --- state first: box ---
     box = np.eye(3)

@@ -24,7 +24,7 @@ from ..ops.forces import dense_energy, get_beta, make_dense_force_fn
 from ..ops.cluster_nb import make_cluster_force_fn
 from ..ops.pairlist import build_cluster_pairlist, build_fep_pairlist
 from ..ops.pme import make_pme_recip_fn
-from ..parallel.mesh import ENS_AXIS
+from ..parallel.mesh import ENS_AXIS, SPATIAL_AXIS
 from .simulator import make_step_fn
 from .runner import concat_logs
 
@@ -221,13 +221,38 @@ class EnsembleRunner:
 
         return window_chunk
 
-    def _build(self, seg_len: int, flavors: Optional[str] = None):
+    def _state_shardings(self, states: State):
+        """Per-leaf shardings composing EP x DD: replicas shard over the
+        'ens' axis and, when the mesh has a spatial axis, each window's
+        per-atom arrays additionally shard over 'spatial' — GSPMD
+        partitions the vmapped step and inserts the collectives (the
+        TPU analogue of multisim composed with domain decomposition,
+        reference: mdrunutility/multisim.h:81 +
+        domdec/partition.cpp:2746)."""
+        ens = NamedSharding(self.mesh, P(ENS_AXIS))
+        nsp = self.mesh.shape.get(SPATIAL_AXIS, 1)
+        if nsp <= 1:
+            return jax.tree_util.tree_map(lambda _: ens, states)
+        both = NamedSharding(self.mesh, P(ENS_AXIS, SPATIAL_AXIS))
+        n = self.system.n_atoms
+
+        def spec(leaf):
+            if (hasattr(leaf, "ndim") and leaf.ndim >= 2
+                    and leaf.shape[1] == n and n % nsp == 0):
+                return both
+            return ens
+        return jax.tree_util.tree_map(spec, states)
+
+    def _build(self, seg_len: int, flavors: Optional[str] = None,
+               states: Optional[State] = None):
         window = self._window_chunk(seg_len, flavors)
         vchunk = jax.vmap(window)
         if self.mesh is not None:
             shard = NamedSharding(self.mesh, P(ENS_AXIS))
-            return jax.jit(vchunk, in_shardings=(shard,),
-                           out_shardings=(shard, shard, shard))
+            st_sh = (self._state_shardings(states)
+                     if states is not None else shard)
+            return jax.jit(vchunk, in_shardings=(st_sh,),
+                           out_shardings=(st_sh, shard, shard))
         return jax.jit(vchunk)
 
     def _build_delta_final(self):
@@ -360,7 +385,7 @@ class EnsembleRunner:
         if not isinstance(self._chunk, dict):
             self._chunk = {}
         step0 = int(np.asarray(jax.device_get(states.step)).ravel()[0])
-        shard = (NamedSharding(self.mesh, P(ENS_AXIS))
+        shard = (self._state_shardings(states)
                  if self.mesh is not None else None)
         if shard is not None:
             states = jax.device_put(states, shard)
@@ -378,7 +403,7 @@ class EnsembleRunner:
                    self.config.super_nnbr, flavors)
             chunk = self._chunk.get(key)
             if chunk is None:
-                chunk = self._build(seg, flavors)
+                chunk = self._build(seg, flavors, states=states)
                 self._chunk[key] = chunk
             states, log, flags = chunk(states)
             logs.append(log)

@@ -1116,6 +1116,7 @@ def _make_kernel_v2u(n_groups: int, params: MdParams, beta, epsfac: float,
     end-of-kernel i-force reduction, nbnxm_cuda_kernel.cuh:688)."""
     rc2 = params.rcoulomb ** 2
     rv2 = params.rvdw ** 2
+    same_cut = rc2 == rv2
     rcinv6 = 1.0 / params.rvdw ** 6
     if params.coulomb == CoulombType.REACTION_FIELD:
         krf, crf = rf_constants(params)
@@ -1188,7 +1189,10 @@ def _make_kernel_v2u(n_groups: int, params: MdParams, beta, epsfac: float,
             rinv2 = rinv * rinv
 
             in_c = jnp.where(r2 < rc2, pairb, 0.0)
-            in_v = jnp.where(r2 < rv2, pairb * inclb, 0.0)
+            # shared-cutoff fast path (the common production setup):
+            # reuse the coulomb mask instead of a second compare+select
+            in_v = (in_c * inclb if same_cut
+                    else jnp.where(r2 < rv2, pairb * inclb, 0.0))
 
             c6 = s6i * s6j
             c12 = s12i * s12j

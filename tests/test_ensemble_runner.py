@@ -79,3 +79,46 @@ def test_temperature_replica_exchange():
     # hot replicas must thermalize hotter than cold ones
     t_end = np.asarray(logs[-1].temp)[:, -1]
     assert t_end[-1] > t_end[0]
+
+
+def test_ensemble_ep_x_dd_sharding():
+    """EP x DD composition: each lambda window's atom arrays shard over
+    the 'spatial' mesh axis inside the vmapped ensemble step (GSPMD
+    partitioning — the TPU analogue of multisim composed with DD,
+    reference: mdrunutility/multisim.h:81 + domdec/partition.cpp:2746).
+    Asserts actual per-device shard shapes and trajectory parity with
+    the ens-only-sharded run."""
+    from gromacs_fep_gpu_tpu.models.water import water_box
+    L = 4
+    all_lambda = lambda_schedule(L)
+    params = MdParams(dt=0.001, nstlist=10,
+                      coulomb=CoulombType.REACTION_FIELD,
+                      rcoulomb=0.5, rvdw=0.5, rlist=0.55, nstcomm=0,
+                      tcoupl=TcouplType.V_RESCALE, ref_t=300.0,
+                      nsttcouple=1, tau_t=0.2)
+    system, state0 = water_box(4, spacing=0.4, seed=9, temperature=300.0)
+    n = system.n_atoms
+    assert n % 2 == 0
+
+    mesh = make_mesh(n_ens=4, n_spatial=2)
+    runner = EnsembleRunner(system, params, all_lambda, mesh=mesh,
+                            config=EnsembleConfig(nstexchange=0, nnbr=96,
+                                                  exchange=False))
+    states = stack_states(state0, all_lambda, seed=5)
+    out, logs, _ = runner.run(states, 20)
+
+    # per-device shards: (L/4 windows, n/2 atoms, 3)
+    shard_shapes = {s.data.shape for s in out.x.addressable_shards}
+    assert shard_shapes == {(1, n // 2, 3)}, shard_shapes
+    assert len(out.x.addressable_shards) == 8
+
+    mesh1 = make_mesh(n_ens=8, n_spatial=1)
+    runner1 = EnsembleRunner(system, params, all_lambda[:4], mesh=None,
+                             config=EnsembleConfig(nstexchange=0, nnbr=96,
+                                                   exchange=False))
+    out1, logs1, _ = runner1.run(stack_states(state0, all_lambda, seed=5),
+                                 20)
+    np.testing.assert_allclose(np.asarray(out.x), np.asarray(out1.x),
+                               atol=2e-4)
+    np.testing.assert_allclose(np.asarray(logs[-1].epot),
+                               np.asarray(logs1[-1].epot), rtol=2e-5)

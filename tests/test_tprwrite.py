@@ -72,3 +72,23 @@ def test_tpr_roundtrip_fep_ligand(tmp_path):
     e2, d2 = _energies(sys2, state.x, state.box, params, lam)
     np.testing.assert_allclose(e2, e1, rtol=2e-5)
     np.testing.assert_allclose(d2[2:4], d1[2:4], rtol=1e-4, atol=1e-5)
+
+
+def test_xdr_reader_mem_mode_primitives():
+    """tpx >= 119 bodies use the InMemorySerializer layout (reference:
+    utility/inmemoryserializer.cpp): 1-byte bools/uchars, 2-byte
+    ushorts, u64-length unpadded strings, big-endian scalars."""
+    import struct
+    from gromacs_fep_gpu_tpu.io.tprio import XdrReader
+    blob = (b"\x01" + b"\x7f" + struct.pack(">H", 515)
+            + struct.pack(">Q", 5) + b"hello"
+            + struct.pack(">i", -7) + struct.pack(">f", 2.5)
+            + b"\x01\x00\x02")
+    r = XdrReader(blob, mem=True)
+    assert r.bool_() is True
+    assert r.uchar() == 127
+    assert r.ushort() == 515
+    assert r.string() == "hello"
+    assert r.i32() == -7
+    assert r.f32() == 2.5
+    assert list(r.uchars(3)) == [1, 0, 2]
