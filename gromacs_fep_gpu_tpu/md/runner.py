@@ -46,6 +46,8 @@ class RunnerConfig:
     pallas_interpret: bool = False
     # "v2u": union j-streams shared by 4-cluster i-blocks (default,
     #        fastest: fewest gathered rows at moderate pair-slot count);
+    # "v3u": v2u with mask-needing entries split into a per-block fixup
+    #        group (measured slightly slower than v2u on v5e at 81k);
     # "v2": per-i-cluster tight streams with baked-in shifts;
     # "cluster": per-i-cluster j streams, 2D grid;
     # "super": one shared j stream per 64-atom supercluster
@@ -87,8 +89,9 @@ class RunnerConfig:
     # axis (parallel/mesh.py make_mesh).  Atoms are slab-sorted along x,
     # each device owns a contiguous cluster slab, positions move by
     # ppermute ring halo and the PME grid reduces by psum (reference:
-    # domdec/domdec.cpp dd_move_x + ewald pme grid overlap).  Forces the
-    # XLA cluster kernel (use_pallas off).
+    # domdec/domdec.cpp dd_move_x + ewald pme grid overlap).  Runs the
+    # production v2u Pallas kernels per device (make_dd_v2u_override);
+    # other pallas modes fall back to the XLA cluster kernel.
     mesh: Optional[object] = None
     dd_block: int = 8           # clusters per kernel block on the DD path
     # N-D decomposition grid (P0, P1, P2) with prod == mesh spatial size;
@@ -167,7 +170,11 @@ class MdRunner:
             else:
                 use_blocked = self.config.blocked_pme
                 if use_blocked is None:
-                    use_blocked = (system.n_atoms >= 30_000
+                    # crossover re-measured after the inverse-permutation
+                    # gather fix: blocked wins at 12k by ~13% (66.0 vs
+                    # 57.5 ns/day, TPU v5e); dense keeps the small end
+                    # where whole-grid MXU contractions are free
+                    use_blocked = (system.n_atoms >= 8_000
                                    and not self.config.use_dense)
                 if use_blocked and not self.config.use_dense:
                     from ..ops.pme_blocked import choose_blocks

@@ -1875,7 +1875,6 @@ def pallas_prepare_v3u(nlist: ClusterPairlist, nbfp,
 
     # main stream: masked entries replaced by the dummy cluster
     nbr_main = jnp.where(need, C, nbr_p)
-    count = jnp.sum(nbr_main != C, axis=1)
     # trip count covers the original packed width (holes stay in place)
     last = jnp.max(jnp.where(nbr_p != C, jax.lax.broadcasted_iota(
         jnp.int32, nbr_p.shape, 1), -1), axis=1)

@@ -613,7 +613,6 @@ def make_sharded_pme(system: System, params: MdParams, mesh: Mesh,
     fep_q = pert.size > 0
     pert_idx = jnp.asarray(pert, jnp.int32)
     dq_pert = jnp.asarray(dq_np[pert], jnp.float32)
-    kmax = min(max(grid_shape) // 2, 32)
 
     @partial(shard_map, mesh=mesh,
              in_specs=(P(SPATIAL_AXIS), P(), P()),
