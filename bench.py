@@ -59,7 +59,12 @@ def run_config(n_side: int, nsteps: int, use_pme: bool, eq_steps: int = 600,
     grid = pme_grid_size((box_l,) * 3, 0.12) if use_pme else None
     params = MdParams(
         dt=0.002, nstlist=20, coulomb=coulomb,
-        rcoulomb=0.9, rvdw=0.9, rlist=1.0,
+        # rlist == cutoff lets the runner auto-size the buffer from the
+        # kinetic-theory drift tolerance (md/verletbuf.py; the reference
+        # does the same: verlet-buffer-tolerance overrides mdp rlist,
+        # calc_verletbuf.cpp) — 0.939 at this config vs the 1.0 a fixed
+        # margin would pin, ~17% fewer listed pairs
+        rcoulomb=0.9, rvdw=0.9, rlist=0.9,
         pme_grid=grid,
         tcoupl=TcouplType.V_RESCALE, ref_t=300.0, nsttcouple=10,
         nstcomm=100,

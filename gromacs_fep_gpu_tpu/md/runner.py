@@ -76,6 +76,19 @@ class RunnerConfig:
     # the cap is caught by the s_max flag and rolled back like any
     # other overflow.  None = uncapped (= capacity).
     super_g: Optional[int] = None
+    # v2u duo streams: pack the union j-stream as deduplicated 2-cluster
+    # rows (16 atoms / 48 lanes per gathered row) instead of single
+    # clusters — adjacent Hilbert-sorted clusters co-occur in a block's
+    # list, so the per-step j-coordinate gather fetches ~2x fewer rows
+    # for ~+13% masked kernel lanes (ops/pallas_nb.py PallasPrepV2U.duo).
+    # Measured on TPU v5e: NEUTRAL at 12k and ~5% SLOWER at 81k — the
+    # row-count model did not hold (the XLA row gather is not purely
+    # per-row-bound), so default off; kept as an exact, tested variant.
+    # Single-chip v2u only; DD and the prune path use per-cluster streams.
+    pallas_duo: bool = False
+    # packed duo-stream width in 16-row groups; maintained from the
+    # duo_max flag exactly like super_g.  None = capacity worst case.
+    super_g_duo: Optional[int] = None
     # candidate-tile capacity of the two-level pair search (its own knob:
     # deriving it from super_nnbr made the capacity shrink and the tile
     # growth fight each other).  None = formula default; grown from the
@@ -129,10 +142,16 @@ class MdRunner:
 
         self._dd_mesh = None
         self._dd_sort = None
+        if self.config.pallas_prune:
+            # the prune pass walks per-cluster bboxes; duo rows would
+            # need their own bbox plane — prune callers keep clusters
+            self.config.pallas_duo = False
         if self.config.mesh is not None and not self.config.use_dense:
             from ..parallel.mesh import SPATIAL_AXIS
             if self.config.mesh.shape.get(SPATIAL_AXIS, 1) > 1:
                 self._dd_mesh = self.config.mesh
+                # the DD halo override gathers per-cluster streams
+                self.config.pallas_duo = False
                 if self.config.pallas_mode == "v3u":
                     # the DD halo flavor exists for the v2u streams;
                     # same physics, marginally slower single-chip kernel
@@ -460,7 +479,9 @@ class MdRunner:
                 elif cfg.pallas_mode == "v2u":
                     from ..ops.pallas_nb import pallas_prepare_v2u
                     prep = pallas_prepare_v2u(nlist, self.system.nbfp,
-                                              g_cap=cfg.super_g)
+                                              g_cap=cfg.super_g,
+                                              duo=cfg.pallas_duo,
+                                              duo_g=cfg.super_g_duo)
                 elif cfg.pallas_mode == "v2":
                     from ..ops.pallas_nb import pallas_prepare_v2
                     prep = pallas_prepare_v2(nlist, self.system.nbfp)
@@ -470,9 +491,13 @@ class MdRunner:
                 else:
                     from ..ops.pallas_nb import pallas_prepare_cl
                     prep = pallas_prepare_cl(nlist, self.system.nbfp)
+            d_ovf = d_max = jnp.zeros((), jnp.int32)
+            if prep is not None and getattr(prep, "duo", False):
+                d_ovf, d_max = prep.duo_ovf, prep.duo_max
             flags = jnp.stack([n_ovf, fep_ovf, n_max,
                                s_ovf, s_max, excl_bad, shift_bad,
-                               halo_bad, pme_ovf, t_ovf, t_max, fx_ov])
+                               halo_bad, pme_ovf, t_ovf, t_max, fx_ov,
+                               d_ovf, d_max])
             return nlist, feplist, prep, pme_blocks, flags
 
         def scan(state: State, nlist, feplist, prep, pme_blocks):
@@ -715,7 +740,8 @@ class MdRunner:
                    self.config.pallas_baked_shifts,
                    self.config.pme_block_amax, self.config.super_g,
                    self.config.use_pallas, self._triclinic,
-                   self.config.tile_cap, self.config.fixup_cap)
+                   self.config.tile_cap, self.config.fixup_cap,
+                   self.config.pallas_duo, self.config.super_g_duo)
             chunk = self._chunk_cache.get(key)
             if chunk is None:
                 chunk = self._build_chunk(seg_len, flavors)
@@ -822,8 +848,16 @@ class MdRunner:
                     # v3u stream holds (dense exclusion topology)
                     self.config.fixup_cap += 32
                     self._chunk_cache.clear()
+                d_ovf = fl[:, 12].sum() if fl.shape[1] > 12 else 0
+                d_max_obs = int(fl[:, 13].max()) if fl.shape[1] > 13 else 0
+                if d_ovf > 0:
+                    # duo stream truncated: re-pack wider and roll back
+                    from ..ops.pallas_nb import DJU
+                    self.config.super_g_duo = -(-int(d_max_obs * 1.1 + 8)
+                                                // DJU)
+                    self._chunk_cache.clear()
                 if (fl[:, :2].sum() + fl[:, 3:4].sum() + pme_ovf
-                        + g_trunc + t_ovf + fx_ovf > 0):
+                        + g_trunc + t_ovf + fx_ovf + d_ovf > 0):
                     # roll back to last verified point with grown capacity
                     if fl[:, :2].sum() + fl[:, 3:4].sum() + pme_ovf > 0:
                         self._grow(np.array([fl[:, 0].sum(), fl[:, 1].sum(),
@@ -860,6 +894,14 @@ class MdRunner:
                         if (self.config.tile_cap is None
                                 or tc <= self.config.tile_cap - 12):
                             self.config.tile_cap = tc
+                            self._chunk_cache.clear()
+                    if self.config.pallas_duo and d_max_obs > 0:
+                        # tighten the packed duo stream to observed need
+                        from ..ops.pallas_nb import DJU
+                        tgt = -(-int(d_max_obs * 1.05 + 8) // DJU)
+                        if (self.config.super_g_duo is None
+                                or tgt <= self.config.super_g_duo - 2):
+                            self.config.super_g_duo = tgt
                             self._chunk_cache.clear()
                 may_tighten = False
                 verified_state, verified_done, verified_nlogs = (

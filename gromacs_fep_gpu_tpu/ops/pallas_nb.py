@@ -1101,6 +1101,7 @@ def pallas_cluster_forces_v2(x, box, nlist: ClusterPairlist, nbfp,
 
 BU = 4          # i-clusters per union block (32 atoms)
 GJU = 32        # j-clusters per group in the union stream (256 lanes)
+DJU = 16        # duo mode: 2-cluster rows per group (16 x 16 = 256 lanes)
 
 
 def _make_kernel_v2u(n_groups: int, params: MdParams, beta, epsfac: float,
@@ -1281,13 +1282,32 @@ class PallasPrepV2U:
     # caller folds shift*L into the gathered j coordinates and the kernel
     # skips the in-loop minimum-image folds
     shift: Optional[jnp.ndarray] = None   # (S, G, GJU, 3) int8
+    # duo mode: j-stream entries are 2-cluster rows (16 atoms) instead of
+    # single clusters.  The union list is deduplicated onto cluster-id
+    # duos (id >> 1): adjacent Hilbert-sorted clusters usually co-occur
+    # in a block's list, so entries shrink ~1.77x while masked inflation
+    # lanes (a duo member NOT in the list) cost ~+13% kernel lanes.
+    # The per-step coordinate gather fetches half the rows at twice the
+    # width — row gathers serialize per row on TPU, so this halves the
+    # dominant per-step gather cost.  nbr2 is then (S, G, DJU) duo ids,
+    # shift is (S, G, DJU*2, 3) per-member shifts, and the j planes are
+    # 16 atoms wide.  The kernel itself is unchanged (256-lane groups).
+    duo: bool = _struct.field(pytree_node=False, default=False)
+    duo_ovf: Optional[jnp.ndarray] = None   # () i32: a block overflowed W
+    duo_max: Optional[jnp.ndarray] = None   # () i32: max duo count seen
 
 
 def pallas_prepare_v2u(nlist: ClusterPairlist, nbfp,
-                       g_cap: Optional[int] = None) -> PallasPrepV2U:
+                       g_cap: Optional[int] = None,
+                       duo: bool = False,
+                       duo_g: Optional[int] = None) -> PallasPrepV2U:
     """Pack the union-of-4 lists (+shifts, bitmasks) for the v2u kernel.
     Requires nlist built with super_nnbr=..., super_block=4 and
-    compute_shifts=True."""
+    compute_shifts=True.
+
+    duo: pack the stream as deduplicated 2-cluster rows (see
+    PallasPrepV2U.duo).  duo_g caps the packed width in DJU-row groups
+    (maintained by the runner from the duo_max flag, like super_g)."""
     from .cluster_nb import lj_table_mode
     import numpy as _np
     if not isinstance(nbfp, jax.core.Tracer):
@@ -1336,20 +1356,100 @@ def pallas_prepare_v2u(nlist: ClusterPairlist, nbfp,
     s12 = plane(diag12[nlist.t_a])
     pvp = plane(pv)
 
-    nbr_src = nlist.nbr_super[:, :nnbr]
-    nbr_p = jnp.pad(jnp.where(nbr_src >= 0, nbr_src, C),
-                    ((0, 0), (0, nnbr_pad - nnbr)), constant_values=C)
-    count = jnp.sum(nbr_p != C, axis=1)
-    ng = (-(-count // GJU)).astype(jnp.int32).reshape(S, 1, 1)
-    nbr2 = nbr_p.reshape(S, G, GJU)
+    duo_ovf = duo_max = None
+    shift = None
+    if duo:
+        from .pairlist import _pack_valid
+        EW = 2 * CLUSTER                       # atoms per duo row
+        ND = C_pad // 2                        # duo count (BU=4 -> even)
+        full = nlist.nbr_super.shape[1]
+        ids0 = jnp.where(nlist.nbr_super >= 0, nlist.nbr_super, C)
+        if nlist.super_shift is not None:
+            # composite sort key carries the per-entry shift through the
+            # id sort (shifts are small box-vector counts; |s| <= 7 holds
+            # for any in-cutoff pair — ambiguity fails hard at rebuild)
+            shm = jnp.clip(nlist.super_shift.astype(jnp.int32), -7, 7)
+            keys = jnp.sort(ids0 * 4096 + (shm[..., 0] + 8) * 256
+                            + (shm[..., 1] + 8) * 16 + (shm[..., 2] + 8),
+                            axis=1)
+            ids_s = keys >> 12
+            sh_s = jnp.stack([((keys >> 8) & 15) - 8,
+                              ((keys >> 4) & 15) - 8,
+                              (keys & 15) - 8], axis=-1)     # (S, full, 3)
+        else:
+            ids_s = jnp.sort(ids0, axis=1)
+            sh_s = None
+        duo_id = ids_s >> 1
+        prev = jnp.concatenate(
+            [jnp.full((S, 1), -1, duo_id.dtype), duo_id[:, :-1]], axis=1)
+        keep = (ids_s < C) & (duo_id != prev)
+        count_d = jnp.sum(keep, axis=1)
+        G = duo_g if duo_g is not None else -(-full // DJU)
+        W = G * DJU
+        pos, vmask = _pack_valid(keep, W)
+        nbr2 = jnp.where(vmask, jnp.take_along_axis(duo_id, pos, axis=1),
+                         ND).reshape(S, G, DJU)
+        duo_max = jnp.max(count_d).astype(jnp.int32)
+        duo_ovf = (duo_max > W).astype(jnp.int32)
+        ng = (-(-jnp.minimum(count_d, W) // DJU)
+              ).astype(jnp.int32).reshape(S, 1, 1)
+        if sh_s is not None:
+            # per-member shifts: the sorted order puts a duo's two
+            # clusters adjacent, so the dropped partner's shift is read
+            # from the next sorted entry; absent members are masked
+            # (pair_m = 0), their shift value is arbitrary
+            nxt_id = jnp.concatenate(
+                [ids_s[:, 1:], jnp.full((S, 1), -1, ids_s.dtype)], axis=1)
+            nxt_sh = jnp.concatenate(
+                [sh_s[:, 1:], jnp.zeros((S, 1, 3), sh_s.dtype)], axis=1)
+            pair_next = (((ids_s & 1) == 0)
+                         & (nxt_id == ids_s + 1))[..., None]
+            s_hi = jnp.where(pair_next, nxt_sh, sh_s)
+            shp = jnp.stack(
+                [jnp.take_along_axis(sh_s, pos[..., None], axis=1),
+                 jnp.take_along_axis(s_hi, pos[..., None], axis=1)],
+                axis=2)                                      # (S, W, 2, 3)
+            shp = jnp.where(vmask[..., None, None], shp, 0)
+            shift = shp.reshape(S, G, DJU * 2, 3).astype(jnp.int8)
 
-    def jgather(pl2d):
-        return pl2d[nbr2].reshape(S, G, GJU * CLUSTER)
+        ncl_j = ND + 1
+        extra_j = ncl_j * EW - n_pad
 
-    jid = (nbr2[..., None] * CLUSTER
-           + jnp.arange(CLUSTER, dtype=jnp.int32)).reshape(
-               S, G, GJU * CLUSTER)
-    pvj = jgather(pvp)
+        def plane_j(a, fill=0.0):
+            pad = jnp.full((extra_j,), fill, a.dtype)
+            return jnp.concatenate([a, pad]).reshape(ncl_j, EW)
+
+        def jgather(pl1d):
+            return plane_j(pl1d)[nbr2].reshape(S, G, DJU * EW)
+
+        jid = (nbr2[..., None] * EW
+               + jnp.arange(EW, dtype=jnp.int32)).reshape(S, G, DJU * EW)
+        pvj = jgather(pv)
+        jq = jgather(nlist.q_a)
+        js6 = jgather(diag6[nlist.t_a])
+        js12 = jgather(diag12[nlist.t_a])
+    else:
+        nbr_src = nlist.nbr_super[:, :nnbr]
+        nbr_p = jnp.pad(jnp.where(nbr_src >= 0, nbr_src, C),
+                        ((0, 0), (0, nnbr_pad - nnbr)), constant_values=C)
+        count = jnp.sum(nbr_p != C, axis=1)
+        ng = (-(-count // GJU)).astype(jnp.int32).reshape(S, 1, 1)
+        nbr2 = nbr_p.reshape(S, G, GJU)
+
+        def jgather(pl1d):
+            return plane(pl1d)[nbr2].reshape(S, G, GJU * CLUSTER)
+
+        jid = (nbr2[..., None] * CLUSTER
+               + jnp.arange(CLUSTER, dtype=jnp.int32)).reshape(
+                   S, G, GJU * CLUSTER)
+        pvj = jgather(pv)
+        jq = jgather(nlist.q_a)
+        js6 = jgather(diag6[nlist.t_a])
+        js12 = jgather(diag12[nlist.t_a])
+        if nlist.super_shift is not None:
+            shift = jnp.pad(nlist.super_shift[:, :nnbr],
+                            ((0, 0), (0, nnbr_pad - nnbr), (0, 0))
+                            ).reshape(S, G, GJU, 3)
     pvi = pvp[:C_pad].reshape(S, BU, CLUSTER)
     iid = (jnp.arange(C_pad, dtype=jnp.int32)[:, None] * CLUSTER
            + jnp.arange(CLUSTER, dtype=jnp.int32)
@@ -1376,16 +1476,11 @@ def pallas_prepare_v2u(nlist: ClusterPairlist, nbfp,
     def i3(a):
         return a[:C_pad].reshape(S, BU, CLUSTER)
 
-    shift = None
-    if nlist.super_shift is not None:
-        shift = jnp.pad(nlist.super_shift[:, :nnbr],
-                        ((0, 0), (0, nnbr_pad - nnbr), (0, 0))
-                        ).reshape(S, G, GJU, 3)
-
     return PallasPrepV2U(
         iq=i3(q), is6=i3(s6), is12=i3(s12), ng=ng, nbr2=nbr2,
-        jq=jgather(q), js6=jgather(s6), js12=jgather(s12),
-        pair_m=pair_m, excl_m=excl_m, shift=shift)
+        jq=jq, js6=js6, js12=js12,
+        pair_m=pair_m, excl_m=excl_m, shift=shift,
+        duo=duo, duo_ovf=duo_ovf, duo_max=duo_max)
 
 
 def _prune_ng(xs, box, nlist: ClusterPairlist, prep: "PallasPrepV2U",
@@ -1483,6 +1578,7 @@ def pallas_cluster_forces_v2u(x, box, nlist: ClusterPairlist, nbfp,
     L = GJU * CLUSTER
 
     valid_atom = nlist.perm < n
+    n_rows = (C_pad // 2 + 1) * 2 * CLUSTER if prep.duo else ncl * CLUSTER
     xs = jnp.where(valid_atom[:, None],
                    x[jnp.minimum(nlist.perm, n - 1)],
                    1e4 + jnp.arange(n_pad, dtype=x.dtype)[:, None])
@@ -1496,31 +1592,56 @@ def pallas_cluster_forces_v2u(x, box, nlist: ClusterPairlist, nbfp,
         # at bf16 input precision and misplace atoms)
         xs = xs - (nlist.img[:, 0:1] * box[0] + nlist.img[:, 1:2] * box[1]
                    + nlist.img[:, 2:3] * box[2])
-    dummy = 2e4 + jnp.arange(extra, dtype=x.dtype)[:, None] * jnp.ones(3)
+    dummy = (2e4 + jnp.arange(n_rows - n_pad, dtype=x.dtype)[:, None]
+             * jnp.ones(3))
     xs = jnp.concatenate([xs, dummy])
-    xx = xs[:, 0].reshape(ncl, CLUSTER)
-    xy = xs[:, 1].reshape(ncl, CLUSTER)
-    xz = xs[:, 2].reshape(ncl, CLUSTER)
+    xx = xs[:ncl * CLUSTER, 0].reshape(ncl, CLUSTER)
+    xy = xs[:ncl * CLUSTER, 1].reshape(ncl, CLUSTER)
+    xz = xs[:ncl * CLUSTER, 2].reshape(ncl, CLUSTER)
 
-    packed = jnp.concatenate([xx, xy, xz], axis=1)            # (ncl, 24)
-    g = packed[prep.nbr2]                                     # (S,G,GJU,24)
-    if prep.shift is not None:
-        # fold the build-time periodic shift into the j coordinates so
-        # the kernel's per-pair minimum-image folds drop out; integer
-        # box-vector counts x box rows handles triclinic cells exactly
-        # (elementwise expansion — not a matmul — to stay off the bf16
-        # MXU path for coordinates)
-        sh = prep.shift.astype(x.dtype)
-        sL = (sh[..., 0:1] * box[0] + sh[..., 1:2] * box[1]
-              + sh[..., 2:3] * box[2])                        # (S,G,GJU,3)
-        g = g + jnp.repeat(sL, CLUSTER, axis=-1)              # 3*8 lanes
-    jx = g[..., 0:CLUSTER].reshape(S, G, L)
-    jy = g[..., CLUSTER:2 * CLUSTER].reshape(S, G, L)
-    jz = g[..., 2 * CLUSTER:].reshape(S, G, L)
+    if prep.duo:
+        # duo rows: 16 atoms / 48 lanes per gathered row — half the rows
+        # of the per-cluster gather at twice the width (row gathers
+        # serialize per row on TPU, so rows are the cost)
+        EW = 2 * CLUSTER
+        ncl_j = C_pad // 2 + 1
+        xj3 = xs[:, 0].reshape(ncl_j, EW), xs[:, 1].reshape(ncl_j, EW), \
+            xs[:, 2].reshape(ncl_j, EW)
+        packed = jnp.concatenate(xj3, axis=1)                 # (ncl_j, 48)
+        g = packed[prep.nbr2]                                 # (S,G,DJU,48)
+        if prep.shift is not None:
+            # per-member shifts (a duo's two clusters can sit in
+            # different periodic images of the i-block)
+            sh = prep.shift.reshape(S, G, DJU, 2, 3).astype(x.dtype)
+            sL = (sh[..., 0:1] * box[0] + sh[..., 1:2] * box[1]
+                  + sh[..., 2:3] * box[2])                  # (S,G,DJU,2,3)
+            add = jnp.concatenate(
+                [jnp.repeat(sL[..., d], CLUSTER, axis=-1) for d in range(3)],
+                axis=-1)                                    # (S,G,DJU,48)
+            g = g + add
+        jx = g[..., 0:EW].reshape(S, G, L)
+        jy = g[..., EW:2 * EW].reshape(S, G, L)
+        jz = g[..., 2 * EW:].reshape(S, G, L)
+    else:
+        packed = jnp.concatenate([xx, xy, xz], axis=1)        # (ncl, 24)
+        g = packed[prep.nbr2]                                 # (S,G,GJU,24)
+        if prep.shift is not None:
+            # fold the build-time periodic shift into the j coordinates so
+            # the kernel's per-pair minimum-image folds drop out; integer
+            # box-vector counts x box rows handles triclinic cells exactly
+            # (elementwise expansion — not a matmul — to stay off the bf16
+            # MXU path for coordinates)
+            sh = prep.shift.astype(x.dtype)
+            sL = (sh[..., 0:1] * box[0] + sh[..., 1:2] * box[1]
+                  + sh[..., 2:3] * box[2])                    # (S,G,GJU,3)
+            g = g + jnp.repeat(sL, CLUSTER, axis=-1)          # 3*8 lanes
+        jx = g[..., 0:CLUSTER].reshape(S, G, L)
+        jy = g[..., CLUSTER:2 * CLUSTER].reshape(S, G, L)
+        jz = g[..., 2 * CLUSTER:].reshape(S, G, L)
     box_diag = jnp.stack([box[0, 0], box[1, 1], box[2, 2]]).reshape(1, 3)
 
     ng = prep.ng
-    if prune:
+    if prune and not prep.duo:      # prune walks per-cluster bboxes only
         ng = jnp.minimum(ng, _prune_ng(xs, box, nlist, prep,
                                        max(params.rcoulomb, params.rvdw)))
 

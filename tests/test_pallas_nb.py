@@ -280,3 +280,71 @@ def test_pallas_v3u_virial_matches_v2u():
     np.testing.assert_allclose(float(ec3), float(ec2), rtol=1e-5)
     np.testing.assert_allclose(float(el3), float(el2), rtol=1e-5)
     np.testing.assert_allclose(np.asarray(v3), np.asarray(v2), rtol=1e-4)
+
+
+@pytest.mark.parametrize("coulomb", [CoulombType.PME,
+                                     CoulombType.REACTION_FIELD])
+@pytest.mark.parametrize("baked", [True, False])
+def test_pallas_v2u_duo_matches_xla_kernel(coulomb, baked):
+    """Duo-packed union streams (2-cluster rows, deduplicated; see
+    PallasPrepV2U.duo) must match the XLA cluster kernel exactly in
+    both the baked-shift and min-image flavors, including unwrapped
+    inputs and per-member shifts straddling the box boundary."""
+    from gromacs_fep_gpu_tpu.ops.pallas_nb import (pallas_cluster_forces_v2u,
+                                                   pallas_prepare_v2u)
+    params = MdParams(rcoulomb=0.55, rvdw=0.55, rlist=0.7, coulomb=coulomb)
+    system, state = water_box(8, spacing=0.31, seed=41)
+    beta = 3.5 if coulomb == CoulombType.PME else None
+    x = state.x.at[30:33].add(jnp.array([2.0 * state.box[0, 0],
+                                         -3.0 * state.box[1, 1], 0.0]))
+    nlist = build_cluster_pairlist(x, state.box, system, params.rlist,
+                                   nnbr=96, super_nnbr=256, super_block=4,
+                                   compute_shifts=baked)
+    assert int(nlist.super_overflow) == 0
+    prep = pallas_prepare_v2u(nlist, system.nbfp, duo=True)
+    assert prep.duo and int(prep.duo_ovf) == 0
+    assert (prep.shift is not None) == baked
+
+    rng = np.random.RandomState(9)
+    x2 = x + jnp.asarray(rng.uniform(-0.03, 0.03, x.shape), jnp.float32)
+    for xx in (x, x2):
+        f_ref, ec_ref, el_ref = cluster_nb_kernel(
+            xx, state.box, nlist, system.nbfp, params, beta, block=16,
+            lj_mode="geometric")
+        f_p, ec_p, el_p = pallas_cluster_forces_v2u(
+            xx, state.box, nlist, system.nbfp, params, beta, prep=prep,
+            interpret=True)
+        np.testing.assert_allclose(float(ec_p), float(ec_ref), rtol=1e-5)
+        np.testing.assert_allclose(float(el_p), float(el_ref), rtol=1e-5)
+        scale = float(jnp.abs(f_ref).max())
+        np.testing.assert_allclose(np.asarray(f_p), np.asarray(f_ref),
+                                   atol=2e-5 * scale)
+
+
+def test_pallas_v2u_duo_force_only_and_capped():
+    """Force-only flavor + a sufficient duo_g cap must equal the
+    uncapped duo pack (runner's super_g_duo tightening contract)."""
+    from gromacs_fep_gpu_tpu.ops.pallas_nb import (DJU,
+                                                   pallas_cluster_forces_v2u,
+                                                   pallas_prepare_v2u)
+    params = MdParams(rcoulomb=0.55, rvdw=0.55, rlist=0.6,
+                      coulomb=CoulombType.PME)
+    system, state = water_box(8, spacing=0.31, seed=42)
+    nlist = build_cluster_pairlist(state.x, state.box, system, params.rlist,
+                                   nnbr=96, super_nnbr=192, super_block=4,
+                                   compute_shifts=True)
+    assert int(nlist.super_overflow) == 0
+    full = pallas_prepare_v2u(nlist, system.nbfp, duo=True)
+    need = -(-int(full.duo_max) // DJU)
+    capped = pallas_prepare_v2u(nlist, system.nbfp, duo=True, duo_g=need)
+    assert int(capped.duo_ovf) == 0
+    f_ref, _, _ = cluster_nb_kernel(
+        state.x, state.box, nlist, system.nbfp, params, 3.5, block=16,
+        lj_mode="geometric")
+    for prep in (full, capped):
+        f_p, _, _ = pallas_cluster_forces_v2u(
+            state.x, state.box, nlist, system.nbfp, params, 3.5, prep=prep,
+            interpret=True, compute_energy=False)
+        scale = float(jnp.abs(f_ref).max())
+        np.testing.assert_allclose(np.asarray(f_p), np.asarray(f_ref),
+                                   atol=2e-5 * scale)
