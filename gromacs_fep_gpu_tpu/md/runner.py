@@ -89,6 +89,11 @@ class RunnerConfig:
     # packed duo-stream width in 16-row groups; maintained from the
     # duo_max flag exactly like super_g.  None = capacity worst case.
     super_g_duo: Optional[int] = None
+    # i-clusters per v2u union block (the kernel's i-tile height).
+    # 4 = the default union-of-4 (32 atoms); 2 halves the union-dilution
+    # of the pair lanes at ~2x the pair-search query count; 1 = tight
+    # per-cluster streams.  DD and v3u require 4.
+    pallas_bu: int = 4
     # candidate-tile capacity of the two-level pair search (its own knob:
     # deriving it from super_nnbr made the capacity shrink and the tile
     # growth fight each other).  None = formula default; grown from the
@@ -142,6 +147,13 @@ class MdRunner:
 
         self._dd_mesh = None
         self._dd_sort = None
+        if self.config.pallas_bu not in (1, 2, 4):
+            raise ValueError("pallas_bu must be 1, 2 or 4 (bitmasks hold "
+                             "<= 32 bits at 8 atoms per cluster)")
+        if self.config.pallas_mode == "v3u":
+            self.config.pallas_bu = 4
+        if self.config.pallas_bu == 1:
+            self.config.pallas_duo = False   # duo rows need even C_pad
         if self.config.pallas_prune:
             # the prune pass walks per-cluster bboxes; duo rows would
             # need their own bbox plane — prune callers keep clusters
@@ -150,8 +162,10 @@ class MdRunner:
             from ..parallel.mesh import SPATIAL_AXIS
             if self.config.mesh.shape.get(SPATIAL_AXIS, 1) > 1:
                 self._dd_mesh = self.config.mesh
-                # the DD halo override gathers per-cluster streams
+                # the DD halo override gathers per-cluster streams from
+                # 4-cluster blocks
                 self.config.pallas_duo = False
+                self.config.pallas_bu = 4
                 if self.config.pallas_mode == "v3u":
                     # the DD halo flavor exists for the v2u streams;
                     # same physics, marginally slower single-chip kernel
@@ -398,7 +412,7 @@ class MdRunner:
                             and cfg.pallas_mode in ("super", "v2u",
                                                     "v3u")
                             else None),
-                super_block=(4 if v2u else 8),
+                super_block=(cfg.pallas_bu if v2u else 8),
                 # DD: slab-sort along x (1-D ring) or the hierarchical
                 # equal-count sort (N-D grid) so contiguous cluster
                 # ranges are the spatial cells the halo owns (domdec
@@ -481,7 +495,8 @@ class MdRunner:
                     prep = pallas_prepare_v2u(nlist, self.system.nbfp,
                                               g_cap=cfg.super_g,
                                               duo=cfg.pallas_duo,
-                                              duo_g=cfg.super_g_duo)
+                                              duo_g=cfg.super_g_duo,
+                                              bu=cfg.pallas_bu)
                 elif cfg.pallas_mode == "v2":
                     from ..ops.pallas_nb import pallas_prepare_v2
                     prep = pallas_prepare_v2(nlist, self.system.nbfp)
@@ -741,7 +756,8 @@ class MdRunner:
                    self.config.pme_block_amax, self.config.super_g,
                    self.config.use_pallas, self._triclinic,
                    self.config.tile_cap, self.config.fixup_cap,
-                   self.config.pallas_duo, self.config.super_g_duo)
+                   self.config.pallas_duo, self.config.super_g_duo,
+                   self.config.pallas_bu)
             chunk = self._chunk_cache.get(key)
             if chunk is None:
                 chunk = self._build_chunk(seg_len, flavors)

@@ -1107,7 +1107,8 @@ DJU = 16        # duo mode: 2-cluster rows per group (16 x 16 = 256 lanes)
 def _make_kernel_v2u(n_groups: int, params: MdParams, beta, epsfac: float,
                      compute_energy: bool = True,
                      baked_shifts: bool = False,
-                     compute_virial: bool = False):
+                     compute_virial: bool = False,
+                     bu: int = BU):
     """baked_shifts: j coordinates arrive pre-shifted to the i-block's
     periodic image (rebuild-time shifts folded in by the caller, the
     reference's per-entry shift-vector index, nbnxm/pairlist.h) — the
@@ -1157,9 +1158,9 @@ def _make_kernel_v2u(n_groups: int, params: MdParams, beta, epsfac: float,
             s6i = col(is6_ref) * 6.0
             s12i = col(is12_ref) * 12.0
         # bit index c*8 + a for the (cluster, atom) sublane pair
-        sh = (jax.lax.broadcasted_iota(jnp.int32, (BU, CLUSTER, 1), 0)
+        sh = (jax.lax.broadcasted_iota(jnp.int32, (bu, CLUSTER, 1), 0)
               * CLUSTER
-              + jax.lax.broadcasted_iota(jnp.int32, (BU, CLUSTER, 1), 1))
+              + jax.lax.broadcasted_iota(jnp.int32, (bu, CLUSTER, 1), 1))
 
         def j_group(g, acc):
             fx, fy, fz, e_c, e_lj, vxx, vyy, vzz = acc
@@ -1246,7 +1247,7 @@ def _make_kernel_v2u(n_groups: int, params: MdParams, beta, epsfac: float,
                 vzz = vzz + jnp.sum(fscal * dz * dz)
             return fx, fy, fz, e_c, e_lj, vxx, vyy, vzz
 
-        z = jnp.zeros((BU, CLUSTER, L), jnp.float32)
+        z = jnp.zeros((bu, CLUSTER, L), jnp.float32)
         zs = jnp.float32(0.0)
         fx, fy, fz, e_c, e_lj, vxx, vyy, vzz = jax.lax.fori_loop(
             0, jnp.minimum(ng_ref[0, 0, 0], n_groups), j_group,
@@ -1300,7 +1301,8 @@ class PallasPrepV2U:
 def pallas_prepare_v2u(nlist: ClusterPairlist, nbfp,
                        g_cap: Optional[int] = None,
                        duo: bool = False,
-                       duo_g: Optional[int] = None) -> PallasPrepV2U:
+                       duo_g: Optional[int] = None,
+                       bu: int = BU) -> PallasPrepV2U:
     """Pack the union-of-4 lists (+shifts, bitmasks) for the v2u kernel.
     Requires nlist built with super_nnbr=..., super_block=4 and
     compute_shifts=True.
@@ -1319,8 +1321,9 @@ def pallas_prepare_v2u(nlist: ClusterPairlist, nbfp,
     n_pad = nlist.n_pad
     C = nlist.n_clusters
     S = nlist.nbr_super.shape[0]
-    assert S * BU >= C, "pair list built with super_block != 4"
-    C_pad = S * BU
+    assert S * bu >= C, "pair list super_block does not match bu"
+    assert bu * CLUSTER <= 32, "pair/exclusion bitmasks hold <= 32 bits"
+    C_pad = S * bu
     nnbr = nlist.nbr_super.shape[1]
     K = nlist.excl.shape[1]
     ncl = C_pad + 1
@@ -1361,7 +1364,7 @@ def pallas_prepare_v2u(nlist: ClusterPairlist, nbfp,
     if duo:
         from .pairlist import _pack_valid
         EW = 2 * CLUSTER                       # atoms per duo row
-        ND = C_pad // 2                        # duo count (BU=4 -> even)
+        ND = C_pad // 2                        # duo count (even C_pad)
         full = nlist.nbr_super.shape[1]
         ids0 = jnp.where(nlist.nbr_super >= 0, nlist.nbr_super, C)
         if nlist.super_shift is not None:
@@ -1450,17 +1453,17 @@ def pallas_prepare_v2u(nlist: ClusterPairlist, nbfp,
             shift = jnp.pad(nlist.super_shift[:, :nnbr],
                             ((0, 0), (0, nnbr_pad - nnbr), (0, 0))
                             ).reshape(S, G, GJU, 3)
-    pvi = pvp[:C_pad].reshape(S, BU, CLUSTER)
+    pvi = pvp[:C_pad].reshape(S, bu, CLUSTER)
     iid = (jnp.arange(C_pad, dtype=jnp.int32)[:, None] * CLUSTER
            + jnp.arange(CLUSTER, dtype=jnp.int32)
-           ).reshape(S, BU, CLUSTER)
+           ).reshape(S, bu, CLUSTER)
     excl = jnp.concatenate(
         [nlist.excl, jnp.full((extra, K), -1, jnp.int32)])
-    ei = excl[:C_pad * CLUSTER].reshape(S, BU, CLUSTER, K)
+    ei = excl[:C_pad * CLUSTER].reshape(S, bu, CLUSTER, K)
 
     pair_m = jnp.zeros((S, G, GJU * CLUSTER), jnp.int32)
     excl_m = jnp.zeros((S, G, GJU * CLUSTER), jnp.int32)
-    for c in range(BU):
+    for c in range(bu):
         for a in range(CLUSTER):
             b = c * CLUSTER + a
             pv_ia = pvi[:, c, a][:, None, None]
@@ -1474,7 +1477,7 @@ def pallas_prepare_v2u(nlist: ClusterPairlist, nbfp,
             excl_m = excl_m | ((~exm).astype(jnp.int32) << b)
 
     def i3(a):
-        return a[:C_pad].reshape(S, BU, CLUSTER)
+        return a[:C_pad].reshape(S, bu, CLUSTER)
 
     return PallasPrepV2U(
         iq=i3(q), is6=i3(s6), is12=i3(s12), ng=ng, nbr2=nbr2,
@@ -1497,7 +1500,8 @@ def _prune_ng(xs, box, nlist: ClusterPairlist, prep: "PallasPrepV2U",
     n = nlist.inv_perm.shape[0]
     n_pad = nlist.n_pad
     S, G, _ = prep.nbr2.shape
-    C_pad = S * BU
+    bu = prep.iq.shape[1]
+    C_pad = S * bu
     ncl = C_pad + 1
 
     xc = xs.reshape(ncl, CLUSTER, 3)[:C_pad]
@@ -1517,10 +1521,10 @@ def _prune_ng(xs, box, nlist: ClusterPairlist, prep: "PallasPrepV2U",
     bb_lo = jnp.where(cl_ok[:, None], bb_lo, far)
     bb_hi = jnp.where(cl_ok[:, None], bb_hi, far)
 
-    # i-block bbox over BU member clusters
-    lo_b = jnp.min(bb_lo.reshape(S, BU, 3), axis=1)
-    hi_b = jnp.max(jnp.where(bb_hi.reshape(S, BU, 3) > 4e5, -far,
-                             bb_hi.reshape(S, BU, 3)), axis=1)
+    # i-block bbox over the block's member clusters
+    lo_b = jnp.min(bb_lo.reshape(S, bu, 3), axis=1)
+    hi_b = jnp.max(jnp.where(bb_hi.reshape(S, bu, 3) > 4e5, -far,
+                             bb_hi.reshape(S, bu, 3)), axis=1)
     cen_i = 0.5 * (lo_b + hi_b)
     hw_i = jnp.maximum(0.5 * (hi_b - lo_b), 0.0)
 
@@ -1571,7 +1575,8 @@ def pallas_cluster_forces_v2u(x, box, nlist: ClusterPairlist, nbfp,
     n = nlist.inv_perm.shape[0]
     n_pad = nlist.n_pad
     S = prep.iq.shape[0]
-    C_pad = S * BU
+    bu = prep.iq.shape[1]
+    C_pad = S * bu
     ncl = C_pad + 1
     extra = ncl * CLUSTER - n_pad
     G = prep.nbr2.shape[1]
@@ -1649,15 +1654,15 @@ def pallas_cluster_forces_v2u(x, box, nlist: ClusterPairlist, nbfp,
     kernel = _make_kernel_v2u(G, params, beta, epsfac,
                               compute_energy=compute_energy,
                               baked_shifts=prep.shift is not None,
-                              compute_virial=compute_virial)
+                              compute_virial=compute_virial, bu=bu)
 
-    iblk = pl.BlockSpec((1, BU, CLUSTER), lambda i: (i, 0, 0),
+    iblk = pl.BlockSpec((1, bu, CLUSTER), lambda i: (i, 0, 0),
                         memory_space=pltpu.VMEM)
     jrow = pl.BlockSpec((1, G, L), lambda i: (i, 0, 0),
                         memory_space=pltpu.VMEM)
 
     def i3x(a):
-        return a[:C_pad].reshape(S, BU, CLUSTER)
+        return a[:C_pad].reshape(S, bu, CLUSTER)
 
     ne = 5 if compute_virial else 2
     fx, fy, fz, e = pl.pallas_call(
@@ -1679,9 +1684,9 @@ def pallas_cluster_forces_v2u(x, box, nlist: ClusterPairlist, nbfp,
                          memory_space=pltpu.SMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((S, BU, CLUSTER), jnp.float32),
-            jax.ShapeDtypeStruct((S, BU, CLUSTER), jnp.float32),
-            jax.ShapeDtypeStruct((S, BU, CLUSTER), jnp.float32),
+            jax.ShapeDtypeStruct((S, bu, CLUSTER), jnp.float32),
+            jax.ShapeDtypeStruct((S, bu, CLUSTER), jnp.float32),
+            jax.ShapeDtypeStruct((S, bu, CLUSTER), jnp.float32),
             jax.ShapeDtypeStruct((S, 1, ne), jnp.float32),
         ],
         interpret=interpret,
@@ -1942,8 +1947,9 @@ def pallas_prepare_v3u(nlist: ClusterPairlist, nbfp,
     n_pad = nlist.n_pad
     C = nlist.n_clusters
     S = nlist.nbr_super.shape[0]
-    assert S * BU >= C, "pair list built with super_block != 4"
-    C_pad = S * BU
+    assert S * bu >= C, "pair list super_block does not match bu"
+    assert bu * CLUSTER <= 32, "pair/exclusion bitmasks hold <= 32 bits"
+    C_pad = S * bu
     nnbr = nlist.nbr_super.shape[1]
     K = nlist.excl.shape[1]
     ncl = C_pad + 1
@@ -2129,7 +2135,7 @@ def pallas_cluster_forces_v3u(x, box, nlist: ClusterPairlist, nbfp,
                         memory_space=pltpu.VMEM)
 
     def i3x(a):
-        return a[:C_pad].reshape(S, BU, CLUSTER)
+        return a[:C_pad].reshape(S, bu, CLUSTER)
 
     ne = 5 if compute_virial else 2
     fx, fy, fz, e = pl.pallas_call(
