@@ -1947,9 +1947,9 @@ def pallas_prepare_v3u(nlist: ClusterPairlist, nbfp,
     n_pad = nlist.n_pad
     C = nlist.n_clusters
     S = nlist.nbr_super.shape[0]
-    assert S * bu >= C, "pair list super_block does not match bu"
-    assert bu * CLUSTER <= 32, "pair/exclusion bitmasks hold <= 32 bits"
-    C_pad = S * bu
+    assert S * BU >= C, "pair list super_block does not match BU"
+    assert BU * CLUSTER <= 32, "pair/exclusion bitmasks hold <= 32 bits"
+    C_pad = S * BU
     nnbr = nlist.nbr_super.shape[1]
     K = nlist.excl.shape[1]
     ncl = C_pad + 1
@@ -2135,7 +2135,7 @@ def pallas_cluster_forces_v3u(x, box, nlist: ClusterPairlist, nbfp,
                         memory_space=pltpu.VMEM)
 
     def i3x(a):
-        return a[:C_pad].reshape(S, bu, CLUSTER)
+        return a[:C_pad].reshape(S, BU, CLUSTER)
 
     ne = 5 if compute_virial else 2
     fx, fy, fz, e = pl.pallas_call(
