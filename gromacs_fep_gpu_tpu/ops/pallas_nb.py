@@ -1288,6 +1288,12 @@ class PallasPrepV2U:
     # duos (id >> 1): adjacent Hilbert-sorted clusters usually co-occur
     # in a block's list, so entries shrink ~1.77x while masked inflation
     # lanes (a duo member NOT in the list) cost ~+13% kernel lanes.
+    # Momentum caveat: an inflation lane evaluates its pair one-sidedly —
+    # if an unlisted pair drifts inside the cutoff during the nstlist
+    # window, the reverse block has no matching lane, slightly breaking
+    # Newton's third law.  The error class (and magnitude bound) is the
+    # same as an ordinary missing-pair drift event, covered by the
+    # verlet-buffer drift tolerance (md/verletbuf.py).
     # The per-step coordinate gather fetches half the rows at twice the
     # width — row gathers serialize per row on TPU, so this halves the
     # dominant per-step gather cost.  nbr2 is then (S, G, DJU) duo ids,
@@ -1367,6 +1373,10 @@ def pallas_prepare_v2u(nlist: ClusterPairlist, nbfp,
         ND = C_pad // 2                        # duo count (even C_pad)
         full = nlist.nbr_super.shape[1]
         ids0 = jnp.where(nlist.nbr_super >= 0, nlist.nbr_super, C)
+        # the composite key packs the cluster id above 12 shift bits;
+        # ids must fit the remaining int32 headroom (2^19 clusters =
+        # ~4.2M atoms — far above any single-chip system)
+        assert C < (1 << 19), "duo sort key overflows int32 at C >= 2^19"
         if nlist.super_shift is not None:
             # composite sort key carries the per-entry shift through the
             # id sort (shifts are small box-vector counts; |s| <= 7 holds
@@ -1399,8 +1409,13 @@ def pallas_prepare_v2u(nlist: ClusterPairlist, nbfp,
         if sh_s is not None:
             # per-member shifts: the sorted order puts a duo's two
             # clusters adjacent, so the dropped partner's shift is read
-            # from the next sorted entry; absent members are masked
-            # (pair_m = 0), their shift value is arbitrary
+            # from the next sorted entry.  Only sentinel rows
+            # (vmask=false) have pair_m=0/arbitrary shift; an ABSENT duo
+            # member (partner not in the union list) keeps pair_m=1 and
+            # is suppressed by the cutoff alone, so its inherited shift
+            # must be a genuine periodic image — the duo's two clusters
+            # are spatially adjacent, so the partner's shift is the
+            # correct image for both members
             nxt_id = jnp.concatenate(
                 [ids_s[:, 1:], jnp.full((S, 1), -1, ids_s.dtype)], axis=1)
             nxt_sh = jnp.concatenate(

@@ -80,6 +80,12 @@ def ensure_live_backend(probe_timeout: float = _PROBE_TIMEOUT,
     if getattr(xla_bridge, "_backends", None):
         return None                       # already initialized
     factories = getattr(xla_bridge, "_backend_factories", {})
+    if os.environ.get("TPUMD_FORCE_CPU") == "1":
+        # explicit CPU pin (bench.py's watchdog parent sets this after a
+        # mid-run tunnel wedge: the probe cache may still say "live")
+        factories.pop("axon", None)
+        jax.config.update("jax_platforms", "cpu")
+        return "cpu"
     if "axon" not in factories:
         return None                       # plain env (tests, CPU boxes)
 
