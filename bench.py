@@ -117,6 +117,7 @@ def _equilibrated_state(n_side: int, use_pme: bool, eq_steps: int):
             state, extra = load_checkpoint(cache, state)
             caps = {k: int(v) for k, v in
                     json.loads(str(extra.get("caps", "{}"))).items()}
+            caps.update(_load_caps(n_side))   # warmup-learned caps, if any
             return system, state, caps
         except Exception as e:
             print(f"eq cache unreadable ({e}); re-equilibrating",
@@ -138,6 +139,30 @@ def _equilibrated_state(n_side: int, use_pme: bool, eq_steps: int):
     return system, state, caps
 
 
+def _caps_path(n_side):
+    return f"/tmp/tpumd_bench_caps_{n_side}.json"
+
+
+def _load_caps(n_side):
+    try:
+        with open(_caps_path(n_side)) as f:
+            return {k: int(v) for k, v in json.load(f).items()}
+    except (OSError, ValueError):
+        return {}
+
+
+def _store_caps(n_side, caps):
+    """Persist warmup-learned list capacities so the next bench
+    invocation starts at the settled sizes — capacity growth recompiles
+    the whole chunk program (~40 s each through the tunnel) and was the
+    bulk of the measured phase wall time."""
+    try:
+        with open(_caps_path(n_side), "w") as f:
+            json.dump({k: int(v) for k, v in caps.items()}, f)
+    except OSError:
+        pass
+
+
 def _timed_run(system, state, params, caps, nsteps):
     """Compile + settle capacities, then time two windows; returns
     (state, ns_day, ms_step)."""
@@ -145,13 +170,13 @@ def _timed_run(system, state, params, caps, nsteps):
     import jax.numpy as jnp
     from gromacs_fep_gpu_tpu.md.runner import MdRunner, RunnerConfig
     _pallas_ok = jax.default_backend() not in ("cpu",)
-    runner = MdRunner(system, params,
-                      RunnerConfig(use_pallas=_pallas_ok,
-                                   super_nnbr=max(448,
-                                                  caps.get("super_nnbr", 0)),
-                                   fep_max_nbr=max(512,
-                                                   caps.get("fep_max_nbr",
-                                                            0))))
+    cfg = RunnerConfig(use_pallas=_pallas_ok,
+                       super_nnbr=max(448, caps.get("super_nnbr", 0)),
+                       fep_max_nbr=max(512, caps.get("fep_max_nbr", 0)))
+    for k in ("super_g", "tile_cap", "pme_block_amax"):
+        if caps.get(k):
+            setattr(cfg, k, caps[k])
+    runner = MdRunner(system, params, cfg)
 
     def _caps():
         return (runner.config.super_nnbr, runner.config.fep_max_nbr,
@@ -170,6 +195,10 @@ def _timed_run(system, state, params, caps, nsteps):
                              runner.config.super_nnbr)
     caps["fep_max_nbr"] = max(caps.get("fep_max_nbr", 0),
                               runner.config.fep_max_nbr)
+    for k in ("super_g", "tile_cap", "pme_block_amax"):
+        v = getattr(runner.config, k)
+        if v:
+            caps[k] = max(caps.get(k, 0), int(v))
 
     # drain the dispatch pipeline before timing: through the axon tunnel
     # block_until_ready is not a reliable barrier — only a value fetch
@@ -226,7 +255,7 @@ def _parity_gate(system, state, params):
                                                    pallas_prepare_v2u)
     beta = get_beta(params)
     nlist = build_cluster_pairlist(state.x, state.box, system, params.rlist,
-                                   nnbr=96, super_nnbr=640, super_block=4,
+                                   nnbr=288, super_nnbr=640, super_block=4,
                                    compute_shifts=True)
     if int(nlist.super_overflow) or int(nlist.n_overflow):
         return {"parity_ok": False, "parity_err": "pairlist overflow"}
@@ -269,21 +298,31 @@ def _phase_c12k():
     on_tpu = fallback != "cpu" and jax.default_backend() != "cpu"
     out = {"backend": jax.default_backend()}
 
+    _t0 = time.time()
+
+    def _mark_t(stage):
+        print(f"[c12k] {stage} at {time.time() - _t0:.0f}s",
+              file=sys.stderr, flush=True)
+
     system, state, caps = _equilibrated_state(n_side, use_pme,
                                               eq_steps=600)
+    _mark_t("eq done")
     if on_tpu and use_pme:
         try:
             out.update(_parity_gate(system, state, params=_base_params(
                 n_side, use_pme, mts=False)))
         except Exception as e:
             out["parity_err"] = f"{type(e).__name__}: {e}"[:160]
+        _mark_t("parity done")
 
     # headline: the MTS production config (PME recip every 2 steps)
     p_mts = _base_params(n_side, use_pme, mts=True)
     state, ns_mts, ms_mts = _timed_run(system, state, p_mts, caps, nsteps)
+    _mark_t("mts timed")
     out.update(n_atoms=system.n_atoms, ns_day_mts2=round(ns_mts, 2),
                ms_step_mts2=round(ms_mts, 3))
     out.update(_pair_stats(system, state, p_mts, ms_mts))
+    _mark_t("pair stats")
     _emit(out)                          # partial emit: headline secured
 
     # continuity: non-MTS (the metric rounds 1-3 tracked)
@@ -292,6 +331,7 @@ def _phase_c12k():
                                            nsteps)
     out.update(ns_day_nomts=round(ns_plain, 2),
                ms_step_nomts=round(ms_plain, 3))
+    _store_caps(n_side, caps)
     _emit(out)
 
 
@@ -317,6 +357,7 @@ def _phase_c81k():
                                            nsteps)
     out.update(ns_day_81k=round(ns_plain, 2),
                ms_step_81k=round(ms_plain, 3))
+    _store_caps(30, caps)
     _emit(out)
 
 
@@ -328,11 +369,12 @@ def _emit(payload: dict):
 # parent orchestrator (stdlib only — must never import jax)
 # ----------------------------------------------------------------------
 
-def _run_phase(name: str, env: dict, timeout: float):
-    """Run `bench.py --phase name` under a watchdog; returns the LAST
-    marker payload the child printed (phases emit partial results as
-    they go, so a timeout mid-phase still salvages the earlier
-    measurements) or None."""
+def _run_phase(name: str, env: dict, timeout: float, on_marker=None):
+    """Run `bench.py --phase name` under a watchdog, STREAMING its
+    stdout: each marker payload is forwarded to `on_marker` the moment
+    the child prints it, so a later wedge cannot take down results that
+    were already measured.  Returns the LAST marker payload or None."""
+    import selectors
     try:
         proc = subprocess.Popen(
             [sys.executable, os.path.abspath(__file__), "--phase", name],
@@ -341,24 +383,44 @@ def _run_phase(name: str, env: dict, timeout: float):
         print(f"bench: phase {name} failed to spawn: {e}", file=sys.stderr)
         return None
     result = None
-    try:
-        out, _ = proc.communicate(timeout=timeout)
-    except subprocess.TimeoutExpired:
+    deadline = time.time() + timeout
+    sel = selectors.DefaultSelector()
+    sel.register(proc.stdout, selectors.EVENT_READ)
+    buf = ""
+    timed_out = False
+    while True:
+        wait = deadline - time.time()
+        if wait <= 0:
+            timed_out = True
+            break
+        if not sel.select(timeout=min(wait, 5.0)):
+            if proc.poll() is not None:
+                break
+            continue
+        chunk = proc.stdout.readline()
+        if chunk == "":                 # EOF
+            break
+        buf += chunk
+        while "\n" in buf:
+            line, buf = buf.split("\n", 1)
+            if line.startswith(_MARK):
+                try:
+                    result = json.loads(line[len(_MARK):])
+                    if on_marker is not None:
+                        on_marker(result)
+                except json.JSONDecodeError:
+                    pass
+            else:
+                print(line, file=sys.stderr)
+    sel.unregister(proc.stdout)
+    if timed_out:
         proc.kill()
-        try:
-            out, _ = proc.communicate(timeout=10)
-        except subprocess.TimeoutExpired:
-            out = ""
         print(f"bench: phase {name} hit its {timeout:.0f}s watchdog",
               file=sys.stderr)
-    for line in (out or "").splitlines():
-        if line.startswith(_MARK):
-            try:
-                result = json.loads(line[len(_MARK):])
-            except json.JSONDecodeError:
-                pass
-        else:
-            print(line, file=sys.stderr)
+    try:
+        proc.wait(timeout=10)
+    except subprocess.TimeoutExpired:
+        pass
     return result
 
 
@@ -416,8 +478,18 @@ def main():
         note = ("TPU tunnel unreachable at probe; CPU smoke fallback at "
                 "reduced scale — not a TPU measurement")
 
+    emitted = [False]
+
+    def _headline(payload):
+        # print the headline line the MOMENT the MTS number exists — a
+        # later wedge can then no longer cost the round its artifact
+        if not emitted[0] and "ns_day_mts2" in payload:
+            emitted[0] = True
+            print(json.dumps(_mk_result(payload, note)), flush=True)
+
     c12 = _run_phase("c12k", env, timeout=max(90.0, min(rem() - 30.0,
-                                                        420.0)))
+                                                        540.0)),
+                     on_marker=_headline)
     if c12 is None and live:
         # tunnel answered the probe but wedged mid-phase: one CPU smoke
         # attempt so the artifact still parses
@@ -438,7 +510,7 @@ def main():
         return
 
     result = _mk_result(c12, note)
-    print(json.dumps(result), flush=True)   # headline secured
+    print(json.dumps(result), flush=True)   # full 12k line
 
     skip81 = env.get("BENCH_SKIP_81K", os.environ.get("BENCH_SKIP_81K",
                                                       "0")) == "1"

@@ -89,3 +89,75 @@ def test_mts_mdp_keys(tmp_path):
                       "mts-level2-forces = longrange-nonbonded\n")[0]
     assert p.mts and p.mts_factor == 4
     assert p.mts_forces == "longrange-nonbonded"
+
+
+def test_mts_nve_drift():
+    """NVE energy conservation under the MTS impulse scheme (the
+    production FEP config benchmarks with): drift must stay within the
+    same verlet-buffer-tolerance budget as the every-step integrator
+    (reference: the MTS validation bound discussed in
+    mdtypes/multipletimestepping.h — factor-2 recip impulses at dt=1 fs
+    are well inside the resonance limit)."""
+    from gromacs_fep_gpu_tpu.md.runner import concat_logs
+    system, state = water_box(5, spacing=0.31, seed=12, temperature=300.0)
+    n = system.n_atoms
+    box_l = 5 * 0.31
+    grid = pme_grid_size((box_l,) * 3, 0.12)
+    params = MdParams(dt=0.001, nstlist=10, coulomb=CoulombType.PME,
+                      rcoulomb=0.62, rvdw=0.62, rlist=0.7, pme_grid=grid,
+                      nstcomm=0, nstcalcenergy=2, mts=True, mts_factor=2)
+    eq_params = params.replace(tcoupl=TcouplType.V_RESCALE, ref_t=300.0,
+                               tau_t=0.1, nsttcouple=2, dt=0.0005)
+    eq = MdRunner(system, eq_params, RunnerConfig(nnbr=128))
+    state, _ = eq.run(state, 400)
+
+    runner = MdRunner(system, params, RunnerConfig(nnbr=128))
+    state, logs = runner.run(state, 1000)
+    log = concat_logs(logs)
+    etot = np.asarray(log.epot) + np.asarray(log.ekin)
+    m = np.isfinite(etot)
+    etot = etot[m]
+    assert etot.size >= 400 and np.isfinite(etot).all()
+    t = np.arange(etot.size) * params.dt * 2   # energy every 2 steps
+    slope = np.polyfit(t, etot, 1)[0]
+    per_atom = abs(slope) / n
+    assert per_atom < 0.02, f"MTS NVE drift {per_atom:.4f} kJ/mol/ps/atom"
+
+
+def test_mts_dhdl_matches_plain_on_energy_steps():
+    """dhdl/foreign-lambda output on MTS energy steps must equal the
+    every-step-recip run exactly at step 0 (identical state, full-recip
+    forces on impulse steps): MTS must not change the FEP estimator,
+    only the integration schedule (reference: dhdl is assembled from
+    full-potential energies at nstcalcenergy steps,
+    mdlib/sim_util.cpp energy steps)."""
+    from gromacs_fep_gpu_tpu.core.types import FepParams
+    from gromacs_fep_gpu_tpu.models.solvation import solvation_system
+    system, state = solvation_system(n_side=5, spacing=0.31, seed=3,
+                                     temperature=300.0)
+    state = state.replace(lam=state.lam.at[2].set(0.5).at[3].set(0.5))
+    box_l = 5 * 0.31
+    grid = pme_grid_size((box_l,) * 3, 0.12)
+    fep = FepParams(enabled=True, sc_alpha=0.5, sc_coul=True, sc_sigma=0.3,
+                    all_lambda=np.linspace(0.0, 1.0, 5))
+    params = MdParams(dt=0.001, nstlist=10, coulomb=CoulombType.PME,
+                      rcoulomb=0.62, rvdw=0.62, rlist=0.7, pme_grid=grid,
+                      nstcalcenergy=2, fep=fep)
+    r_plain = MdRunner(system, params, RunnerConfig(fep_max_nbr=256))
+    r_mts = MdRunner(system, params.replace(mts=True, mts_factor=2),
+                     RunnerConfig(fep_max_nbr=256))
+    _, logs_p = r_plain.run(state, 10)
+    _, logs_m = r_mts.run(state, 10)
+    from gromacs_fep_gpu_tpu.md.runner import concat_logs
+    lp, lm = concat_logs(logs_p), concat_logs(logs_m)
+    dv_p = np.asarray(lp.dvdl)
+    dv_m = np.asarray(lm.dvdl)
+    fin = np.isfinite(dv_p[:, 3])
+    # step 0: identical state -> identical dvdl and foreign-lambda dH
+    np.testing.assert_allclose(dv_m[fin][0], dv_p[fin][0],
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(lm.delta_h)[fin][0],
+                               np.asarray(lp.delta_h)[fin][0],
+                               rtol=1e-6, atol=1e-5)
+    # later energy steps stay close (trajectories diverge slowly)
+    np.testing.assert_allclose(dv_m[fin], dv_p[fin], rtol=5e-2, atol=5.0)
