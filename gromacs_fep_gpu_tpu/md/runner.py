@@ -46,8 +46,6 @@ class RunnerConfig:
     pallas_interpret: bool = False
     # "v2u": union j-streams shared by 4-cluster i-blocks (default,
     #        fastest: fewest gathered rows at moderate pair-slot count);
-    # "v3u": v2u with mask-needing entries split into a per-block fixup
-    #        group (measured slightly slower than v2u on v5e at 81k);
     # "v2": per-i-cluster tight streams with baked-in shifts;
     # "cluster": per-i-cluster j streams, 2D grid;
     # "super": one shared j stream per 64-atom supercluster
@@ -60,12 +58,6 @@ class RunnerConfig:
     # frac_coords image counts (core/pbc.py) — the bf16 MXU default
     # misplaced boundary atoms by whole boxes.
     pallas_baked_shifts: bool = True
-    # per-step dynamic prune of the union j-stream trip counts at the
-    # interaction cutoff (reference: nbnxm_cuda_kernel_pruneonly.cuh).
-    # Default off: exact but a net loss at GJU=32 group granularity —
-    # the prune pass costs ~0.3 ms and shaves only ~1 group per block
-    # (measured 12k atoms, TPU v5e; still a net loss at 81k: +3.5 ms)
-    pallas_prune: bool = False
     # static cap (in GJU-cluster groups) on the packed v2u j-stream.
     # List CAPACITY (super_nnbr) carries 1.25x-growth headroom for the
     # worst block ever observed, but every per-step cost that scales
@@ -84,7 +76,7 @@ class RunnerConfig:
     # Measured on TPU v5e: NEUTRAL at 12k and ~5% SLOWER at 81k — the
     # row-count model did not hold (the XLA row gather is not purely
     # per-row-bound), so default off; kept as an exact, tested variant.
-    # Single-chip v2u only; DD and the prune path use per-cluster streams.
+    # Single-chip v2u only; DD uses per-cluster streams.
     pallas_duo: bool = False
     # packed duo-stream width in 16-row groups; maintained from the
     # duo_max flag exactly like super_g.  None = capacity worst case.
@@ -92,17 +84,13 @@ class RunnerConfig:
     # i-clusters per v2u union block (the kernel's i-tile height).
     # 4 = the default union-of-4 (32 atoms); 2 halves the union-dilution
     # of the pair lanes at ~2x the pair-search query count; 1 = tight
-    # per-cluster streams.  DD and v3u require 4.
+    # per-cluster streams.  DD requires 4.
     pallas_bu: int = 4
     # candidate-tile capacity of the two-level pair search (its own knob:
     # deriving it from super_nnbr made the capacity shrink and the tile
     # growth fight each other).  None = formula default; grown from the
     # tile_max flag like the other capacities.
     tile_cap: Optional[int] = None
-    # v3u fixup-stream capacity (entries per block needing pair/exclusion
-    # masks: own clusters + exclusion-partner clusters).  Grown on the
-    # fx_overflow flag; must stay a multiple of 32 (one j-group).
-    fixup_cap: int = 32
     # spatial domain decomposition: a jax.sharding.Mesh with a 'spatial'
     # axis (parallel/mesh.py make_mesh).  Atoms are slab-sorted along x,
     # each device owns a contiguous cluster slab, positions move by
@@ -150,14 +138,8 @@ class MdRunner:
         if self.config.pallas_bu not in (1, 2, 4):
             raise ValueError("pallas_bu must be 1, 2 or 4 (bitmasks hold "
                              "<= 32 bits at 8 atoms per cluster)")
-        if self.config.pallas_mode == "v3u":
-            self.config.pallas_bu = 4
         if self.config.pallas_bu == 1:
             self.config.pallas_duo = False   # duo rows need even C_pad
-        if self.config.pallas_prune:
-            # the prune pass walks per-cluster bboxes; duo rows would
-            # need their own bbox plane — prune callers keep clusters
-            self.config.pallas_duo = False
         if self.config.mesh is not None and not self.config.use_dense:
             from ..parallel.mesh import SPATIAL_AXIS
             if self.config.mesh.shape.get(SPATIAL_AXIS, 1) > 1:
@@ -166,10 +148,6 @@ class MdRunner:
                 # 4-cluster blocks
                 self.config.pallas_duo = False
                 self.config.pallas_bu = 4
-                if self.config.pallas_mode == "v3u":
-                    # the DD halo flavor exists for the v2u streams;
-                    # same physics, marginally slower single-chip kernel
-                    self.config.pallas_mode = "v2u"
                 if self.config.pallas_mode != "v2u":
                     # only the v2u union-stream kernel has a DD flavor
                     self.config.use_pallas = False
@@ -283,7 +261,6 @@ class MdRunner:
             block=self.config.kernel_block,
             use_pallas=self.config.use_pallas,
             pallas_interpret=self.config.pallas_interpret,
-            pallas_prune=self.config.pallas_prune,
             pme_recip_force_fn=self.recip_force_fn,
             nb_kernel_override=nb_override)
 
@@ -330,7 +307,7 @@ class MdRunner:
         vir_active = (compute_pressure and not self.config.use_dense
                       and self._dd_mesh is None
                       and (not self.config.use_pallas
-                           or self.config.pallas_mode in ("v2u", "v3u"))
+                           or self.config.pallas_mode == "v2u")
                       and p.pcoupltype != "anisotropic")
         noener_active = (not self.config.use_dense and p.nstcalcenergy > 1)
         exp = p.expanded
@@ -400,7 +377,7 @@ class MdRunner:
         def rebuild(state: State):
             if cfg.use_dense:
                 return None, None, None, None, jnp.zeros((9,), jnp.int32)
-            v2u = cfg.use_pallas and cfg.pallas_mode in ("v2u", "v3u")
+            v2u = cfg.use_pallas and cfg.pallas_mode == "v2u"
             nlist = build_cluster_pairlist(
                 state.x, state.box, self.system, rl,
                 # the v2u path consumes only the union list; a stub
@@ -409,8 +386,7 @@ class MdRunner:
                 cell_size=cfg.cell_size,
                 super_nnbr=(cfg.super_nnbr
                             if cfg.use_pallas
-                            and cfg.pallas_mode in ("super", "v2u",
-                                                    "v3u")
+                            and cfg.pallas_mode in ("super", "v2u")
                             else None),
                 super_block=(cfg.pallas_bu if v2u else 8),
                 # DD: slab-sort along x (1-D ring) or the hierarchical
@@ -426,12 +402,8 @@ class MdRunner:
                 # per-pair min-image folds)
                 compute_shifts=(cfg.use_pallas
                                 and (cfg.pallas_mode == "v2"
-                                     or (cfg.pallas_mode in ("v2u", "v3u")
+                                     or (cfg.pallas_mode == "v2u"
                                          and cfg.pallas_baked_shifts))),
-                # dynamic prune walks a distance-ordered prefix; all
-                # other consumers only need front-packed streams, which
-                # the sort-free compaction builds much cheaper
-                ordered_super=(v2u and cfg.pallas_prune),
                 triclinic=self._triclinic,
                 tile_cap=cfg.tile_cap)
             feplist = None
@@ -484,13 +456,7 @@ class MdRunner:
             fx_ov = jnp.zeros((), jnp.int32)
             prep = None
             if cfg.use_pallas:
-                if cfg.pallas_mode == "v3u":
-                    from ..ops.pallas_nb import pallas_prepare_v3u
-                    prep = pallas_prepare_v3u(nlist, self.system.nbfp,
-                                              g_cap=cfg.super_g,
-                                              n_fx=cfg.fixup_cap)
-                    fx_ov = prep.fx_overflow.astype(jnp.int32)
-                elif cfg.pallas_mode == "v2u":
+                if cfg.pallas_mode == "v2u":
                     from ..ops.pallas_nb import pallas_prepare_v2u
                     prep = pallas_prepare_v2u(nlist, self.system.nbfp,
                                               g_cap=cfg.super_g,
@@ -545,7 +511,7 @@ class MdRunner:
             if (compute_pressure and not cfg.use_dense
                     and self._dd_mesh is None
                     and (not cfg.use_pallas
-                         or cfg.pallas_mode in ("v2u", "v3u"))):
+                         or cfg.pallas_mode == "v2u")):
                 bound_force_vir = (
                     lambda x, box, lam: force_fn(x, box, lam, nlist,
                                                  feplist, prep,
@@ -669,13 +635,9 @@ class MdRunner:
             # (reference: pbc.cpp triclinic shift machinery baked into
             # nbnxn_ci_t::shift indices).  Other Pallas modes / the
             # in-loop minimum-image flavor fall back to the XLA kernel.
-            if not (self.config.pallas_mode in ("v2u", "v3u")
+            if not (self.config.pallas_mode == "v2u"
                     and self.config.pallas_baked_shifts):
                 self.config.use_pallas = False
-                self._make_force_fn()
-                self._chunk_cache.clear()
-            if self.config.pallas_prune:
-                self.config.pallas_prune = False   # prune path is rect-only
                 self._make_force_fn()
                 self._chunk_cache.clear()
         from .vsites import construct_vsites, n_vsites
@@ -755,7 +717,7 @@ class MdRunner:
                    self.config.pallas_baked_shifts,
                    self.config.pme_block_amax, self.config.super_g,
                    self.config.use_pallas, self._triclinic,
-                   self.config.tile_cap, self.config.fixup_cap,
+                   self.config.tile_cap,
                    self.config.pallas_duo, self.config.super_g_duo,
                    self.config.pallas_bu)
             chunk = self._chunk_cache.get(key)
@@ -805,7 +767,7 @@ class MdRunner:
                         logs = logs[:verified_nlogs]
                         pending = []
                         continue
-                    if (self.config.pallas_mode in ("v2u", "v3u")
+                    if (self.config.pallas_mode == "v2u"
                             and self.config.pallas_baked_shifts):
                         # cluster extents too large relative to the box
                         # for build-time shifts (small box / gas density):
@@ -838,7 +800,7 @@ class MdRunner:
                 t_ovf = fl[:, 9].sum() if fl.shape[1] > 9 else 0
                 t_max_obs = int(fl[:, 10].max()) if fl.shape[1] > 10 else 0
                 v2u_active = (self.config.use_pallas
-                              and self.config.pallas_mode in ("v2u", "v3u")
+                              and self.config.pallas_mode == "v2u"
                               and not self.config.use_dense)
                 g_trunc = 0
                 if v2u_active and self.config.super_g is not None:
@@ -858,12 +820,9 @@ class MdRunner:
                         int(max(t_max_obs,
                                 (self.config.tile_cap or 0)) * 1.25) + 8)
                     self._chunk_cache.clear()
+                # flags slot 11 is reserved (was the deleted v3u
+                # fixup-stream overflow; always zero now)
                 fx_ovf = fl[:, 11].sum() if fl.shape[1] > 11 else 0
-                if fx_ovf > 0:
-                    # a block needs more masked (fixup) entries than the
-                    # v3u stream holds (dense exclusion topology)
-                    self.config.fixup_cap += 32
-                    self._chunk_cache.clear()
                 d_ovf = fl[:, 12].sum() if fl.shape[1] > 12 else 0
                 d_max_obs = int(fl[:, 13].max()) if fl.shape[1] > 13 else 0
                 if d_ovf > 0:

@@ -415,7 +415,6 @@ def make_cluster_force_fn(system: System, params: MdParams,
                           block: int = 64,
                           use_pallas: bool = False,
                           pallas_interpret: bool = False,
-                          pallas_prune: bool = False,
                           pme_recip_force_fn: Optional[Callable] = None,
                           nb_kernel_override: Optional[Callable] = None):
     """Production force function: force_fn(x, box, lam, nlist, feplist)
@@ -442,12 +441,10 @@ def make_cluster_force_fn(system: System, params: MdParams,
         use_pallas = False
     if use_pallas:
         from .pallas_nb import (PallasPrepCl, PallasPrepV2, PallasPrepV2U,
-                                PallasPrepV3U,
                                 pallas_cluster_forces,
                                 pallas_cluster_forces_cl,
                                 pallas_cluster_forces_v2,
-                                pallas_cluster_forces_v2u,
-                                pallas_cluster_forces_v3u)
+                                pallas_cluster_forces_v2u)
     disp_e_fn = None
     if params.dispcorr:
         from .dispcorr import make_dispersion_correction
@@ -531,21 +528,11 @@ def make_cluster_force_fn(system: System, params: MdParams,
             f_sorted, e_coul, e_lj = nb_kernel_override(
                 x, box, nlist, prep=prep, need_energy=need_energy)
         elif use_pallas:
-            if isinstance(prep, PallasPrepV3U):
-                out = pallas_cluster_forces_v3u(
-                    x, box, nlist, system.nbfp, params, beta,
-                    interpret=pallas_interpret, prep=prep,
-                    compute_energy=need_energy,
-                    compute_virial=need_virial)
-                if need_virial:
-                    f_sorted, e_coul, e_lj, nb_vir = out
-                else:
-                    f_sorted, e_coul, e_lj = out
-            elif isinstance(prep, PallasPrepV2U):
+            if isinstance(prep, PallasPrepV2U):
                 out = pallas_cluster_forces_v2u(
                     x, box, nlist, system.nbfp, params, beta,
                     interpret=pallas_interpret, prep=prep,
-                    compute_energy=need_energy, prune=pallas_prune,
+                    compute_energy=need_energy,
                     compute_virial=need_virial)
                 if need_virial:
                     f_sorted, e_coul, e_lj, nb_vir = out

@@ -1501,90 +1501,14 @@ def pallas_prepare_v2u(nlist: ClusterPairlist, nbfp,
         duo=duo, duo_ovf=duo_ovf, duo_max=duo_max)
 
 
-def _prune_ng(xs, box, nlist: ClusterPairlist, prep: "PallasPrepV2U",
-              rcut: float, margin: float = 0.005):
-    """(S, 1, 1) i32: j-group trip counts pruned to the entries whose
-    CURRENT cluster-bbox lower-bound distance is within rcut+margin.
-
-    The union stream is distance-ordered at build time (top-k by bbox
-    gap, pairlist._cluster_neighbors), so a per-block `last in-range
-    entry` maps to a tight trip count without touching the packed masks.
-    Exact: any cluster pair beyond rcut contributes identically zero in
-    the kernel (in_c/in_v cutoffs), so shrinking the walk to the
-    still-in-range prefix cannot change forces or energies."""
-    n = nlist.inv_perm.shape[0]
-    n_pad = nlist.n_pad
-    S, G, _ = prep.nbr2.shape
-    bu = prep.iq.shape[1]
-    C_pad = S * bu
-    ncl = C_pad + 1
-
-    xc = xs.reshape(ncl, CLUSTER, 3)[:C_pad]
-    valid = jnp.concatenate(
-        [nlist.perm < n,
-         jnp.zeros((ncl * CLUSTER - n_pad,), bool)]).reshape(
-             ncl, CLUSTER)[:C_pad]
-    # local-frame bbox per cluster (wrap offsets to atom 0 so boundary
-    # straddlers don't span the box — same trick as the list builder)
-    xref = xc[:, 0:1, :]
-    dloc = pbc_mod.pbc_dx(xc - xref, box)
-    dloc = jnp.where(valid[:, :, None], dloc, 0.0)
-    bb_lo = xref[:, 0] + jnp.min(dloc, axis=1)
-    bb_hi = xref[:, 0] + jnp.max(dloc, axis=1)
-    cl_ok = jnp.any(valid, axis=1)
-    far = jnp.float32(5e5)
-    bb_lo = jnp.where(cl_ok[:, None], bb_lo, far)
-    bb_hi = jnp.where(cl_ok[:, None], bb_hi, far)
-
-    # i-block bbox over the block's member clusters
-    lo_b = jnp.min(bb_lo.reshape(S, bu, 3), axis=1)
-    hi_b = jnp.max(jnp.where(bb_hi.reshape(S, bu, 3) > 4e5, -far,
-                             bb_hi.reshape(S, bu, 3)), axis=1)
-    cen_i = 0.5 * (lo_b + hi_b)
-    hw_i = jnp.maximum(0.5 * (hi_b - lo_b), 0.0)
-
-    # j bbox data as 8-wide rows gathered by cluster id — whole-row
-    # gathers are ~free on TPU while per-entry element gathers serialize
-    # (same layout trick as the coordinate j-stream gather below)
-    cen = 0.5 * (bb_lo + bb_hi)
-    hw = 0.5 * (bb_hi - bb_lo)
-    # col 6 = validity: pbc_dx would fold a far-away dummy center back
-    # into the box, so dummies must be excluded by flag, not distance
-    plane = jnp.concatenate(
-        [cen, hw, cl_ok[:, None].astype(cen.dtype),
-         jnp.zeros((C_pad, 1), cen.dtype)], axis=1)           # (C_pad, 8)
-    plane = jnp.concatenate(
-        [plane, jnp.zeros((1, 8), cen.dtype)])                # dummy row
-    g6 = plane[prep.nbr2.reshape(S, G * GJU)]                 # (S, E, 8)
-    cen_j = g6[..., 0:3]
-    hw_j = jnp.minimum(g6[..., 3:6], 1e5)
-    ok_j = g6[..., 6]
-    dc = pbc_mod.pbc_dx(cen_i[:, None, :] - cen_j, box)
-    gap = jnp.maximum(jnp.abs(dc) - hw_i[:, None, :] - hw_j, 0.0)
-    lb2 = jnp.where(ok_j > 0.5, jnp.sum(gap * gap, axis=-1), 1e12)
-    r2 = jnp.float32((rcut + margin) ** 2)
-    ent = jax.lax.broadcasted_iota(jnp.int32, (S, G * GJU), 1)
-    last = jnp.max(jnp.where(lb2 < r2, ent, -1), axis=1)
-    return ((last + GJU) // GJU).astype(jnp.int32).reshape(S, 1, 1)
-
-
 def pallas_cluster_forces_v2u(x, box, nlist: ClusterPairlist, nbfp,
                               params: MdParams, beta,
                               prep: Optional[PallasPrepV2U] = None,
                               interpret: bool = False,
                               compute_energy: bool = True,
-                              prune: bool = False,
                               compute_virial: bool = False):
     """(f_sorted (n_pad, 3), e_coul, e_lj) via the v2u union-stream
-    kernel.
-
-    prune: per-step dynamic pruning of the (distance-ordered) union
-    stream — the j-group trip count ng is recomputed from CURRENT
-    cluster bounding boxes at the interaction cutoff, so the kernel only
-    walks groups that can contribute *this step* instead of everything
-    within rlist at build time (the dual-cutoff rolling-prune analogue,
-    reference: nbnxm_cuda_kernel_pruneonly.cuh / pairlist_tuning.cpp —
-    exact here because out-of-range pairs contribute identically zero)."""
+    kernel."""
     if prep is None:
         prep = pallas_prepare_v2u(nlist, nbfp)
     n = nlist.inv_perm.shape[0]
@@ -1661,9 +1585,6 @@ def pallas_cluster_forces_v2u(x, box, nlist: ClusterPairlist, nbfp,
     box_diag = jnp.stack([box[0, 0], box[1, 1], box[2, 2]]).reshape(1, 3)
 
     ng = prep.ng
-    if prune and not prep.duo:      # prune walks per-cluster bboxes only
-        ng = jnp.minimum(ng, _prune_ng(xs, box, nlist, prep,
-                                       max(params.rcoulomb, params.rvdw)))
 
     epsfac = float(ONE_4PI_EPS0 / params.epsilon_r)
     kernel = _make_kernel_v2u(G, params, beta, epsfac,
@@ -1716,482 +1637,5 @@ def pallas_cluster_forces_v2u(x, box, nlist: ClusterPairlist, nbfp,
     out = (f_sorted, 0.5 * jnp.sum(e[:, 0, 0]), 0.5 * jnp.sum(e[:, 0, 1]))
     if compute_virial:
         # Xi_aa = -1/2 sum_unique fscal dx_a^2; pairs counted twice
-        return out + (-0.25 * jnp.sum(e[:, 0, 2:5], axis=0),)
-    return out
-
-
-# ---------------------------------------------------------------------------
-# v3u kernel: clean union streams + a per-block fixup stream.
-#
-# Profiling the v2u kernel showed ~11 of its ~57 per-lane VPU ops spent on
-# mask machinery (pair/exclusion bit unpacking and mask multiplies) that
-# only matters for a handful of entries per block: the block's OWN
-# clusters (self pairs) and the clusters holding exclusion partners of its
-# atoms.  v3u moves exactly those entries out of the main stream into a
-# small per-block FIXUP stream (default 32 entries = one j-group) that
-# runs the fully-masked v2u body, while the main loop needs NO masks at
-# all: validity and perturbation are folded into the static parameters
-# (q = s6 = s12 = 0 for dummy/perturbed atoms on both sides), so invalid
-# pairs contribute arithmetic zeros.  The reference's analogue of the
-# split is its exclusion-bit pools being consulted only where the
-# topology needs them (nbnxm_cuda_kernel.cuh:415, gpu_types_common.h:307).
-# ---------------------------------------------------------------------------
-
-FXU = 32       # fixup entries per block (1 j-group of GJU=32 clusters)
-
-
-def _make_kernel_v3u(n_groups: int, n_fx_groups: int, params: MdParams,
-                     beta, epsfac: float, compute_energy: bool = True,
-                     baked_shifts: bool = False,
-                     compute_virial: bool = False):
-    rc2 = params.rcoulomb ** 2
-    rv2 = params.rvdw ** 2
-    same_cut = rc2 == rv2
-    rcinv6 = 1.0 / params.rvdw ** 6
-    if params.coulomb == CoulombType.REACTION_FIELD:
-        krf, crf = rf_constants(params)
-    L = GJU * CLUSTER
-    if compute_virial:
-        assert compute_energy, "virial rides the energy kernel flavor"
-
-    def kernel(box_ref,                      # SMEM (1, 3) box diagonal
-               ng_ref,                       # SMEM (1, 1, 1) i32 trip count
-               ix_ref, iy_ref, iz_ref,       # VMEM (1, BU, 8) [cluster, atom]
-               iq_ref, is6_ref, is12_ref,    # VMEM (1, BU, 8) pv-zeroed
-               iqr_ref, is6r_ref, is12r_ref,  # VMEM (1, BU, 8) raw (fixup)
-               jx_ref, jy_ref, jz_ref,       # VMEM (1, G, 256) per-step
-               jq_ref, js6_ref, js12_ref,    # VMEM (1, G, 256) pv-zeroed
-               fjx_ref, fjy_ref, fjz_ref,    # VMEM (1, FG, 256) fixup coords
-               fjq_ref, fjs6_ref, fjs12_ref,  # VMEM (1, FG, 256) raw params
-               fpm_ref, fem_ref,             # VMEM (1, FG, 256) i32 bits
-               fx_ref, fy_ref, fz_ref,       # out VMEM (1, BU, 8)
-               e_ref):                       # out SMEM (1, 1, 2|5)
-        bx = box_ref[0, 0]
-        by = box_ref[0, 1]
-        bz = box_ref[0, 2]
-        ibx = 1.0 / bx
-        iby = 1.0 / by
-        ibz = 1.0 / bz
-
-        def col(ref):
-            return ref[0][:, :, None]                   # (BU, 8, 1)
-
-        xi_x = col(ix_ref)
-        xi_y = col(iy_ref)
-        xi_z = col(iz_ref)
-        qi = col(iq_ref) * epsfac
-        if compute_energy:
-            s6i = col(is6_ref)
-            s12i = col(is12_ref)
-        else:
-            s6i = col(is6_ref) * 6.0
-            s12i = col(is12_ref) * 12.0
-        sh = (jax.lax.broadcasted_iota(jnp.int32, (BU, CLUSTER, 1), 0)
-              * CLUSTER
-              + jax.lax.broadcasted_iota(jnp.int32, (BU, CLUSTER, 1), 1))
-
-        def pair_phys(dx, dy, dz, qq, c6, c12, inclb, pairb):
-            """Shared physics body; inclb/pairb are None in the clean
-            main loop (all-included pairs)."""
-            if not baked_shifts:
-                dx = dx - jnp.floor(dx * ibx + 0.5) * bx
-                dy = dy - jnp.floor(dy * iby + 0.5) * by
-                dz = dz - jnp.floor(dz * ibz + 0.5) * bz
-            r2 = jnp.clip(dx * dx + dy * dy + dz * dz, R2_FLOOR, 1e6)
-            rinv = jax.lax.rsqrt(r2)
-            rinv2 = rinv * rinv
-            if pairb is None:
-                in_c = jnp.where(r2 < rc2, 1.0, 0.0)
-                in_v = in_c if same_cut else jnp.where(r2 < rv2, 1.0, 0.0)
-            else:
-                in_c = jnp.where(r2 < rc2, pairb, 0.0)
-                in_v = jnp.where(r2 < rv2, pairb * inclb, 0.0)
-            incl = 1.0 if inclb is None else inclb
-            rinv6 = jnp.minimum(rinv2 * rinv2 * rinv2, 1e15)
-            rinv12 = rinv6 * rinv6
-            if compute_energy:
-                f_lj = (12.0 * c12 * rinv12
-                        - 6.0 * c6 * rinv6) * rinv2 * in_v
-            else:
-                f_lj = (c12 * rinv12 - c6 * rinv6) * rinv2 * in_v
-            if params.coulomb == CoulombType.REACTION_FIELD:
-                f_c = qq * (incl * rinv2 * rinv - 2.0 * krf) * in_c
-            elif params.coulomb == CoulombType.PME:
-                if compute_energy:
-                    br = beta * (r2 * rinv)
-                    erfc_t = _erfc_poly(br)
-                    gauss = jnp.exp(-br * br)
-                    f_c = (qq * rinv2
-                           * ((incl - (1.0 - erfc_t)) * rinv
-                              + beta * TWO_OVER_SQRT_PI * gauss) * in_c)
-                else:
-                    f_c = (qq * (incl * rinv2 * rinv
-                                 + (beta * beta * beta)
-                                 * _pmecorr_f_recip((beta * beta) * r2))
-                           * in_c)
-            else:
-                f_c = qq * incl * rinv2 * rinv * in_c
-            fscal = f_lj + f_c
-            if not compute_energy:
-                return fscal, None, None
-            e_lj_pair = (c12 * rinv12 - c6 * rinv6
-                         - (c12 * rcinv6 * rcinv6 - c6 * rcinv6)) * in_v
-            if params.coulomb == CoulombType.REACTION_FIELD:
-                e_c_pair = qq * (incl * rinv + krf * r2 - crf) * in_c
-            elif params.coulomb == CoulombType.PME:
-                e_c_pair = qq * rinv * (erfc_t - (1.0 - incl)) * in_c
-            else:
-                e_c_pair = qq * incl * (rinv - 1.0 / params.rcoulomb) * in_c
-            return fscal, e_c_pair, e_lj_pair
-
-        def accum(acc, dx, dy, dz, fscal, e_c_pair, e_lj_pair):
-            fx, fy, fz, e_c, e_lj, vxx, vyy, vzz = acc
-            fx = fx + fscal * dx
-            fy = fy + fscal * dy
-            fz = fz + fscal * dz
-            if compute_energy:
-                e_c = e_c + jnp.sum(e_c_pair)
-                e_lj = e_lj + jnp.sum(e_lj_pair)
-            if compute_virial:
-                vxx = vxx + jnp.sum(fscal * dx * dx)
-                vyy = vyy + jnp.sum(fscal * dy * dy)
-                vzz = vzz + jnp.sum(fscal * dz * dz)
-            return fx, fy, fz, e_c, e_lj, vxx, vyy, vzz
-
-        def j_group(g, acc):
-            dx = xi_x - jx_ref[0, pl.ds(g, 1)]
-            dy = xi_y - jy_ref[0, pl.ds(g, 1)]
-            dz = xi_z - jz_ref[0, pl.ds(g, 1)]
-            qq = qi * jq_ref[0, pl.ds(g, 1)]
-            c6 = s6i * js6_ref[0, pl.ds(g, 1)]
-            c12 = s12i * js12_ref[0, pl.ds(g, 1)]
-            fscal, e_c_p, e_lj_p = pair_phys(dx, dy, dz, qq, c6, c12,
-                                             None, None)
-            # baked-shift clean stream: dx/dy/dz pass through pair_phys
-            # unchanged, so reuse them for the force components
-            if not baked_shifts:
-                # recompute folded components for the accumulation
-                dx = dx - jnp.floor(dx * ibx + 0.5) * bx
-                dy = dy - jnp.floor(dy * iby + 0.5) * by
-                dz = dz - jnp.floor(dz * ibz + 0.5) * bz
-            return accum(acc, dx, dy, dz, fscal, e_c_p, e_lj_p)
-
-        def fx_group(g, acc):
-            dx = xi_x - fjx_ref[0, pl.ds(g, 1)]
-            dy = xi_y - fjy_ref[0, pl.ds(g, 1)]
-            dz = xi_z - fjz_ref[0, pl.ds(g, 1)]
-            qq = col(iqr_ref) * epsfac * fjq_ref[0, pl.ds(g, 1)]
-            if compute_energy:
-                c6 = col(is6r_ref) * fjs6_ref[0, pl.ds(g, 1)]
-                c12 = col(is12r_ref) * fjs12_ref[0, pl.ds(g, 1)]
-            else:
-                c6 = col(is6r_ref) * 6.0 * fjs6_ref[0, pl.ds(g, 1)]
-                c12 = col(is12r_ref) * 12.0 * fjs12_ref[0, pl.ds(g, 1)]
-            pm = fpm_ref[0, pl.ds(g, 1)]
-            em = fem_ref[0, pl.ds(g, 1)]
-            pairb = ((pm >> sh) & 1).astype(jnp.float32)
-            inclb = ((em >> sh) & 1).astype(jnp.float32)
-            fscal, e_c_p, e_lj_p = pair_phys(dx, dy, dz, qq, c6, c12,
-                                             inclb, pairb)
-            if not baked_shifts:
-                dx = dx - jnp.floor(dx * ibx + 0.5) * bx
-                dy = dy - jnp.floor(dy * iby + 0.5) * by
-                dz = dz - jnp.floor(dz * ibz + 0.5) * bz
-            return accum(acc, dx, dy, dz, fscal, e_c_p, e_lj_p)
-
-        z = jnp.zeros((BU, CLUSTER, L), jnp.float32)
-        zs = jnp.float32(0.0)
-        acc = (z, z, z, zs, zs, zs, zs, zs)
-        acc = jax.lax.fori_loop(0, jnp.minimum(ng_ref[0, 0, 0], n_groups),
-                                j_group, acc)
-        for g in range(n_fx_groups):      # static unroll (usually 1)
-            acc = fx_group(g, acc)
-        fx, fy, fz, e_c, e_lj, vxx, vyy, vzz = acc
-        fx_ref[...] = jnp.sum(fx, axis=2)[None]
-        fy_ref[...] = jnp.sum(fy, axis=2)[None]
-        fz_ref[...] = jnp.sum(fz, axis=2)[None]
-        e_ref[0, 0, 0] = e_c
-        e_ref[0, 0, 1] = e_lj
-        if compute_virial:
-            e_ref[0, 0, 2] = vxx
-            e_ref[0, 0, 3] = vyy
-            e_ref[0, 0, 4] = vzz
-
-    return kernel
-
-
-@_struct.dataclass
-class PallasPrepV3U:
-    """Per-rebuild data for the v3u clean-stream + fixup kernel."""
-    iq: jnp.ndarray       # (S, BU, 8) pv-zeroed (valid & non-perturbed)
-    is6: jnp.ndarray
-    is12: jnp.ndarray
-    iqr: jnp.ndarray      # (S, BU, 8) raw (fixup side)
-    is6r: jnp.ndarray
-    is12r: jnp.ndarray
-    ng: jnp.ndarray       # (S, 1, 1) i32 main-stream trip count
-    nbr2: jnp.ndarray     # (S, G, GJU) i32 main ids (masked entries -> C)
-    jq: jnp.ndarray       # (S, G, 256) pv-zeroed
-    js6: jnp.ndarray
-    js12: jnp.ndarray
-    fx_nbr: jnp.ndarray   # (S, FXG, GJU) i32 fixup ids (pad C)
-    fjq: jnp.ndarray      # (S, FXG, 256) raw
-    fjs6: jnp.ndarray
-    fjs12: jnp.ndarray
-    fpair_m: jnp.ndarray  # (S, FXG, 256) i32 pair bits
-    fexcl_m: jnp.ndarray  # (S, FXG, 256) i32 not-excluded bits
-    fx_overflow: jnp.ndarray   # () i32: blocks needing > FXU fixup entries
-    shift: Optional[jnp.ndarray] = None      # (S, G, GJU, 3) int8
-    fshift: Optional[jnp.ndarray] = None     # (S, FXG, GJU, 3) int8
-
-
-def pallas_prepare_v3u(nlist: ClusterPairlist, nbfp,
-                       g_cap: Optional[int] = None,
-                       n_fx: int = FXU) -> PallasPrepV3U:
-    """Pack the union lists into a mask-free main stream plus a masked
-    fixup stream holding exactly the entries that can contain self pairs
-    or exclusion partners (see _make_kernel_v3u header)."""
-    from .cluster_nb import lj_table_mode
-    import numpy as _np
-    if not isinstance(nbfp, jax.core.Tracer):
-        assert lj_table_mode(_np.asarray(nbfp)) == "geometric", (
-            "Pallas kernel requires a geometric-combination LJ table")
-    assert nlist.nbr_super is not None, (
-        "build pair list with super_nnbr and super_block=4")
-    n = nlist.inv_perm.shape[0]
-    n_pad = nlist.n_pad
-    C = nlist.n_clusters
-    S = nlist.nbr_super.shape[0]
-    assert S * BU >= C, "pair list super_block does not match BU"
-    assert BU * CLUSTER <= 32, "pair/exclusion bitmasks hold <= 32 bits"
-    C_pad = S * BU
-    nnbr = nlist.nbr_super.shape[1]
-    K = nlist.excl.shape[1]
-    ncl = C_pad + 1
-    extra = ncl * CLUSTER - n_pad
-    nnbr_pad = -(-nnbr // GJU) * GJU
-    G = nnbr_pad // GJU
-    if g_cap is not None and g_cap < G:
-        nnbr_pad = g_cap * GJU
-        nnbr = min(nnbr, nnbr_pad)
-        G = g_cap
-    assert n_fx % GJU == 0
-    FXG = n_fx // GJU
-
-    def plane(a, fill=0.0):
-        pad = jnp.full((extra,), fill, a.dtype)
-        return jnp.concatenate([a, pad]).reshape(ncl, CLUSTER)
-
-    diag6 = jnp.sqrt(jnp.maximum(jnp.diagonal(nbfp[:, :, 0]), 0.0))
-    diag12 = jnp.sqrt(jnp.maximum(jnp.diagonal(nbfp[:, :, 1]), 0.0))
-    valid = (nlist.perm < n).astype(jnp.float32)
-    pv = valid * (1.0 - nlist.pert)
-
-    q = plane(nlist.q_a)
-    s6 = plane(diag6[nlist.t_a])
-    s12 = plane(diag12[nlist.t_a])
-    pvp = plane(pv)
-    qz = q * pvp
-    s6z = s6 * pvp
-    s12z = s12 * pvp
-
-    nbr_src = nlist.nbr_super[:, :nnbr]
-    nbr_p = jnp.pad(jnp.where(nbr_src >= 0, nbr_src, C),
-                    ((0, 0), (0, nnbr_pad - nnbr)), constant_values=C)
-
-    # --- which entries need masks? ---
-    # (a) the block's own clusters; (b) clusters holding any exclusion
-    # partner of any of the block's atoms
-    own = (jnp.arange(C_pad, dtype=jnp.int32).reshape(S, BU))
-    excl = jnp.concatenate(
-        [nlist.excl, jnp.full((extra, K), -1, jnp.int32)])
-    eb = excl[:C_pad * CLUSTER].reshape(S, BU * CLUSTER * K)
-    part_cl = jnp.where(eb >= 0, eb // CLUSTER, -1)       # (S, 32K)
-    need = jnp.zeros(nbr_p.shape, bool)
-    for c in range(BU):
-        need = need | (nbr_p == own[:, c][:, None])
-    # partner-cluster membership via a sorted-compare trick would be
-    # nicer; K*32 is small so direct compare-any is fine at rebuild rate
-    need = need | jnp.any(nbr_p[:, :, None] == part_cl[:, None, :], -1)
-    need = need & (nbr_p < C)
-
-    # main stream: masked entries replaced by the dummy cluster
-    nbr_main = jnp.where(need, C, nbr_p)
-    # trip count covers the original packed width (holes stay in place)
-    last = jnp.max(jnp.where(nbr_p != C, jax.lax.broadcasted_iota(
-        jnp.int32, nbr_p.shape, 1), -1), axis=1)
-    ng = ((last + GJU) // GJU).astype(jnp.int32).reshape(S, 1, 1)
-    nbr2 = nbr_main.reshape(S, G, GJU)
-
-    # fixup stream: pack the masked entries (front-compacted)
-    from .pairlist import _pack_valid
-    fpos, fok = _pack_valid(need, n_fx)
-    fx_nbr_f = jnp.where(fok, jnp.take_along_axis(nbr_p, fpos, axis=1), C)
-    fx_overflow = jnp.sum(jnp.sum(need, axis=1) > n_fx)
-
-    def jgather(pl2d, ids):
-        return pl2d[ids].reshape(S, -1, GJU * CLUSTER)
-
-    jq = jgather(qz, nbr2)
-    js6 = jgather(s6z, nbr2)
-    js12 = jgather(s12z, nbr2)
-
-    fx_nbr = fx_nbr_f.reshape(S, FXG, GJU)
-    fjq = jgather(q, fx_nbr)
-    fjs6 = jgather(s6, fx_nbr)
-    fjs12 = jgather(s12, fx_nbr)
-
-    # fixup masks (v2u semantics, on the small stream only)
-    jid = (fx_nbr[..., None] * CLUSTER
-           + jnp.arange(CLUSTER, dtype=jnp.int32)).reshape(
-               S, FXG, GJU * CLUSTER)
-    pvj = jgather(pvp, fx_nbr)
-    pvi = pvp[:C_pad].reshape(S, BU, CLUSTER)
-    iid = (jnp.arange(C_pad, dtype=jnp.int32)[:, None] * CLUSTER
-           + jnp.arange(CLUSTER, dtype=jnp.int32)).reshape(S, BU, CLUSTER)
-    ei = excl[:C_pad * CLUSTER].reshape(S, BU, CLUSTER, K)
-    pair_m = jnp.zeros((S, FXG, GJU * CLUSTER), jnp.int32)
-    excl_m = jnp.zeros((S, FXG, GJU * CLUSTER), jnp.int32)
-    for c in range(BU):
-        for a in range(CLUSTER):
-            b = c * CLUSTER + a
-            pv_ia = pvi[:, c, a][:, None, None]
-            iid_a = iid[:, c, a][:, None, None]
-            pair = ((pvj > 0) & (pv_ia > 0) & (jid != iid_a))
-            pair_m = pair_m | (pair.astype(jnp.int32) << b)
-            exm = jnp.zeros(jid.shape, bool)
-            for k in range(K):
-                ei_k = ei[:, c, a, k][:, None, None]
-                exm = exm | (jid == ei_k)
-            excl_m = excl_m | ((~exm).astype(jnp.int32) << b)
-
-    def i3(a):
-        return a[:C_pad].reshape(S, BU, CLUSTER)
-
-    shift = fshift = None
-    if nlist.super_shift is not None:
-        sh_p = jnp.pad(nlist.super_shift[:, :nnbr],
-                       ((0, 0), (0, nnbr_pad - nnbr), (0, 0)))
-        shift = sh_p.reshape(S, G, GJU, 3)
-        fsh = jnp.take_along_axis(sh_p, fpos[..., None], axis=1)
-        fshift = jnp.where(fok[..., None], fsh, 0).astype(
-            jnp.int8).reshape(S, FXG, GJU, 3)
-
-    return PallasPrepV3U(
-        iq=i3(qz), is6=i3(s6z), is12=i3(s12z),
-        iqr=i3(q), is6r=i3(s6), is12r=i3(s12),
-        ng=ng, nbr2=nbr2, jq=jq, js6=js6, js12=js12,
-        fx_nbr=fx_nbr, fjq=fjq, fjs6=fjs6, fjs12=fjs12,
-        fpair_m=pair_m, fexcl_m=excl_m, fx_overflow=fx_overflow,
-        shift=shift, fshift=fshift)
-
-
-def pallas_cluster_forces_v3u(x, box, nlist: ClusterPairlist, nbfp,
-                              params: MdParams, beta,
-                              prep: Optional[PallasPrepV3U] = None,
-                              interpret: bool = False,
-                              compute_energy: bool = True,
-                              compute_virial: bool = False):
-    """(f_sorted (n_pad, 3), e_coul, e_lj[, vir_diag]) via the v3u
-    clean-stream + fixup kernel."""
-    if prep is None:
-        prep = pallas_prepare_v3u(nlist, nbfp)
-    n = nlist.inv_perm.shape[0]
-    n_pad = nlist.n_pad
-    S = prep.iq.shape[0]
-    C_pad = S * BU
-    ncl = C_pad + 1
-    extra = ncl * CLUSTER - n_pad
-    G = prep.nbr2.shape[1]
-    FXG = prep.fx_nbr.shape[1]
-    L = GJU * CLUSTER
-
-    valid_atom = nlist.perm < n
-    xs = jnp.where(valid_atom[:, None],
-                   x[jnp.minimum(nlist.perm, n - 1)],
-                   1e4 + jnp.arange(n_pad, dtype=x.dtype)[:, None])
-    if prep.shift is not None:
-        xs = xs - (nlist.img[:, 0:1] * box[0] + nlist.img[:, 1:2] * box[1]
-                   + nlist.img[:, 2:3] * box[2])
-    dummy = 2e4 + jnp.arange(extra, dtype=x.dtype)[:, None] * jnp.ones(3)
-    xs = jnp.concatenate([xs, dummy])
-    xx = xs[:, 0].reshape(ncl, CLUSTER)
-    xy = xs[:, 1].reshape(ncl, CLUSTER)
-    xz = xs[:, 2].reshape(ncl, CLUSTER)
-    packed = jnp.concatenate([xx, xy, xz], axis=1)            # (ncl, 24)
-
-    def coords(ids, sh):
-        g = packed[ids]                                # (S, W, GJU, 24)
-        if sh is not None:
-            shf = sh.astype(x.dtype)
-            sL = (shf[..., 0:1] * box[0] + shf[..., 1:2] * box[1]
-                  + shf[..., 2:3] * box[2])
-            g = g + jnp.repeat(sL, CLUSTER, axis=-1)
-        W = ids.shape[1]
-        return (g[..., 0:CLUSTER].reshape(S, W, L),
-                g[..., CLUSTER:2 * CLUSTER].reshape(S, W, L),
-                g[..., 2 * CLUSTER:].reshape(S, W, L))
-
-    jx, jy, jz = coords(prep.nbr2, prep.shift)
-    fjx, fjy, fjz = coords(prep.fx_nbr, prep.fshift)
-    box_diag = jnp.stack([box[0, 0], box[1, 1], box[2, 2]]).reshape(1, 3)
-
-    epsfac = float(ONE_4PI_EPS0 / params.epsilon_r)
-    kernel = _make_kernel_v3u(G, FXG, params, beta, epsfac,
-                              compute_energy=compute_energy,
-                              baked_shifts=prep.shift is not None,
-                              compute_virial=compute_virial)
-
-    iblk = pl.BlockSpec((1, BU, CLUSTER), lambda i: (i, 0, 0),
-                        memory_space=pltpu.VMEM)
-    jrow = pl.BlockSpec((1, G, L), lambda i: (i, 0, 0),
-                        memory_space=pltpu.VMEM)
-    frow = pl.BlockSpec((1, FXG, L), lambda i: (i, 0, 0),
-                        memory_space=pltpu.VMEM)
-
-    def i3x(a):
-        return a[:C_pad].reshape(S, BU, CLUSTER)
-
-    ne = 5 if compute_virial else 2
-    fx, fy, fz, e = pl.pallas_call(
-        kernel,
-        grid=(S,),
-        in_specs=[
-            pl.BlockSpec((1, 3), lambda i: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0),
-                         memory_space=pltpu.SMEM),
-            iblk, iblk, iblk,
-            iblk, iblk, iblk,
-            iblk, iblk, iblk,
-            jrow, jrow, jrow,
-            jrow, jrow, jrow,
-            frow, frow, frow,
-            frow, frow, frow,
-            frow, frow,
-        ],
-        out_specs=[
-            iblk, iblk, iblk,
-            pl.BlockSpec((1, 1, ne), lambda i: (i, 0, 0),
-                         memory_space=pltpu.SMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((S, BU, CLUSTER), jnp.float32),
-            jax.ShapeDtypeStruct((S, BU, CLUSTER), jnp.float32),
-            jax.ShapeDtypeStruct((S, BU, CLUSTER), jnp.float32),
-            jax.ShapeDtypeStruct((S, 1, ne), jnp.float32),
-        ],
-        interpret=interpret,
-    )(box_diag, prep.ng,
-      i3x(xx), i3x(xy), i3x(xz),
-      prep.iq, prep.is6, prep.is12,
-      prep.iqr, prep.is6r, prep.is12r,
-      jx, jy, jz, prep.jq, prep.js6, prep.js12,
-      fjx, fjy, fjz, prep.fjq, prep.fjs6, prep.fjs12,
-      prep.fpair_m, prep.fexcl_m)
-
-    f_sorted = jnp.stack([fx.reshape(-1)[:n_pad], fy.reshape(-1)[:n_pad],
-                          fz.reshape(-1)[:n_pad]], axis=-1)
-    out = (f_sorted, 0.5 * jnp.sum(e[:, 0, 0]), 0.5 * jnp.sum(e[:, 0, 1]))
-    if compute_virial:
         return out + (-0.25 * jnp.sum(e[:, 0, 2:5], axis=0),)
     return out

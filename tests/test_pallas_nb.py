@@ -99,12 +99,12 @@ def test_pallas_v2u_matches_xla_kernel(coulomb):
 
 @pytest.mark.parametrize("coulomb", [CoulombType.PME,
                                      CoulombType.REACTION_FIELD])
-def test_pallas_v2u_baked_shifts_and_prune(coulomb):
+def test_pallas_v2u_baked_shifts_drift(coulomb):
     """v2u with build-time periodic shifts folded into the j stream
-    (kernel skips min-image folds) AND per-step dynamic pruning must
-    still match the XLA cluster kernel exactly — including after the
-    atoms drift from the build positions (the rolling-prune guarantee,
-    reference: nbnxm_cuda_kernel_pruneonly.cuh)."""
+    (kernel skips min-image folds) must still match the XLA cluster
+    kernel exactly — including after the atoms drift from the build
+    positions within the verlet buffer (the list-reuse guarantee,
+    reference: nbnxm/pairlist.h per-entry shift indices)."""
     from gromacs_fep_gpu_tpu.ops.pallas_nb import (pallas_cluster_forces_v2u,
                                                    pallas_prepare_v2u)
     params = MdParams(rcoulomb=0.55, rvdw=0.55, rlist=0.7, coulomb=coulomb)
@@ -133,7 +133,7 @@ def test_pallas_v2u_baked_shifts_and_prune(coulomb):
             lj_mode="geometric")
         f_p, ec_p, el_p = pallas_cluster_forces_v2u(
             xx, state.box, nlist, system.nbfp, params, beta, prep=prep,
-            interpret=True, prune=True)
+            interpret=True)
         np.testing.assert_allclose(float(ec_p), float(ec_ref), rtol=1e-5)
         np.testing.assert_allclose(float(el_p), float(el_ref), rtol=1e-5)
         scale = float(jnp.abs(f_ref).max())
@@ -219,67 +219,6 @@ def test_pallas_v2u_triclinic_box(coulomb):
     scale = float(jnp.abs(f_ref).max())
     np.testing.assert_allclose(np.asarray(f_p), np.asarray(f_ref),
                                atol=3e-5 * scale)
-
-
-@pytest.mark.parametrize("coulomb", [CoulombType.REACTION_FIELD,
-                                     CoulombType.PME])
-@pytest.mark.parametrize("compute_energy", [True, False])
-def test_pallas_v3u_matches_xla_kernel(coulomb, compute_energy):
-    """v3u clean-stream + fixup kernel: mask-needing entries (self /
-    exclusion-partner clusters) run in the masked fixup group, the main
-    loop is mask-free with pv-zeroed params — must match the XLA kernel
-    exactly, including perturbed atoms and unwrapped coordinates."""
-    from gromacs_fep_gpu_tpu.models.solvation import solvation_system
-    from gromacs_fep_gpu_tpu.ops.pallas_nb import (pallas_cluster_forces_v3u,
-                                                   pallas_prepare_v3u)
-    params = MdParams(rcoulomb=0.55, rvdw=0.55, rlist=0.6, coulomb=coulomb)
-    system, state = solvation_system(n_side=12, spacing=0.31, seed=3)
-    x = state.x.at[10].add(jnp.array([3.0 * state.box[0, 0], 0.0, 0.0]))
-    beta = 3.5 if coulomb == CoulombType.PME else None
-    nlist = build_cluster_pairlist(x, state.box, system, params.rlist,
-                                   nnbr=96, super_nnbr=192, super_block=4,
-                                   compute_shifts=True)
-    assert int(nlist.super_overflow) == 0
-    assert int(nlist.shift_overflow) == 0
-
-    f_ref, ec_ref, el_ref = cluster_nb_kernel(
-        x, state.box, nlist, system.nbfp, params, beta, block=16,
-        lj_mode="geometric")
-    prep = pallas_prepare_v3u(nlist, system.nbfp)
-    assert int(prep.fx_overflow) == 0
-    f_p, ec_p, el_p = pallas_cluster_forces_v3u(
-        x, state.box, nlist, system.nbfp, params, beta, prep=prep,
-        interpret=True, compute_energy=compute_energy)
-
-    if compute_energy:
-        np.testing.assert_allclose(float(ec_p), float(ec_ref), rtol=1e-5)
-        np.testing.assert_allclose(float(el_p), float(el_ref), rtol=1e-5)
-    scale = float(jnp.abs(f_ref).max())
-    np.testing.assert_allclose(np.asarray(f_p), np.asarray(f_ref),
-                               atol=2e-5 * scale)
-
-
-def test_pallas_v3u_virial_matches_v2u():
-    from gromacs_fep_gpu_tpu.ops.pallas_nb import (
-        pallas_cluster_forces_v2u, pallas_cluster_forces_v3u,
-        pallas_prepare_v2u, pallas_prepare_v3u)
-    params = MdParams(rcoulomb=0.55, rvdw=0.55, rlist=0.6,
-                      coulomb=CoulombType.PME)
-    system, state = water_box(8, spacing=0.31, seed=30)
-    nlist = build_cluster_pairlist(state.x, state.box, system, params.rlist,
-                                   nnbr=96, super_nnbr=192, super_block=4,
-                                   compute_shifts=True)
-    p2 = pallas_prepare_v2u(nlist, system.nbfp)
-    p3 = pallas_prepare_v3u(nlist, system.nbfp)
-    _, ec2, el2, v2 = pallas_cluster_forces_v2u(
-        state.x, state.box, nlist, system.nbfp, params, 3.5, prep=p2,
-        interpret=True, compute_virial=True)
-    _, ec3, el3, v3 = pallas_cluster_forces_v3u(
-        state.x, state.box, nlist, system.nbfp, params, 3.5, prep=p3,
-        interpret=True, compute_virial=True)
-    np.testing.assert_allclose(float(ec3), float(ec2), rtol=1e-5)
-    np.testing.assert_allclose(float(el3), float(el2), rtol=1e-5)
-    np.testing.assert_allclose(np.asarray(v3), np.asarray(v2), rtol=1e-4)
 
 
 @pytest.mark.parametrize("coulomb", [CoulombType.PME,
