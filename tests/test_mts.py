@@ -133,19 +133,21 @@ def test_mts_dhdl_matches_plain_on_energy_steps():
     mdlib/sim_util.cpp energy steps)."""
     from gromacs_fep_gpu_tpu.core.types import FepParams
     from gromacs_fep_gpu_tpu.models.solvation import solvation_system
+    from gromacs_fep_gpu_tpu.parallel.ensemble import lambda_schedule
     system, state = solvation_system(n_side=5, spacing=0.31, seed=3,
                                      temperature=300.0)
     state = state.replace(lam=state.lam.at[2].set(0.5).at[3].set(0.5))
     box_l = 5 * 0.31
     grid = pme_grid_size((box_l,) * 3, 0.12)
-    fep = FepParams(enabled=True, sc_alpha=0.5, sc_coul=True, sc_sigma=0.3,
-                    all_lambda=np.linspace(0.0, 1.0, 5))
+    fep = FepParams(enabled=True, sc_alpha=0.5, sc_coul=True, sc_sigma=0.3)
     params = MdParams(dt=0.001, nstlist=10, coulomb=CoulombType.PME,
                       rcoulomb=0.62, rvdw=0.62, rlist=0.7, pme_grid=grid,
                       nstcalcenergy=2, fep=fep)
-    r_plain = MdRunner(system, params, RunnerConfig(fep_max_nbr=256))
+    ladder = lambda_schedule(5)        # (5, 7) foreign-lambda ladder
+    r_plain = MdRunner(system, params, RunnerConfig(fep_max_nbr=256),
+                       all_lambda=ladder)
     r_mts = MdRunner(system, params.replace(mts=True, mts_factor=2),
-                     RunnerConfig(fep_max_nbr=256))
+                     RunnerConfig(fep_max_nbr=256), all_lambda=ladder)
     _, logs_p = r_plain.run(state, 10)
     _, logs_m = r_mts.run(state, 10)
     from gromacs_fep_gpu_tpu.md.runner import concat_logs
