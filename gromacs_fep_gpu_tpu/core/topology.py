@@ -17,7 +17,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from .types import (CmapList, Exclusions, InteractionList, LincsConstraints,
-                    SettleGroups, System, VirtualSites)
+                    SettleGroups, ShellList, System, VirtualSites)
 from .units import ONE_4PI_EPS0
 
 
@@ -68,6 +68,10 @@ class MoleculeType:
     cmap: List[Tuple] = dataclasses.field(default_factory=list)
     # orientation restraints: ((ai, aj), (exp, label, power, c, obs, w))
     orires: List[Tuple] = dataclasses.field(default_factory=list)
+    # polarizable shells: ((shell, core), (alpha,)) — the [ polarization ]
+    # section; spring k derived from the shell charge at build time
+    # (reference: listed_forces/bonded.cpp:709 polarize)
+    polarization: List[Tuple] = dataclasses.field(default_factory=list)
     # explicit extra exclusions beyond bond graph
     extra_exclusions: List[Tuple[int, int]] = dataclasses.field(default_factory=list)
     nrexcl: int = 3
@@ -80,6 +84,10 @@ class MoleculeType:
 
     def bond_graph_edges(self) -> List[Tuple[int, int]]:
         edges = [(int(b[0][0]), int(b[0][1])) for b in self.bonds]
+        # core-shell springs exclude the pair from nonbonded interactions
+        # exactly like a chemical bond (reference: grompp exclusion
+        # generation treats F_POLARIZATION as a bond)
+        edges += [(int(r[0][0]), int(r[0][1])) for r in self.polarization]
         # constraints funct 2 (5-tuple marker) generate no exclusions
         # (reference: toppush.cpp push_bond bGenerateExclusions for F_CONSTR)
         edges += [(int(c[0]), int(c[1])) for c in self.constraints
@@ -191,6 +199,7 @@ def build_system(molecules: Sequence[Tuple[MoleculeType, int]],
     settle_rows: List[Tuple] = []
     lincs_rows: List[Tuple] = []
     vsite_rows: List[Tuple] = []   # (atoms4, params3, kind)
+    shell_rows: List[Tuple] = []   # (shell_idx, core_idx, k)
     cmap_rows: List[Tuple] = []    # (atoms5, grid type)
     orires_rows: List[Tuple] = []
     orires_fit: List[int] = []
@@ -228,6 +237,16 @@ def build_system(molecules: Sequence[Tuple[MoleculeType, int]],
                             par_b = tuple(par_b[:4]) + (float(lbl),)
                     term_rows[name].append((off(idx), par_a, par_b))
             disre_label_base += len(disre_local)
+            for row in mol.polarization:
+                (s_i, c_i), (alpha,) = row[0], row[1]
+                # k from the SHELL charge (bonded.cpp:734 charge[aj]);
+                # no B state: polarization springs are not perturbable
+                # in the reference either (no F_POLARIZATION B params)
+                k_sh = (float(mol.charges_a[s_i]) ** 2
+                        * ONE_4PI_EPS0 / float(alpha))
+                term_rows["bonds"].append((off((s_i, c_i)),
+                                           (0.0, k_sh), None))
+                shell_rows.append((s_i + offset, c_i + offset, k_sh))
             for row in mol.pairs14:
                 idx, par_a = row[0], row[1]
                 par_b = row[2] if len(row) > 2 else None
@@ -386,5 +405,9 @@ def build_system(molecules: Sequence[Tuple[MoleculeType, int]],
         vsites=vsites,
         cmap=cmap,
         orires=orires,
+        shells=(None if not shell_rows else ShellList(
+            idx=jnp.asarray(np.array([r[0] for r in shell_rows], np.int32)),
+            core=jnp.asarray(np.array([r[1] for r in shell_rows], np.int32)),
+            k=jnp.asarray(np.array([r[2] for r in shell_rows], np.float32)))),
         n_atoms=n,
     )

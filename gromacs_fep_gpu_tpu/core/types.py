@@ -178,6 +178,19 @@ class CmapList:
 
 
 @struct.dataclass
+class ShellList:
+    """Polarizable-shell particles (reference: mdrun/shellfc.cpp t_shell).
+
+    idx: (S,) int32 shell atom indices (mass 0 — frozen by the
+    integrator, moved only by the SCF relaxation, md/shellfc.py);
+    core: (S,) int32 attached nucleus; k: (S,) spring constant
+    q_shell^2 * ONE_4PI_EPS0 / alpha (bonded.cpp:734)."""
+    idx: Array
+    core: Array
+    k: Array
+
+
+@struct.dataclass
 class SettleGroups:
     """Rigid 3-site water constraint groups (reference: mdlib/settle.cpp).
 
@@ -254,6 +267,12 @@ class System:
     cmap: Optional[CmapList] = None
     # orientation restraints (ops/orires.py OriresList); None when absent
     orires: Optional[Any] = None
+    # polarizable-shell particles (md/shellfc.py); None when absent.
+    # The harmonic core-shell springs are ALSO materialized as ordinary
+    # `bonds` rows (b0 = 0), so forces/energies need no extra kernel —
+    # this struct only drives the pre-step SCF relaxation
+    # (reference: mdrun/shellfc.cpp t_shell, listed_forces/bonded.cpp:709)
+    shells: Optional["ShellList"] = None
 
     # FEP perturbed-pair list metadata filled by the pairlist machinery is
     # dynamic; but the set of perturbed atoms is static:
@@ -410,6 +429,9 @@ class MdParams:
     # constraints
     lincs_order: int = 4
     lincs_iter: int = 2
+    # shell-relaxation SCF iterations per step (mdp `niter`; only used
+    # when the topology has [ polarization ] shells, md/shellfc.py)
+    niter: int = 20
 
     # energy minimization (reference: inputrec em_tol/em_stepsize)
     emtol: float = 10.0       # kJ/mol/nm max-force convergence

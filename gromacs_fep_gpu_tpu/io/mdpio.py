@@ -330,6 +330,7 @@ def mdp_to_params(text: str, ndx=None
         ld_seed=get("ld-seed", 1993, int),
         lincs_order=get("lincs-order", 4, int),
         lincs_iter=get("lincs-iter", 2, int),
+        niter=get("niter", 20, int),
         emtol=get("emtol", 10.0),
         emstep=get("emstep", 0.01),
         nbfgscorr=get("nbfgscorr", 10, int),

@@ -394,12 +394,12 @@ def parse_top(text: str, include_dirs: Optional[List[str]] = None,
             cur.atoms.append((tname, charge, mass, tb, qb, mb, aname))
         elif section in ("bonds", "pairs", "angles", "dihedrals",
                          "constraints", "dihedral_restraints",
-                         "angle_restraints", "cmap",
+                         "angle_restraints", "cmap", "polarization",
                          "distance_restraints", "orientation_restraints"):
             k = {"bonds": 2, "pairs": 2, "angles": 3, "dihedrals": 4,
                  "constraints": 2, "dihedral_restraints": 4,
                  "angle_restraints": 4, "cmap": 5,
-                 "distance_restraints": 2,
+                 "distance_restraints": 2, "polarization": 2,
                  "orientation_restraints": 2}[section]
             idx = tuple(int(v) - 1 for v in t[:k])
             funct = int(t[k])
@@ -534,6 +534,15 @@ def _resolve_molecule(raw: _RawMol, atomtypes: Dict[str, AtomType],
             "(grompp: toppush.cpp:2233)")
 
     for (section, funct, idx, vals) in raw.rows:
+        if section == "polarization":
+            # ai(shell? core?) — GROMACS convention: "ai aj funct alpha"
+            # with aj the SHELL (charge[aj] enters k, bonded.cpp:734);
+            # our Molecule rows are ((shell, core), (alpha,))
+            if funct != 1:
+                raise ValueError(f"{raw.name}: polarization funct {funct} "
+                                 "unsupported (only simple polarization)")
+            mol.polarization.append(((idx[1], idx[0]), (vals[0],)))
+            continue
         if section == "orientation_restraints":
             # ai aj funct exp label alpha const obs weight
             # (reference: topology table; orires.cpp init_orires)

@@ -536,10 +536,22 @@ class MdRunner:
                                         self.params.pull, 0.0)
                 return e
 
+            shell_relax = None
+            if self.system.shells is not None:
+                from .shellfc import make_shell_relax
+                # relax on the force-only flavor when available (the SCF
+                # needs no energies; reference: relax_shell_flexcon calls
+                # do_force with energy output off except the last pass)
+                shell_relax = make_shell_relax(
+                    self.system,
+                    bound_force_noener or bound_force,
+                    n_iter=self.params.niter)
+
             def mk_step(flavor=None):
                 return make_step_fn(
                     self.system, self.params, bound_force,
                     energy_epot_fn=epot_fn,
+                    shell_relax_fn=shell_relax,
                     compute_pressure=compute_pressure,
                     force_vir_fn=bound_force_vir,
                     foreign_delta_fn=(foreign_factory(feplist)

@@ -46,9 +46,13 @@ class StepLog:
 
 
 def degrees_of_freedom(system: System, params: MdParams) -> float:
+    from .shellfc import n_shells
     from .vsites import n_vsites
     n = system.n_atoms
-    ndf = 3 * n - constr_mod.n_constraints(system) - 3 * n_vsites(system)
+    # shells are massless SCF particles: no kinetic degrees of freedom
+    # (reference: ndof excludes ptype SHELL, mdlib/mdatoms + dof calc)
+    ndf = (3 * n - constr_mod.n_constraints(system) - 3 * n_vsites(system)
+           - 3 * n_shells(system))
     if params.nstcomm > 0:
         ndf -= 3
     return float(ndf)
@@ -141,8 +145,12 @@ def make_step_fn(system: System, params: MdParams, force_fn: Callable,
                  force_vir_fn: Optional[Callable] = None,
                  densfit_fn: Optional[Callable] = None,
                  force_fn_mts_off: Optional[Callable] = None,
-                 static_flavor: Optional[str] = None):
+                 static_flavor: Optional[str] = None,
+                 shell_relax_fn: Optional[Callable] = None):
     """force_fn(x, box, lam) -> (f, EnergyTerms).
+    shell_relax_fn(x, box, lam) -> x: pre-step SCF relaxation of
+    polarizable shells (md/shellfc.py; reference: relax_shell_flexcon
+    runs before every integration step, mdrun/shellfc.cpp:930).
     foreign_delta_fn(x, box, lam) -> (n_foreign,) Delta-H vector, evaluated
     every fep.nstdhdl steps (reference: mdebin_bar.cpp Delta-H collection)
     and at expanded-ensemble MC steps.
@@ -282,6 +290,11 @@ def make_step_fn(system: System, params: MdParams, force_fn: Callable,
 
     def step(state: State, _=None) -> Tuple[State, StepLog]:
         lam = current_lambdas(state.step, state.lam, params)
+        if shell_relax_fn is not None:
+            # SCF-relax massless shells before the forces that drive the
+            # integrator (they persist: invmass 0 freezes them until the
+            # next step's relaxation)
+            state = state.replace(x=shell_relax_fn(state.x, state.box, lam))
         mass, invmass = masses_at_lambda(system, lam[FepCoupling.MASS])
         lam_bonded = lam[FepCoupling.BONDED]
         key = jax.random.fold_in(state.rng, state.step.astype(jnp.int32))
