@@ -185,7 +185,9 @@ def _timed_run(system, state, params, caps, nsteps):
 
     warm_iters, warm_steps = ((2, params.nstlist)
                               if jax.default_backend() == "cpu"
-                              else (8, 10 * params.nstlist))
+                              else (int(os.environ.get("BENCH_WARM_ITERS",
+                                                       "8")),
+                                    10 * params.nstlist))
     for _ in range(warm_iters):
         before = _caps()
         state, _ = runner.run(state, warm_steps)
